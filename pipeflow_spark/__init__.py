@@ -1,0 +1,65 @@
+"""pipeflow_spark — a PySpark-native streaming/CEP analytics engine.
+
+Re-expresses the capabilities of the reference ETL library (Nonanti/PipeFlow,
+surveyed in SURVEY.md) as an idiomatic Spark engine: DataFrame/SQL logical
+plans optimized by Catalyst, Arrow-vectorized pandas UDF stages for arbitrary
+transforms, Structured Streaming micro-batch CEP over transcript tables with
+watermarks / windows / stateful joins, and an exactly-once idempotent sink.
+"""
+
+from .pipeline import Pipeline, PipelineResult
+from .session import get_spark, load_table
+from .validation import ValidationError, ValidationStrategy, Validator
+
+__all__ = [
+    "Pipeline",
+    "PipelineResult",
+    "ValidationError",
+    "ValidationStrategy",
+    "Validator",
+    "get_spark",
+    "load_table",
+    "read",
+]
+
+__version__ = "0.1.0"
+
+
+class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
+    """Source bind: ``read.parquet(spark, path)`` → :class:`Pipeline`.
+
+    Reference analog: ``PipeFlow.From.Csv/Json/...`` (``PipeFlow/PipeFlow.cs:25-191``).
+    """
+
+    @staticmethod
+    def parquet(spark, path: str) -> Pipeline:
+        return Pipeline(spark.read.parquet(path))
+
+    @staticmethod
+    def csv(spark, path: str, schema=None, **options) -> Pipeline:
+        opts = {"header": True, "multiLine": True, "escape": '"', **options}
+        reader = spark.read.options(**opts)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        return Pipeline(reader.csv(path))
+
+    @staticmethod
+    def json(spark, path: str, schema=None, **options) -> Pipeline:
+        reader = spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return Pipeline(reader.json(path))
+
+    @staticmethod
+    def jdbc(spark, url: str, table: str, **options) -> Pipeline:
+        return Pipeline(spark.read.format("jdbc").options(url=url, dbtable=table, **options).load())
+
+    @staticmethod
+    def table(spark, sf_dir: str, name: str) -> Pipeline:
+        return Pipeline(load_table(spark, sf_dir, name))
+
+    @staticmethod
+    def collection(spark, rows, schema) -> Pipeline:
+        return Pipeline(spark.createDataFrame(rows, schema))

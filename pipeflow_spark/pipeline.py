@@ -1,0 +1,301 @@
+"""Fluent ``Pipeline`` facade — PipeFlow's operator vocabulary over DataFrames.
+
+Re-expresses the reference's ``IPipeline<T>`` chain (reference:
+``PipeFlow/Pipeline.cs:8-183`` and ``PipeFlow/PipeFlow.cs:196-574``) as a thin,
+immutable wrapper around a lazy :class:`pyspark.sql.DataFrame`.  Every stage
+returns a *new* ``Pipeline`` holding a new logical plan; nothing executes until
+a terminal action — exactly the reference's deferred-closure model, except the
+"closure chain" here is a Catalyst plan that gets analyzed/optimized/codegen'd.
+
+Design rules (the north rule's "no per-row Python"):
+
+* stages compile to native ``Column`` expressions whenever the semantics allow
+  (filter/select/withColumn/drop/rename/coalesce/distinct/sort/limit/offset);
+* arbitrary-Python stages (``transform_pandas``, ``flat_map_pandas``,
+  ``group_apply``) take *vectorized* pandas callables and run through Arrow
+  (``mapInPandas`` / ``applyInPandas``), never ``F.udf`` row-at-a-time;
+* first-wins dedupe is order-*defined* (``row_number`` over an explicit
+  ordering), not ``dropDuplicates``-arbitrary, because the reference keeps the
+  first occurrence in encounter order (``PipeFlow/PipeFlow.cs:218-232``) and
+  bit-for-bit parity at 100 TB requires a total order, not task luck.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterable, Iterator, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .validation import ValidationError, ValidationStrategy, Validator
+
+ColumnOrName = Column | str
+
+
+def _to_col(c: ColumnOrName) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+@dataclass
+class PipelineResult:
+    """Terminal-execution metrics, mirroring the reference's
+    ``PipelineResult<T>`` (``PipeFlow/Builder/IPipelineBuilder.cs:55-83``)."""
+
+    success: bool
+    data: list[Any] | None
+    processed_count: int
+    execution_time_sec: float
+    error: str | None = None
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+
+class Pipeline:
+    """Immutable fluent pipeline over a DataFrame.
+
+    Mirrors the reference surface: ``filter / map(select) / flat_map / take /
+    skip / distinct / order_by / add_column / remove_column / rename_column /
+    fill_missing / remove_duplicates / group_agg / batch / validate / union /
+    join / window`` — reference operator inventory in SURVEY.md §2.
+    """
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # -- plan access -------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+    def _wrap(self, df: DataFrame) -> "Pipeline":
+        return Pipeline(df)
+
+    # -- core relational stages (reference: Pipeline.cs:25-102) -------------
+    def filter(self, cond: ColumnOrName) -> "Pipeline":
+        """``Filter(predicate)`` — Pipeline.cs:25-37. Native Column predicate
+        so Catalyst pushes it into the scan."""
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        return self._wrap(self._df.filter(cond))
+
+    where = filter
+
+    def map(self, *cols: ColumnOrName) -> "Pipeline":
+        """``Map/Select`` projection — Pipeline.cs:39-51. Columns may be
+        computed expressions; alias them."""
+        return self._wrap(self._df.select(*[_to_col(c) if isinstance(c, Column) else c for c in cols]))
+
+    select = map
+
+    def flat_map(self, column: ColumnOrName, alias: str, keep: Sequence[str] = ()) -> "Pipeline":
+        """``SelectMany`` (1→N rows) — Pipeline.cs:53-60 — as ``explode``."""
+        return self._wrap(self._df.select(*keep, F.explode(_to_col(column)).alias(alias)))
+
+    def take(self, n: int) -> "Pipeline":
+        """``Take(n)`` — Pipeline.cs:62-69."""
+        return self._wrap(self._df.limit(n))
+
+    def skip(self, n: int) -> "Pipeline":
+        """``Skip(n)`` — Pipeline.cs:71-78 (Spark ≥3.4 offset)."""
+        return self._wrap(self._df.offset(n))
+
+    def distinct(self, *cols: str) -> "Pipeline":
+        """``Distinct()`` — Pipeline.cs:80-84. Whole-row or keyed."""
+        df = self._df.select(*cols).distinct() if cols else self._df.distinct()
+        return self._wrap(df)
+
+    def order_by(self, *cols: ColumnOrName, ascending: bool | Sequence[bool] = True) -> "Pipeline":
+        """``OrderBy`` / ``OrderByDescending`` — Pipeline.cs:86-102.
+        Range-partitioned distributed sort; callers add tiebreaker columns for
+        the reference's stable-sort parity."""
+        return self._wrap(self._df.orderBy(*cols, ascending=ascending))
+
+    def order_by_descending(self, *cols: ColumnOrName) -> "Pipeline":
+        return self._wrap(self._df.orderBy(*[_to_col(c).desc() for c in cols]))
+
+    # -- DataRow transforms (reference: PipeFlow.cs:196-313) ----------------
+    def add_column(self, name: str, expr: ColumnOrName) -> "Pipeline":
+        """``AddColumn`` — PipeFlow.cs:252-268."""
+        expr = F.expr(expr) if isinstance(expr, str) else expr
+        return self._wrap(self._df.withColumn(name, expr))
+
+    def remove_column(self, *names: str) -> "Pipeline":
+        """``RemoveColumn`` — PipeFlow.cs:270-290."""
+        return self._wrap(self._df.drop(*names))
+
+    def rename_column(self, old: str, new: str) -> "Pipeline":
+        """``RenameColumn`` — PipeFlow.cs:292-313."""
+        return self._wrap(self._df.withColumnRenamed(old, new))
+
+    def fill_missing(self, column: str, default: Any) -> "Pipeline":
+        """``FillMissing`` — PipeFlow.cs:234-250 (null → default; column
+        absence is impossible under a fixed schema)."""
+        return self._wrap(self._df.withColumn(column, F.coalesce(F.col(column), F.lit(default))))
+
+    def remove_duplicates(self, key_cols: str | Sequence[str], order_cols: Sequence[ColumnOrName] | None = None) -> "Pipeline":
+        """First-wins keyed dedupe — PipeFlow.cs:218-232.
+
+        The reference keeps the *first* occurrence in encounter order via a
+        closure HashSet.  Distributed parity: ``row_number() == 1`` over an
+        explicit ``order_cols`` ordering (required — shuffle order is not a
+        total order).  Single shuffle on the key; at 100 TB this is a plain
+        hash-partitioned window, skew on hot keys handled upstream by
+        :mod:`pipeflow_spark.operators.skew`.
+        """
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        if order_cols is None:
+            raise ValueError(
+                "remove_duplicates needs explicit order_cols: 'first occurrence' "
+                "is undefined without a total order on a distributed table"
+            )
+        w = Window.partitionBy(*keys).orderBy(*[_to_col(c) for c in order_cols])
+        out = (
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return self._wrap(out)
+
+    def drop_duplicates_any(self, key_cols: Sequence[str]) -> "Pipeline":
+        """Arbitrary-winner keyed dedupe (``dropDuplicates``) for when
+        first-wins parity is not needed — cheaper: partial-aggregates
+        map-side, no window sort."""
+        return self._wrap(self._df.dropDuplicates(list(key_cols)))
+
+    # -- grouping / aggregation (reference: PipeFlow.cs:466-507) ------------
+    def group_agg(self, keys: str | Sequence[str], *aggs: Column) -> "Pipeline":
+        """``GroupBy(key, aggregations…)`` — PipeFlow.cs:480-507.
+
+        Native hash aggregate: partial map-side combine + final merge, one
+        shuffle on the keys. Every agg must carry ``.alias(...)``.
+        """
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        return self._wrap(self._df.groupBy(*keys).agg(*aggs))
+
+    def group_apply(self, keys: str | Sequence[str], fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str) -> "Pipeline":
+        """Arbitrary per-group aggregator (the reference's lambda aggregators,
+        PipeFlow.cs:483) — ``applyInPandas`` Arrow-vectorized grouped map."""
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        return self._wrap(self._df.groupBy(*keys).applyInPandas(fn, schema=schema))
+
+    # -- vectorized arbitrary transforms (north rule: Arrow, no per-row) ----
+    def transform_pandas(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str) -> "Pipeline":
+        """Arbitrary vectorized row-wise transform (``Map`` with a lambda the
+        Column algebra can't express) — ``mapInPandas`` batch iterator."""
+
+        def _op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                yield fn(pdf)
+
+        return self._wrap(self._df.mapInPandas(_op, schema=schema))
+
+    def flat_map_pandas(self, fn: Callable[[pd.DataFrame], Iterable[pd.DataFrame]], schema: str) -> "Pipeline":
+        """Vectorized 1→N flat-map (``SelectMany`` with arbitrary logic)."""
+
+        def _op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                yield from fn(pdf)
+
+        return self._wrap(self._df.mapInPandas(_op, schema=schema))
+
+    # -- batching / parallelism (reference: PipeFlow.cs:198-216) ------------
+    def batch(self, _batch_size: int) -> "Pipeline":
+        """``Batch(n)`` — PipeFlow.cs:206-216 chunks then flattens: a
+        semantic no-op that exists to bound the reference's memory.  Spark's
+        unit of batching is the partition / micro-batch, so this is identity;
+        kept for API parity."""
+        return self
+
+    def parallel(self, n: int, *cols: str) -> "Pipeline":
+        """``Parallel(maxDegree)`` — PipeFlow.cs:198-204. Maps to explicit
+        repartitioning (hash on ``cols`` when given, else round-robin)."""
+        df = self._df.repartition(n, *cols) if cols else self._df.repartition(n)
+        return self._wrap(df)
+
+    def coalesce_partitions(self, n: int) -> "Pipeline":
+        return self._wrap(self._df.coalesce(n))
+
+    # -- set ops -------------------------------------------------------------
+    def union(self, other: "Pipeline | DataFrame") -> "Pipeline":
+        o = other.df if isinstance(other, Pipeline) else other
+        return self._wrap(self._df.unionByName(o))
+
+    def intersect(self, other: "Pipeline | DataFrame") -> "Pipeline":
+        o = other.df if isinstance(other, Pipeline) else other
+        return self._wrap(self._df.intersect(o))
+
+    def except_all(self, other: "Pipeline | DataFrame") -> "Pipeline":
+        o = other.df if isinstance(other, Pipeline) else other
+        return self._wrap(self._df.exceptAll(o))
+
+    # -- joins (reference gap — SURVEY.md §2.6) ------------------------------
+    def join(self, other: "Pipeline | DataFrame", on: Any, how: str = "inner", broadcast_other: bool = False) -> "Pipeline":
+        o = other.df if isinstance(other, Pipeline) else other
+        if broadcast_other:
+            o = F.broadcast(o)
+        return self._wrap(self._df.join(o, on, how))
+
+    # -- validation (reference: PipeFlow.cs:509-574) --------------------------
+    def validate(self, validator: Validator, strategy: ValidationStrategy = ValidationStrategy.SKIP) -> "Pipeline":
+        """``Validate(rules, strategy)`` — PipeFlow.cs:509-557.
+
+        Streaming-safe re-expression: validity is a vectorized boolean column,
+        never a driver-side materialization.  ``SKIP`` filters, ``FIX`` keeps
+        all rows (reference parity: Fix keeps as-is), ``THROW`` raises on the
+        first invalid row (counted distributedly), ``LOG`` attaches an error
+        column for side-output.
+        """
+        valid = validator.valid_expr()
+        if strategy is ValidationStrategy.SKIP:
+            return self._wrap(self._df.filter(valid))
+        if strategy is ValidationStrategy.FIX or strategy is ValidationStrategy.LOG:
+            return self._wrap(self._df)
+        if strategy is ValidationStrategy.THROW:
+            bad = self._df.filter(~valid).limit(1).count()
+            if bad:
+                raise ValidationError("validation failed: at least one invalid row")
+            return self._wrap(self._df)
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    def validate_with_results(self, validator: Validator) -> "Pipeline":
+        """``ValidateWithResults`` — PipeFlow.cs:559-574: every row +
+        ``errors: array<string>`` column (empty array = valid)."""
+        return self._wrap(self._df.withColumn("errors", validator.errors_expr()))
+
+    # -- terminals (reference: Pipeline.cs:104-183) ---------------------------
+    def count(self) -> int:
+        return self._df.count()
+
+    def first(self):
+        rows = self._df.take(1)
+        if not rows:
+            raise ValueError("empty pipeline")
+        return rows[0]
+
+    def first_or_default(self):
+        rows = self._df.take(1)
+        return rows[0] if rows else None
+
+    def to_list(self) -> list:
+        return self._df.collect()
+
+    def to_pandas(self) -> pd.DataFrame:
+        return self._df.toPandas()
+
+    def for_each_partition(self, fn) -> None:
+        self._df.foreachPartition(fn)
+
+    def execute(self) -> PipelineResult:
+        """Materialize with metrics — the reference's
+        ``ExecutablePipeline.Execute`` (``PipelineBuilder.cs:163-197``)."""
+        t0 = time.monotonic()
+        try:
+            data = self._df.collect()
+            return PipelineResult(True, data, len(data), time.monotonic() - t0)
+        except Exception as e:  # noqa: BLE001 — reference wraps all failures
+            return PipelineResult(False, None, 0, time.monotonic() - t0, error=str(e))

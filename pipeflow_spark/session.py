@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-aware defaults.
+
+The engine targets a multi-executor cluster reading ~100 TB; in this sandbox it
+runs ``local[N]`` (single JVM).  All confs below are safe on both: shuffle
+partitioning scales with parallelism, AQE re-plans at runtime (coalesce /
+skew-join), Arrow is on for every pandas-UDF stage, and the session timezone is
+pinned to UTC so results compare bit-for-bit against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "pipeflow_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``shuffle_partitions`` defaults to the core count: on ``local[N]`` more
+    than N partitions only adds task-scheduling overhead, while on a real
+    cluster the caller passes ``executors * cores`` (AQE coalesces down when
+    partitions come out small, so erring high is safe there).
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        # RocksDB-backed streaming state: bounded executor memory at
+        # 10^12-turn state sizes instead of the default on-heap HDFS store.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-provided parquet table (TESTDATA.md layout)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,144 @@
+"""Ports of PipeFlow.Tests/ExtensionTests.cs over the F2 employees fixture,
+plus the validator DSL (DataValidator.cs rules)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeflow_spark import Pipeline, ValidationError, ValidationStrategy, Validator
+
+
+def test_remove_duplicates_keeps_first(employees):
+    # ExtensionTests.cs:47-60 — first occurrence by encounter order wins
+    out = (
+        Pipeline(employees)
+        .remove_duplicates("id", order_cols=["row_order"])
+        .order_by("id")
+        .to_list()
+    )
+    assert len(out) == 3
+    assert out[0].name == "Alice"  # not "Alice Duplicate"
+
+
+def test_fill_missing(spark):
+    # ExtensionTests.cs:62-84
+    df = spark.createDataFrame([(1, None), (2, "x")], "id int, v string")
+    out = Pipeline(df).fill_missing("v", "default").order_by("id").to_list()
+    assert [r.v for r in out] == ["default", "x"]
+
+
+def test_add_remove_rename_column(employees):
+    # ExtensionTests.cs:86-128
+    p = (
+        Pipeline(employees)
+        .add_column("bonus", F.col("salary") * 0.1)
+        .remove_column("row_order")
+        .rename_column("department", "dept")
+    )
+    cols = p.df.columns
+    assert "bonus" in cols and "row_order" not in cols and "dept" in cols
+    alice = p.filter("id = 1 and name = 'Alice'").first()
+    assert alice.bonus == pytest.approx(7500.0)
+
+
+def test_group_agg(employees):
+    # ExtensionTests.cs:130-152 — Engineering: count=2, avg=78500, max=82000
+    out = (
+        Pipeline(employees)
+        .group_agg(
+            "department",
+            F.count("*").alias("n"),
+            F.avg("salary").alias("avg_salary"),
+            F.max("salary").alias("max_salary"),
+        )
+        .order_by("department")
+        .to_list()
+    )
+    eng = [r for r in out if r.department == "Engineering"][0]
+    assert (eng.n, eng.avg_salary, eng.max_salary) == (2, 78500.0, 82000)
+
+
+def test_group_apply_arbitrary_aggregator(employees):
+    # the reference's arbitrary-lambda aggregator (PipeFlow.cs:483) → applyInPandas
+    def spread(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"department": [pdf.department.iloc[0]], "spread": [int(pdf.salary.max() - pdf.salary.min())]}
+        )
+
+    out = (
+        Pipeline(employees)
+        .group_apply("department", spread, "department string, spread long")
+        .order_by("department")
+        .to_list()
+    )
+    assert [r for r in out if r.department == "Engineering"][0].spread == 7000
+
+
+def test_full_chain(employees):
+    # ExtensionTests.cs:154-174 — dedupe → derive → filter → rename → sort
+    out = (
+        Pipeline(employees)
+        .remove_duplicates("id", order_cols=["row_order"])
+        .add_column("bonus", F.col("salary") * 0.1)
+        .filter(F.col("salary") > 70000)
+        .rename_column("name", "employee_name")
+        .order_by_descending("salary")
+        .to_list()
+    )
+    assert [r.employee_name for r in out] == ["Bob", "Alice"]
+
+
+# -- validation DSL ----------------------------------------------------------
+
+def _people_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice@example.com", 30, "Alice"),
+            (2, "not-an-email", 25, "Bob"),
+            (3, None, 150, "x"),
+            (4, "d@e.io", 40, None),
+        ],
+        "id int, email string, age int, name string",
+    )
+
+
+def test_validate_skip(spark):
+    v = Validator()
+    v.column("email").required().email()
+    v.column("age").range(0, 120)
+    v.column("name").required().min_length(2)
+    out = Pipeline(_people_df(spark)).validate(v, ValidationStrategy.SKIP).to_list()
+    assert [r.id for r in out] == [1]
+
+
+def test_validate_null_passes_non_required(spark):
+    v = Validator()
+    v.column("email").email()  # null email passes when not required
+    ids = {r.id for r in Pipeline(_people_df(spark)).validate(v).to_list()}
+    assert ids == {1, 3, 4}
+
+
+def test_validate_throw(spark):
+    v = Validator()
+    v.column("age").range(0, 120)
+    with pytest.raises(ValidationError):
+        Pipeline(_people_df(spark)).validate(v, ValidationStrategy.THROW)
+
+
+def test_validate_with_results(spark):
+    v = Validator()
+    v.column("email").required().email()
+    rows = {r.id: r.errors for r in Pipeline(_people_df(spark)).validate_with_results(v).to_list()}
+    assert rows[1] == []
+    assert any("valid email" in e for e in rows[2])
+    assert any("required" in e for e in rows[3])
+
+
+def test_validate_isin_type(spark):
+    df = spark.createDataFrame([("O", "42"), ("X", "nope")], "status string, n string")
+    v = Validator()
+    v.column("status").isin("O", "F", "P")
+    v.column("n").of_type("int")
+    out = Pipeline(df).validate(v).to_list()
+    assert len(out) == 1 and out[0].status == "O"

@@ -1,0 +1,95 @@
+"""Ports of the reference's core operator unit tests.
+
+PipeFlow.Tests/PipelineTests.cs — same fixture (F1 persons), same assertions,
+DataFrame implementation.
+"""
+
+from pyspark.sql import functions as F
+
+from pipeflow_spark import Pipeline
+
+
+def test_filter(persons):
+    # PipelineTests.cs:23-35 — Filter(age > 25) → 3 rows
+    out = Pipeline(persons).filter(F.col("age") > 25).to_list()
+    assert len(out) == 3
+    assert {r.name for r in out} == {"Bob", "Charlie", "Diana"}
+
+
+def test_filter_sql_string(persons):
+    out = Pipeline(persons).filter("age > 25").count()
+    assert out == 3
+
+
+def test_map_select(persons):
+    # PipelineTests.cs:37-50 — Map to a projection
+    out = (
+        Pipeline(persons)
+        .map("name", (F.col("age") * 2).alias("double_age"))
+        .order_by("name")
+        .to_list()
+    )
+    assert out[0].name == "Alice" and out[0].double_age == 50
+
+
+def test_take_skip(persons):
+    # PipelineTests.cs:52-76 — Take/Skip in a defined order
+    p = Pipeline(persons).order_by("id")
+    assert [r.id for r in p.take(2).to_list()] == [1, 2]
+    assert sorted(r.id for r in p.skip(2).to_list()) == [3, 4, 5]
+
+
+def test_distinct(persons):
+    # PipelineTests.cs:78-88 — whole-row dedupe
+    doubled = Pipeline(persons).union(persons)
+    assert doubled.count() == 10
+    assert doubled.distinct().count() == 5
+    assert Pipeline(persons).distinct("city").count() == 3
+
+
+def test_order_by(persons):
+    # PipelineTests.cs:90-122 — asc + desc
+    asc = Pipeline(persons).order_by("age").to_list()
+    assert [r.name for r in asc] == ["Eve", "Alice", "Diana", "Bob", "Charlie"]
+    desc = Pipeline(persons).order_by_descending("age").to_list()
+    assert [r.name for r in desc] == ["Charlie", "Bob", "Diana", "Alice", "Eve"]
+
+
+def test_chained(persons):
+    # PipelineTests.cs:124-141 — Filter → OrderBy → Take → Select
+    out = (
+        Pipeline(persons)
+        .filter(F.col("age") >= 25)
+        .order_by_descending("age")
+        .take(2)
+        .map("name")
+        .to_list()
+    )
+    assert [r.name for r in out] == ["Charlie", "Bob"]
+
+
+def test_first_count_foreach(persons):
+    # PipelineTests.cs:143-192
+    p = Pipeline(persons).order_by("id")
+    assert p.first().name == "Alice"
+    assert Pipeline(persons).filter(F.col("age") > 100).first_or_default() is None
+    assert Pipeline(persons).filter(F.col("city") == "London").count() == 2
+
+
+def test_flat_map(spark):
+    # Pipeline.cs:53-60 SelectMany → explode
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])], "id int, xs array<string>")
+    out = Pipeline(df).flat_map("xs", "x", keep=["id"]).order_by("id", "x").to_list()
+    assert [(r.id, r.x) for r in out] == [(1, "a"), (1, "b"), (2, "c")]
+
+
+def test_execute_metrics(persons):
+    res = Pipeline(persons).filter("age > 25").execute()
+    assert res.success and res.processed_count == 3 and res.execution_time_sec >= 0
+
+
+def test_set_ops(persons, spark):
+    a = Pipeline(persons).filter("age >= 28")
+    b = Pipeline(persons).filter("age <= 30")
+    assert a.intersect(b).count() == 2  # Bob(30), Diana(28)
+    assert a.except_all(b).count() == 1  # Charlie(35)
