@@ -1,0 +1,6 @@
+"""Custom operators composed from DataFrame primitives (SURVEY.md §2.6 and the
+training-data-pipeline extensions): dedupe family, similarity search, text
+analysis, as-of/range joins, sessionization, skew-aware aggregation,
+multimodal plumbing."""
+
+from . import asof, dedupe, multimodal, sessionize, similarity, skew, text  # noqa: F401

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+* :func:`cosine_topk` — brute-force exact top-k: one narrow scan, cosine in
+  pure Column algebra (``zip_with`` + ``aggregate``), global ``orderBy`` +
+  ``limit`` (Spark executes TakeOrderedAndProject — per-partition heaps, no
+  full sort shuffle).
+* :func:`lsh_topk` / :func:`build_lsh_buckets` — random-hyperplane LSH: probe
+  only the query's bucket(s); the 100 TB path where the corpus is
+  pre-bucketed and bucket pruning replaces the full scan.
+
+No reference analog (PipeFlow has no vector ops) — training-data extension.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns (computed in float64).
+    ``try_divide``: a zero-norm vector yields null, not an ANSI error."""
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to ``query_vec``.
+
+    Returns ``(vec_id, sim)`` ordered by sim desc, id asc (deterministic
+    tiebreak).  The query vector ships as a literal array (broadcast with the
+    plan), the scan reads only (id, vec) columns, and limit-after-sort becomes
+    TakeOrderedAndProject — O(k) memory per partition.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.select(F.col(id_col), F.round(cosine(v, q), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id: bit_i = (vec · plane_i) > 0 — pure Column algebra;
+    the plane matrix rides along as plan literals."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(float(x)) for x in plane])) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return acc.cast("long")
+
+
+def build_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector a sign-LSH bucket.  At scale this is the *write*
+    side: persist partitioned/bucketed by ``bucket`` so probes prune."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    return embeddings.withColumn("bucket", _bucket_expr(v, planes))
+
+
+def lsh_topk(
+    bucketed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: rank only vectors whose bucket is within
+    ``multiprobe_hamming`` bit-flips of the query's bucket (multi-probe LSH —
+    recovers recall lost to boundary effects without widening buckets).
+
+    ``bucketed`` must come from :func:`build_lsh_buckets` with the same
+    planes.  The bucket predicate is an ``isin`` over ≤ 1+n_planes ids →
+    partition-prunable when the table is written partitioned by bucket.
+    """
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    dots = planes @ np.asarray(query_vec, dtype=float)
+    qb = int(sum(1 << i for i, d in enumerate(dots) if d > 0))
+    probe = [qb]
+    if multiprobe_hamming >= 1:
+        probe += [qb ^ (1 << i) for i in range(n_planes)]
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        bucketed.filter(F.col("bucket").isin(probe))
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def all_pairs_cosine_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-vector k nearest neighbours across the corpus, LSH-blocked:
+    self-join within sign-LSH buckets (plus one-bit probes) then window top-k.
+    Avoids the |corpus|² cross join; exactness bounded by bucket recall."""
+    from pyspark.sql import Window
+
+    b = build_lsh_buckets(embeddings, block_planes, seed, vec_col)
+    probes = b.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.explode(
+            F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(block_planes)])
+        ).alias("probe_bucket"),
+    )
+    base = b.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("w"), "bucket"
+    )
+    pairs = (
+        probes.join(base, probes.probe_bucket == base.bucket)
+        .filter(F.col("id") != F.col("nbr_id"))
+        .select("id", "nbr_id", F.round(cosine(F.col("v"), F.col("w")), 6).alias("sim"))
+        .dropDuplicates(["id", "nbr_id"])
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("nbr_id"))
+    return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")

@@ -1,0 +1,110 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are native Column algebra (JVM, whole-stage codegen):
+regexp counting, split, md5 — no Python per row.  Each operator has an exact
+ANSI-SQL twin used as the DuckDB oracle (see ``__spark_entry__.oracle_sql``),
+so semantics are pinned down to the expression level.
+
+Reference analog: PipeFlow's per-row ``Map``/``AddColumn`` lambdas
+(``PipeFlow/PipeFlow.cs:252-268``) — here re-expressed as vectorized columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword regexes per language (tiny deterministic n-gram-ish heuristic;
+# word-boundary counts).  Same regex strings are used verbatim in the DuckDB
+# oracle so both engines count identically.
+LANG_PATTERNS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|you|that|it|for)\b",
+    "es": r"\b(el|la|de|que|y|en|un|una|los|por)\b",
+    "fr": r"\b(le|la|les|de|et|un|une|que|pour|dans)\b",
+    "de": r"\b(der|die|das|und|ist|von|mit|den|nicht|ein)\b",
+}
+
+WHITESPACE = r"\s+"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, WHITESPACE)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored token estimate: word-piece regex (letters runs, digit runs,
+    single punctuation) — the classic pre-tokenizer split, countable JVM-side."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"))
+
+
+def lang_hits(col: Column, lang: str) -> Column:
+    return F.regexp_count(F.lower(col), F.lit(LANG_PATTERNS[lang]))
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax of per-language stopword hits; ties break in the fixed order
+    en > es > fr > de; no hits at all → 'und' (undetermined)."""
+    en, es, fr, de = (lang_hits(col, l) for l in ("en", "es", "fr", "de"))
+    best = F.greatest(en, es, fr, de)
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic document-quality heuristic in [0, 1]:
+    0.4·alpha_ratio + 0.3·stopword_presence + 0.2·length_norm + 0.1·(1 − punct_ratio).
+
+    All terms are character/regexp counts — identical SQL exists for the oracle.
+    """
+    n_chars = F.length(col)
+    safe = F.greatest(n_chars, F.lit(1))
+    alpha_ratio = F.regexp_count(col, F.lit(r"[A-Za-z]")) / safe
+    punct_ratio = F.regexp_count(col, F.lit(r"[^\sA-Za-z0-9]")) / safe
+    toks = F.greatest(token_count(col), F.lit(1))
+    stop_ratio = F.least(lang_hits(col, "en") / toks, F.lit(1.0))
+    length_norm = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        0.4 * alpha_ratio + 0.3 * stop_ratio + 0.2 * length_norm + 0.1 * (1 - punct_ratio), 6
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting/dedupe: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), WHITESPACE, " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text (md5 is identical in
+    Spark and DuckDB, so the oracle matches bit-for-bit)."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprint: min over md5 hashes of
+    character ``window``-grams of the normalized text.  Pure Column algebra
+    (sequence → transform → array_min)."""
+    norm = normalize_text(col)
+    n = F.greatest(F.length(norm) - window + 1, F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(norm.substr(i, F.lit(window))))
+    return F.array_min(grams)
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: token counts, language, quality, fingerprint."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        lang_id(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fp"),
+    )

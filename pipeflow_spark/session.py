@@ -15,6 +15,16 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Python workers are separate processes: any pandas_udf / applyInPandas closure
+# defined in this package pickles a *reference* to its module, so executors
+# must be able to import ``pipeflow_spark``.  On a real cluster that's
+# ``spark-submit --py-files pipeflow_spark.zip``; here we make the library
+# self-shipping by exporting the repo root on PYTHONPATH before the JVM (and
+# its python worker daemons) start.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+
 
 def get_spark(
     app_name: str = "pipeflow_spark",

@@ -84,9 +84,10 @@ class ColumnRules:
 
     def range(self, lo: float, hi: float) -> "ColumnRules":
         """DataValidator.cs:201-235 — parse-to-double then bounds; a non-null
-        value that fails to parse is an error (cast → null under ANSI-off)."""
+        value that fails to parse is an error (``try_cast`` → null; plain cast
+        would raise under Spark 4's ANSI default)."""
         c = self._col()
-        d = c.cast("double")
+        d = c.try_cast("double")
         return self._add(
             f"{self.name} out of range [{lo}, {hi}]",
             _pass_if_null(c, d.isNotNull() & d.between(lo, hi)),
@@ -113,11 +114,11 @@ class ColumnRules:
         return self._add(f"{self.name} in forbidden set", _pass_if_null(c, ~c.isin(*values)))
 
     def of_type(self, spark_type: str) -> "ColumnRules":
-        """DataValidator.cs:373-402 — value coercible to T (cast survives)."""
+        """DataValidator.cs:373-402 — value coercible to T (try_cast survives)."""
         c = self._col()
         return self._add(
             f"{self.name} is not of type {spark_type}",
-            c.isNull() | c.cast(spark_type).isNotNull(),
+            c.isNull() | c.try_cast(spark_type).isNotNull(),
         )
 
     def custom(self, predicate: Column, message: str) -> "ColumnRules":

@@ -1,0 +1,262 @@
+"""Unit tests for the custom operator modules (dedupe / similarity / text /
+asof / sessionize / skew / multimodal) — small deterministic inputs with
+independently-computed expectations."""
+
+import datetime as dt
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pipeflow_spark.operators import asof, dedupe, multimodal, sessionize, similarity, skew, text
+
+
+# -- text ---------------------------------------------------------------------
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world  foo"), (2, ""), (3, "   "), (4, "a,b c!")],
+        "id int, text string",
+    )
+    out = {r.id: (r.n, r.b) for r in df.select(
+        "id", text.token_count(F.col("text")).alias("n"),
+        text.bpe_ish_token_count(F.col("text")).alias("b")).collect()}
+    assert out[1] == (3, 3)
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+    assert out[4] == (2, 5)  # whitespace: [a,b][c!]; word-piece: [a][,][b][c][!]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in town"),
+            (2, "el gato y la casa de un amigo"),
+            (3, "le chat et les maisons pour dans"),
+            (4, "xyzzy qwerty"),
+        ],
+        "id int, text string",
+    )
+    out = {r.id: r.lang for r in df.select("id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "fr", 4: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "id int, text string",
+    )
+    fps = {r.id: r.fp for r in df.select("id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(text.quality_score(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")).first()
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+# -- dedupe --------------------------------------------------------------------
+
+def _docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank today "
+        "while the sun sets slowly behind the tall green hills and the birds "
+        "sing their evening songs across the quiet valley floor"
+    )
+    near = base.replace("today", "tonight")
+    far = "completely different words about spark structured streaming engines and state"
+    return spark.createDataFrame(
+        [(1, base), (2, base.upper()), (3, near), (4, far), (5, far)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedupe(spark):
+    out = dedupe.exact(_docs(spark)).orderBy("doc_id").collect()
+    # 1&2 collapse (case/whitespace-normalized), 4&5 collapse
+    assert [(r.doc_id, r.dup_count) for r in out] == [(1, 2), (3, 1), (4, 2)]
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id int, text string")
+    grams = df.select(dedupe.word_ngrams(F.col("text"), 2).alias("g")).first().g
+    assert sorted(grams) == ["a b", "b c", "c d"]
+
+
+def _exact_jaccard(t1, t2, n=3):
+    def grams(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 1))}
+    g1, g2 = grams(t1), grams(t2)
+    return len(g1 & g2) / len(g1 | g2)
+
+
+def test_ngram_jaccard_pairs(spark):
+    docs = _docs(spark)
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           dedupe.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    expect = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        j = _exact_jaccard(rows[a], rows[b])
+        if j >= 0.5:
+            expect[(a, b)] = pytest.approx(j, abs=1e-6)
+    assert out == expect
+    assert (1, 2) in out and out[(1, 2)] == 1.0  # normalized-case exact dup
+    assert (1, 3) in out  # near dup
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs(spark)
+    out = {(r.id_a, r.id_b) for r in dedupe.minhash_lsh_pairs(docs, verify_threshold=0.5).collect()}
+    assert (1, 2) in out and (4, 5) in out and (1, 3) in out
+    # verified-jaccard filter kills unrelated pairs
+    assert not any({a, b} == {1, 4} for a, b in out)
+
+
+def test_simhash_pairs(spark):
+    docs = _docs(spark)
+    out = {(r.id_a, r.id_b): r.hamming for r in
+           dedupe.simhash_pairs(docs, max_hamming=10).collect()}
+    assert out.get((1, 2)) == 0  # identical after lowercase
+    assert out.get((4, 5)) == 0
+    assert (1, 3) in out  # one-word change: small hamming
+    assert all(h <= 10 for h in out.values())
+
+
+# -- similarity ------------------------------------------------------------------
+
+def test_cosine_topk_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.toPandas()
+    q = list(pdf[pdf.vec_id == 0].embedding.iloc[0])
+    out = similarity.cosine_topk(emb, q, k=5).collect()
+    # numpy ground truth
+    mat = np.array([list(v) for v in pdf.embedding], dtype=float)
+    qv = np.array(q, dtype=float)
+    sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(pdf.vec_id, sims), key=lambda t: (-round(t[1], 6), t[0]))[:5]
+    assert [r.vec_id for r in out] == [int(i) for i, _ in order]
+    assert out[0].sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_recall(spark):
+    # clustered corpus: 200 random vecs + 10 small perturbations of one base;
+    # LSH recall is only meaningful where locality exists
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(32)
+    rows = [(i, (rng.standard_normal(32)).tolist()) for i in range(200)]
+    rows += [(200 + j, (base + 0.05 * rng.standard_normal(32)).tolist()) for j in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = base.tolist()
+    exact_ids = {r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    assert exact_ids == set(range(200, 210))  # sanity: the cluster is the true top-10
+    bucketed = similarity.build_lsh_buckets(emb, n_planes=8)
+    approx_ids = {r.vec_id for r in similarity.lsh_topk(bucketed, q, k=10, n_planes=8).collect()}
+    recall = len(exact_ids & approx_ids) / 10
+    assert recall >= 0.7
+
+
+# -- asof -------------------------------------------------------------------------
+
+def test_asof_join_matches_merge_asof(spark):
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = [(k, t0 + dt.timedelta(seconds=s), f"L{k}{s}") for k in ("a", "b") for s in (5, 15, 25)]
+    right = [(k, t0 + dt.timedelta(seconds=s), s * 10) for k in ("a", "b") for s in (0, 10, 20)]
+    ldf = spark.createDataFrame(left, "k string, ts timestamp, lv string")
+    rdf = spark.createDataFrame(right, "k string, ts timestamp, rv long")
+    out = asof.asof_join(ldf, rdf, "k", "ts", ["rv"]).orderBy("k", "ts").toPandas()
+
+    lp = pd.DataFrame(left, columns=["k", "ts", "lv"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["k", "ts", "rv"]).sort_values("ts")
+    expect = pd.merge_asof(lp, rp, on="ts", by="k").sort_values(["k", "ts"]).reset_index(drop=True)
+    assert list(out.rv) == list(expect.rv)
+
+
+def test_asof_tolerance(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame([("a", t0 + dt.timedelta(seconds=100), "x")], "k string, ts timestamp, lv string")
+    rdf = spark.createDataFrame([("a", t0, 1)], "k string, ts timestamp, rv long")
+    out = asof.asof_join(ldf, rdf, "k", "ts", ["rv"], tolerance_sec=50).collect()
+    assert out[0].rv is None
+
+
+def test_range_join(spark):
+    left = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 42.0)], "id int, v double")
+    right = spark.createDataFrame([(10, 0.0, 10.0), (20, 10.0, 20.0)], "rid int, lo double, hi double")
+    out = asof.range_join_bucketed(left, right, "v", "lo", "hi", bucket_width=8.0)
+    got = sorted((r.id, r.rid) for r in out.collect())
+    assert got == [(1, 10), (2, 20)]
+
+
+# -- sessionize ---------------------------------------------------------------------
+
+def test_sessionize(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("u1", t0 + dt.timedelta(seconds=s)) for s in (0, 10, 20, 100, 110, 500)]
+    rows += [("u2", t0 + dt.timedelta(seconds=s)) for s in (0, 200)]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = sessionize.sessionize(df, "user", "ts", gap_sec=30).orderBy("user", "ts").collect()
+    assert [r.session_id for r in out if r.user == "u1"] == [0, 0, 0, 1, 1, 2]
+    assert [r.session_id for r in out if r.user == "u2"] == [0, 1]
+    stats = sessionize.session_stats(df, "user", "ts", 30).orderBy("user", "session_id").collect()
+    assert [(r.user, r.session_id, r.n_events) for r in stats] == [
+        ("u1", 0, 3), ("u1", 1, 2), ("u1", 2, 1), ("u2", 0, 1), ("u2", 1, 1)]
+
+
+# -- skew -----------------------------------------------------------------------------
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plain = {r.event_type: (r.n, r.total, round(r.mean, 9), r.lo, r.hi)
+             for r in ev.groupBy("event_type").agg(
+                 F.count("*").alias("n"), F.sum("value").alias("total"),
+                 F.avg("value").alias("mean"), F.min("value").alias("lo"),
+                 F.max("value").alias("hi")).collect()}
+    salted = {r.event_type: (r.n, r.total, round(r.mean, 9), r.lo, r.hi)
+              for r in skew.salted_agg(
+                  ev, ["event_type"],
+                  [skew.Agg("count", None, "n"), skew.Agg("sum", "value", "total"),
+                   skew.Agg("avg", "value", "mean"), skew.Agg("min", "value", "lo"),
+                   skew.Agg("max", "value", "hi")],
+                  salts=8, salt_col="event_id").collect()}
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert plain[k][1] == pytest.approx(salted[k][1], rel=1e-12)
+        assert plain[k][2] == pytest.approx(salted[k][2], rel=1e-12)
+        assert plain[k][3:] == salted[k][3:]
+
+
+def test_detect_hot_keys(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    top = skew.detect_hot_keys(ev, ["event_type"], top_n=3, sample_frac=0.5).collect()
+    assert 1 <= len(top) <= 3 and top[0].sampled_rows >= top[-1].sampled_rows
+
+
+# -- multimodal -------------------------------------------------------------------------
+
+def test_multimodal_features(spark):
+    media = multimodal.synthesize_media(spark, n=12)
+    feats = multimodal.extract_features(media, feat_dim=8).orderBy("media_id").collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r.feat) == 8
+        assert abs(sum(r.feat) - 1.0) < 1e-9
+        assert 0 <= r.mean_intensity <= 255
+    # deterministic across runs
+    again = multimodal.extract_features(multimodal.synthesize_media(spark, n=12), feat_dim=8).orderBy("media_id").collect()
+    assert [r.feat for r in again] == [r.feat for r in feats]
+
+
+def test_frame_sample(spark):
+    media = multimodal.synthesize_media(spark, n=12)
+    frames = multimodal.frame_sample(media, every_ms=1000)
+    vids = media.filter(F.col("kind") == "video").collect()
+    expect = sum(((v.duration_ms - 1) // 1000) + 1 for v in vids)
+    assert frames.count() == expect
