@@ -29,9 +29,10 @@ def asof_join(
     ts: str,
     right_cols: list[str],
     tolerance_sec: int | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Backward as-of join (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
-    semantics, including ties: right.ts == left.ts matches).
+    semantics; ties match unless ``strict`` — then only right.ts < left.ts).
 
     Returns all left columns + ``right_cols`` (null when no earlier right row
     or outside ``tolerance_sec``).
@@ -53,10 +54,12 @@ def asof_join(
     ).select(*lcols, "__is_left", *[f"__r_{c}" for c in right_cols], "__r_ts")
 
     u = l.unionByName(r)
-    # right rows sort before left rows at equal ts (tag asc) so ties match
+    # ties: right rows (tag 0) sort before left (tag 1) → equal-ts matches;
+    # strict: left sorts first → equal-ts right rows fall outside the frame
+    tag_order = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__is_left").asc())
+        .orderBy(F.col(ts).asc(), tag_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
@@ -75,6 +78,19 @@ def asof_join(
         proj = [F.col(f"__f_{c}").alias(c2) for c, c2 in zip(right_cols, right_cols)]
 
     return filled.select(*lcols, *proj)
+
+
+def asof_join_strict(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """As-of with strict inequality (right.ts < left.ts) — e.g. "previous
+    event", excluding the row itself in self-joins."""
+    return asof_join(left, right, key, ts, right_cols, tolerance_sec, strict=True)
 
 
 def range_join_bucketed(
@@ -102,5 +118,31 @@ def range_join_bucketed(
     )
     out = lb.join(rb, "__bucket", how).filter(
         F.col(left_val).between(F.col(right_lo), F.col(right_hi))
+    )
+    return out.drop("__bucket")
+
+
+def range_join_bucketed_halfopen(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Same rewrite with half-open intervals: ``lo <= val < hi``."""
+    lb = left.withColumn("__bucket", F.floor(F.col(left_val) / bucket_width))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width),
+                F.floor(F.col(right_hi) / bucket_width),
+            )
+        ),
+    )
+    out = lb.join(rb, "__bucket", how).filter(
+        (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) < F.col(right_hi))
     )
     return out.drop("__bucket")

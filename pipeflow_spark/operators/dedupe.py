@@ -233,6 +233,9 @@ def simhash_pairs(
     equi-join on (block_idx, block_value), then verify the true Hamming
     distance with ``bit_count(xor)`` JVM-side.
     """
+    from ..session import ensure_shipped
+
+    ensure_shipped(df.sparkSession)  # pandas_udf below needs the package on workers
     width = 64 // blocks
     sk = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sk"))
     mask = (1 << width) - 1

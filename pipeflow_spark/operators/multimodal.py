@@ -99,6 +99,9 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                 }
             )
 
+    from ..session import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
     pruned = media.select("media_id", "kind", "width", "height", "payload")
     return pruned.mapInPandas(op, schema=FEATURE_SCHEMA)
 

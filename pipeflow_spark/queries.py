@@ -1,0 +1,863 @@
+"""Driver-contract query registry: every implemented operator as a
+(Spark plan, ANSI-SQL oracle) pair over the TESTDATA tables.
+
+Used by ``__spark_entry__.py``: ``QUERIES[name] = (spark_fn, duckdb_sql)``.
+``spark_fn(spark, sf_dir) -> DataFrame``; the SQL runs on DuckDB views named
+after the parquet files.  Conventions that make the driver's
+row-count + schema + order-insensitive value-hash comparison meaningful:
+
+* every computed column is aliased identically on both sides;
+* every float output is ``round(x, 4..6)`` on both sides (sum/avg order
+  differences between engines live far below that);
+* every non-deterministic choice (ties, "first") is pinned by an explicit
+  total order.
+
+Reference parity notes cite /root/reference file:line where the operator
+mirrors a PipeFlow behavior.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import asof, dedupe, sessionize, similarity, skew, text
+from .pipeline import Pipeline
+from .session import load_table
+from .validation import ValidationStrategy, Validator
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, tuple[SparkFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: SparkFn) -> SparkFn:
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# 1. Core relational (PipeFlow Pipeline.cs / PipeFlow.cs operator surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship: filter → hash-agg → sort (TPC-H Q1 shape). Filter pushes to
+    the parquet scan; agg is partial+final with no Python."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        Pipeline(li)
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .group_agg(
+            ["l_returnflag", "l_linestatus"],
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .order_by("l_returnflag", "l_linestatus")
+        .df
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark, sf_dir):
+    """3-way join (customer side broadcast — it's the small filtered dim) →
+    agg → top-k."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """5-way star join; small dims (region/nation/supplier) broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "filter_project",
+    """
+    SELECT event_id, user_id, round(value * 100.0, 4) AS value_pct
+    FROM events
+    WHERE event_type = 'click' AND value > 0.5
+    ORDER BY event_id
+    """,
+)
+def filter_project(spark, sf_dir):
+    """Filter + computed projection (PipeFlow Filter/Map, Pipeline.cs:25-51)."""
+    return (
+        Pipeline(_t(spark, sf_dir, "events"))
+        .filter((F.col("event_type") == "click") & (F.col("value") > 0.5))
+        .map("event_id", "user_id", F.round(F.col("value") * 100.0, 4).alias("value_pct"))
+        .order_by("event_id")
+        .df
+    )
+
+
+@register(
+    "distinct_keys",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1, 2",
+)
+def distinct_keys(spark, sf_dir):
+    """Keyed distinct (Pipeline.cs:80-84)."""
+    return (
+        Pipeline(_t(spark, sf_dir, "orders"))
+        .distinct("o_orderstatus", "o_orderpriority")
+        .order_by("o_orderstatus", "o_orderpriority")
+        .df
+    )
+
+
+@register(
+    "order_limit_offset",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 10 OFFSET 5
+    """,
+)
+def order_limit_offset(spark, sf_dir):
+    """Sort + Skip + Take (Pipeline.cs:62-78) — explicit tiebreak pins order."""
+    return (
+        Pipeline(_t(spark, sf_dir, "part"))
+        .map("p_partkey", "p_name", "p_retailprice")
+        .order_by(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .skip(5)
+        .take(10)
+        .df
+    )
+
+
+@register(
+    "flatmap_token_counts",
+    """
+    SELECT tok, count(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def flatmap_token_counts(spark, sf_dir):
+    """SelectMany/explode (Pipeline.cs:53-60) → agg → top-k."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = docs.select(F.split(text.normalize_text(F.col("text")), " ").alias("toks"))
+    return (
+        Pipeline(toks)
+        .flat_map("toks", "tok")
+        .group_agg("tok", F.count("*").alias("n"))
+        .order_by(F.col("n").desc(), F.col("tok"))
+        .take(20)
+        .df
+    )
+
+
+@register(
+    "add_rename_fill",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'UNKNOWN') AS segment,
+           CASE WHEN c_acctbal >= 5000 THEN 'gold'
+                WHEN c_acctbal >= 0 THEN 'silver' ELSE 'debt' END AS tier,
+           round(c_acctbal, 4) AS balance
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def add_rename_fill(spark, sf_dir):
+    """AddColumn / RenameColumn / FillMissing (PipeFlow.cs:234-313)."""
+    tier = (
+        F.when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 0, "silver")
+        .otherwise("debt")
+    )
+    return (
+        Pipeline(_t(spark, sf_dir, "customer"))
+        .add_column("segment", F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")))
+        .fill_missing("segment", "UNKNOWN")
+        .add_column("tier", tier)
+        .add_column("balance", F.round(F.col("c_acctbal"), 4))
+        .map("c_custkey", "segment", "tier", "balance")
+        .order_by("c_custkey")
+        .df
+    )
+
+
+@register(
+    "remove_duplicates_first",
+    """
+    SELECT user_id, event_id AS first_event, event_type AS first_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def remove_duplicates_first(spark, sf_dir):
+    """First-wins keyed dedupe with a pinned total order — the distributed
+    re-expression of PipeFlow RemoveDuplicates (PipeFlow.cs:218-232)."""
+    return (
+        Pipeline(_t(spark, sf_dir, "events"))
+        .remove_duplicates("user_id", order_cols=["ts", "event_id"])
+        .map("user_id", F.col("event_id").alias("first_event"), F.col("event_type").alias("first_type"))
+        .order_by("user_id")
+        .df
+    )
+
+
+@register(
+    "group_agg_events",
+    """
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 4) AS total,
+           round(avg(value), 4) AS mean,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def group_agg_events(spark, sf_dir):
+    """Hash aggregate with multiple aggs (PipeFlow GroupBy, PipeFlow.cs:480-507)."""
+    return (
+        Pipeline(_t(spark, sf_dir, "events"))
+        .group_agg(
+            "event_type",
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+            F.round(F.avg("value"), 4).alias("mean"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .order_by("event_type")
+        .df
+    )
+
+
+@register(
+    "set_ops_except",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000
+    EXCEPT ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_orderkey
+    """,
+)
+def set_ops_except(spark, sf_dir):
+    """exceptAll (reference gap — SURVEY.md §2.6 set ops)."""
+    o = _t(spark, sf_dir, "orders")
+    a = Pipeline(o).filter("o_totalprice > 100000").map("o_orderkey", "o_orderstatus")
+    b = Pipeline(o).filter("o_orderstatus = 'F'").map("o_orderkey", "o_orderstatus")
+    return a.except_all(b).order_by("o_orderkey").df
+
+
+@register(
+    "validate_skip_counts",
+    """
+    SELECT event_type, count(*) AS n_valid
+    FROM events
+    WHERE event_type IN ('click','view','purchase','login','logout','signup','error','share')
+      AND try_cast(value AS DOUBLE) IS NOT NULL AND value BETWEEN 0 AND 1000000
+      AND props IS NOT NULL AND length(props) >= 2
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def validate_skip_counts(spark, sf_dir):
+    """Validation DSL with SKIP strategy (DataValidator.cs rules compiled to
+    predicates; PipeFlow.cs:509-557)."""
+    v = Validator()
+    v.column("event_type").isin("click", "view", "purchase", "login", "logout", "signup", "error", "share")
+    v.column("value").range(0, 1_000_000)
+    v.column("props").required().min_length(2)
+    return (
+        Pipeline(_t(spark, sf_dir, "events"))
+        .validate(v, ValidationStrategy.SKIP)
+        .group_agg("event_type", F.count("*").alias("n_valid"))
+        .order_by("event_type")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Window functions / analytic (reference gap — SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topn_per_group",
+    """
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 4) AS price, rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3 ORDER BY c_custkey, rn
+    """,
+)
+def window_topn_per_group(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("price"),
+            "rn",
+        )
+        .orderBy("c_custkey", "rn")
+    )
+
+
+@register(
+    "window_lag_running",
+    """
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER w, 4) AS delta,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+    FROM events WHERE user_id < 100
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_lag_running(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+            F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias("running"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 4) AS total_O,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 4) AS total_F,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 4) AS total_P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_priority(spark, sf_dir):
+    out = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .sum("o_totalprice")
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 4).alias("total_O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 4).alias("total_F"),
+        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 4).alias("total_P"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "rollup_lineitem",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def rollup_lineitem(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Join variants (reference gap — SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anti_join_customers_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def anti_join_customers_no_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        Pipeline(cust)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .map("c_custkey", "c_name")
+        .order_by("c_custkey")
+        .df
+    )
+
+
+@register(
+    "semi_join_parts_ordered",
+    """
+    SELECT p_brand, count(*) AS n_parts FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 45)
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def semi_join_parts_ordered(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        Pipeline(part)
+        .join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .group_agg("p_brand", F.count("*").alias("n_parts"))
+        .order_by("p_brand")
+        .df
+    )
+
+
+@register(
+    "broadcast_join_brand_revenue",
+    """
+    SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY revenue DESC, p_brand
+    """,
+)
+def broadcast_join_brand_revenue(spark, sf_dir):
+    """Fact ⋈ broadcast(dim): no shuffle of the big side for the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "p_brand")
+    )
+
+
+@register(
+    "asof_join_prev_event",
+    """
+    SELECT l.event_id, l.user_id, round(r.value, 4) AS prev_value
+    FROM (SELECT * FROM events WHERE user_id < 50) l
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE user_id < 50) r
+      ON l.user_id = r.user_id AND l.ts > r.ts
+    ORDER BY l.event_id
+    """,
+)
+def asof_join_prev_event(spark, sf_dir):
+    """As-of join (union-tag + window) vs DuckDB's native ASOF JOIN oracle.
+    Strict inequality: join each event to the latest strictly-earlier event."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    # shift right side ts by +1µs trick is fragile; instead drop ties by
+    # excluding the row itself: use (ts, event_id) tagged ordering with
+    # strictly-earlier semantics via ts < left.ts → implement by offsetting
+    # the window to exclude equal-ts right rows.
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select("user_id", F.col("ts"), F.col("value"))
+    joined = asof.asof_join_strict(left, right, "user_id", "ts", ["value"])
+    return joined.select(
+        "event_id", "user_id", F.round(F.col("value"), 4).alias("prev_value")
+    ).orderBy("event_id")
+
+
+@register(
+    "range_join_price_bands",
+    """
+    WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0), ('high', 150000.0, 1000000.0))
+    SELECT band, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band ORDER BY band
+    """,
+)
+def range_join_price_bands(spark, sf_dir):
+    """Range join via bucketization (equi-join on bucket + exact post-filter)."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = asof.range_join_bucketed_halfopen(orders, bands, "o_totalprice", "lo", "hi", 50000.0)
+    return (
+        joined.groupBy("band")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Time windows / sessionization (streaming twins, batch-verified)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_window_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark, sf_dir):
+    """Tumbling event-time window — batch twin of the streaming
+    groupBy(window(ts)) aggregate."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "sliding_window_counts",
+    """
+    SELECT ws AS window_start, count(*) AS n
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+             ts
+      FROM events
+    )
+    WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+    GROUP BY ws ORDER BY ws
+    """,
+)
+def sliding_window_counts(spark, sf_dir):
+    """Sliding window (1h, slide 30m) — each event lands in 2 windows."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id < 200
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (batch twin of session_window)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    return sessionize.session_stats(ev, "user_id", "ts", gap_sec=1800).orderBy("user_id", "session_id")
+
+
+@register(
+    "salted_agg_events",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total, round(avg(value), 4) AS mean
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def salted_agg_events(spark, sf_dir):
+    """Two-phase skew-salted aggregation — must equal the plain GROUP BY."""
+    out = skew.salted_agg(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        [skew.Agg("count", None, "n"), skew.Agg("sum", "value", "total"), skew.Agg("avg", "value", "mean")],
+        salts=16,
+        salt_col="event_id",
+    )
+    return out.select(
+        "event_type", "n", F.round("total", 4).alias("total"), F.round("mean", 4).alias("mean")
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# 5. Text analysis / dedupe / similarity (training-data extensions)
+# ---------------------------------------------------------------------------
+
+_LANG_SQL = {
+    "en": r"\b(the|and|of|to|in|is|you|that|it|for)\b",
+    "es": r"\b(el|la|de|que|y|en|un|una|los|por)\b",
+    "fr": r"\b(le|la|les|de|et|un|une|que|pour|dans)\b",
+    "de": r"\b(der|die|das|und|ist|von|mit|den|nicht|ein)\b",
+}
+
+_LANG_HITS_SQL = "length(regexp_extract_all(lower(text), '{pat}'))"
+_LANG_CASE_SQL = f"""
+    CASE WHEN greatest({_LANG_HITS_SQL.format(pat=_LANG_SQL["en"])},
+                       {_LANG_HITS_SQL.format(pat=_LANG_SQL["es"])},
+                       {_LANG_HITS_SQL.format(pat=_LANG_SQL["fr"])},
+                       {_LANG_HITS_SQL.format(pat=_LANG_SQL["de"])}) = 0 THEN 'und'
+         WHEN {_LANG_HITS_SQL.format(pat=_LANG_SQL["en"])} = greatest({_LANG_HITS_SQL.format(pat=_LANG_SQL["en"])}, {_LANG_HITS_SQL.format(pat=_LANG_SQL["es"])}, {_LANG_HITS_SQL.format(pat=_LANG_SQL["fr"])}, {_LANG_HITS_SQL.format(pat=_LANG_SQL["de"])}) THEN 'en'
+         WHEN {_LANG_HITS_SQL.format(pat=_LANG_SQL["es"])} = greatest({_LANG_HITS_SQL.format(pat=_LANG_SQL["en"])}, {_LANG_HITS_SQL.format(pat=_LANG_SQL["es"])}, {_LANG_HITS_SQL.format(pat=_LANG_SQL["fr"])}, {_LANG_HITS_SQL.format(pat=_LANG_SQL["de"])}) THEN 'es'
+         WHEN {_LANG_HITS_SQL.format(pat=_LANG_SQL["fr"])} = greatest({_LANG_HITS_SQL.format(pat=_LANG_SQL["en"])}, {_LANG_HITS_SQL.format(pat=_LANG_SQL["es"])}, {_LANG_HITS_SQL.format(pat=_LANG_SQL["fr"])}, {_LANG_HITS_SQL.format(pat=_LANG_SQL["de"])}) THEN 'fr'
+         ELSE 'de' END
+"""
+
+
+@register(
+    "text_profile",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe_tokens,
+           {_LANG_CASE_SQL} AS lang_pred,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_profile(spark, sf_dir):
+    c = F.col("text")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            text.token_count(c).alias("n_tokens"),
+            text.bpe_ish_token_count(c).alias("n_bpe_tokens"),
+            text.lang_id(c).alias("lang_pred"),
+            text.fingerprint(c).alias("fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "lang_distribution",
+    f"""
+    SELECT {_LANG_CASE_SQL} AS lang_pred, count(*) AS n
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def lang_distribution(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(text.lang_id(F.col("text")).alias("lang_pred"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+@register(
+    "quality_histogram",
+    """
+    SELECT round(floor(q * 10) / 10, 1) AS bucket, count(*) AS n FROM (
+      SELECT 0.4 * (length(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / greatest(length(text), 1))
+           + 0.3 * least(length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|you|that|it|for)\\b')) * 1.0
+                         / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 1.0)
+           + 0.2 * least(length(text) / 500.0, 1.0)
+           + 0.1 * (1 - length(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) * 1.0 / greatest(length(text), 1)) AS q
+      FROM documents
+    ) GROUP BY 1 ORDER BY 1
+    """,
+)
+def quality_histogram(spark, sf_dir):
+    q = text.quality_score(F.col("text"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.round(F.floor(q * 10) / 10, 1).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           count(*) AS dup_count
+    FROM documents GROUP BY 2 ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dedupe.exact(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH grams AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+      FROM (SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+            FROM documents)
+    ), posting AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i * 1.0 / (len(ga.gs) + len(gb.gs) - i), 6) AS jaccard
+    FROM inter JOIN grams ga ON ga.doc_id = id_a JOIN grams gb ON gb.doc_id = id_b
+    WHERE i * 1.0 / (len(ga.gs) + len(gb.gs) - i) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    out = dedupe.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return out.orderBy("id_a", "id_b")
+
+
+@register("dedup_minhash_lsh", None)  # approximate: rows-only driver check
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedupe.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), verify_threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register("dedup_simhash", None)  # approximate: rows-only driver check
+def dedup_simhash(spark, sf_dir):
+    return dedupe.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "embed_cosine_topk",
+    """
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], q) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(q, q))), 6) AS sim
+    FROM embeddings, (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def embed_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.cosine_topk(emb, q, k=10)
+
+
+@register("embed_ann_lsh", None)  # approximate: rows-only driver check
+def embed_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    bucketed = similarity.build_lsh_buckets(emb, n_planes=10)
+    return similarity.lsh_topk(bucketed, q, k=10, n_planes=10)
+
+
+@register("embed_knn_blocked", None)  # approximate: rows-only driver check
+def embed_knn_blocked(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return similarity.all_pairs_cosine_topk(emb, k=3).orderBy("id", F.col("sim").desc(), "nbr_id")

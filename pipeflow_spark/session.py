@@ -70,3 +70,34 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-provided parquet table (TESTDATA.md layout)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers of an *already-running*
+    session via ``addPyFile`` (idempotent per context).
+
+    Needed when the session wasn't built by :func:`get_spark` (e.g. an
+    external driver created it before importing us) — the PYTHONPATH export
+    above only helps if it happens before the JVM starts.  Cluster deploys
+    get the same effect from ``spark-submit --py-files pipeflow_spark.zip``.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(_REPO_ROOT, "pipeflow_spark")
+    zip_path = os.path.join(tempfile.gettempdir(), "pipeflow_spark_pyfiles.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, _REPO_ROOT))
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(key)
