@@ -1,0 +1,136 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "stream": {...}}
+
+Also measures the authoritative north-rule metric on the transcripts stream:
+sustained turns/sec through the full micro-batch pipeline (watermark →
+tumbling window agg → exactly-once sink) plus a window-close latency proxy
+(median micro-batch wall time).  Scaling-efficiency evidence (local[8] vs
+local[32]) lives in tools/bench_scaling.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier_volume",
+    "broadcast_join_brand_revenue",
+    "group_agg_events",
+    "window_topn_per_group",
+    "remove_duplicates_first",
+    "tumbling_window_counts",
+    "sessionize_events",
+    "salted_agg_events",
+    "asof_join_prev_event",
+    "text_profile",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embed_cosine_topk",
+]
+
+
+def bench_batch(spark) -> dict[str, float]:
+    from pipeflow_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        df = fn(spark, SF_DIR)
+        t0 = time.monotonic()
+        n = df.count() if name not in ("q3_top_orders", "embed_cosine_topk") else len(df.collect())
+        timings[name] = round(time.monotonic() - t0, 3)
+        _ = n
+    return timings
+
+
+def bench_stream(spark) -> dict[str, float]:
+    """North-rule metric: turns/sec through watermark → tumbling agg →
+    exactly-once sink, from file-source arrival replay."""
+    from pyspark.sql import functions as F
+
+    from pipeflow_spark.streaming import ExactlyOnceSink, StreamingPipeline
+    from pipeflow_spark.streaming.transcripts import (
+        synthesize_transcripts,
+        write_arrival_files,
+        write_sentinel_file,
+    )
+    import datetime as dt
+
+    work = tempfile.mkdtemp(prefix="pipeflow_bench_")
+    src, root, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
+    pdf = synthesize_transcripts(n_convs=3000, n_files=8, seed=42, late_frac=0.02)
+    write_arrival_files(pdf, src)
+    write_sentinel_file(src, dt.datetime(2026, 1, 1))
+    n_turns = len(pdf)
+
+    sp = (
+        StreamingPipeline.read_transcripts(spark, src, max_files_per_trigger=1)
+        .with_watermark("ts", "10 minutes")
+        .tumbling_agg(
+            "ts", "5 minutes", ["conv_id"], F.count("*").alias("n"), F.max("turn_idx").alias("max_turn")
+        )
+        .select(F.col("w.start").alias("ws"), "conv_id", "n", "max_turn")
+    )
+    sink = ExactlyOnceSink(root)
+    t0 = time.monotonic()
+    q = sp.start_exactly_once(sink, ckpt, output_mode="append")
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    durations = sorted(p["durationMs"]["triggerExecution"] / 1000.0 for p in q.recentProgress)
+    median_batch = durations[len(durations) // 2] if durations else float("nan")
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "turns": n_turns,
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1),
+        "batches": len(durations),
+        "window_close_latency_sec_p50": round(median_batch, 3),
+    }
+
+
+def main() -> None:
+    from pipeflow_spark.session import get_spark
+
+    spark = get_spark("pipeflow_bench", cpus=CPUS, shuffle_partitions=CPUS)
+    # warm the JVM/codegen path so timings measure the engine, not startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    t0 = time.monotonic()
+    queries = bench_batch(spark)
+    stream = bench_stream(spark)
+    total = round(time.monotonic() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "stream": stream,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

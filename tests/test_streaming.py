@@ -1,0 +1,313 @@
+"""Streaming-core correctness: windows vs batch oracle, watermark late-drop,
+session windows, stateful dedupe, stream-stream join, custom stateful op, and
+exactly-once kill/resume with output equality (SURVEY.md §7.1 M3/M4).
+
+Event-time mechanics under test: append-mode windows emit only when the
+watermark passes them, so every finite stream here ends with a far-future
+sentinel row (see ``write_sentinel_file``) that closes all real windows; the
+sentinel's own window stays open and its reserved conv_id is excluded from
+comparisons.
+"""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pipeflow_spark.streaming import (
+    ExactlyOnceSink,
+    StreamingPipeline,
+    synthesize_transcripts,
+    write_arrival_files,
+)
+from pipeflow_spark.streaming.transcripts import SENTINEL_CONV, write_sentinel_file, write_transcript_parquet
+
+SENTINEL_TS = dt.datetime(2026, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def clean_dir(tmp_path_factory):
+    """No late arrivals → exact batch parity under watermark 0s + sentinel."""
+    pdf = synthesize_transcripts(n_convs=60, n_files=6, seed=42, late_frac=0.0)
+    d = tmp_path_factory.mktemp("transcripts_clean")
+    write_arrival_files(pdf, str(d))
+    write_sentinel_file(str(d), SENTINEL_TS)
+    return str(d), pdf
+
+
+@pytest.fixture(scope="module")
+def late_dir(tmp_path_factory):
+    """30% of rows arrive 3 files late → visible watermark drops."""
+    pdf = synthesize_transcripts(n_convs=60, n_files=6, seed=42, late_frac=0.3)
+    d = tmp_path_factory.mktemp("transcripts_late")
+    write_arrival_files(pdf, str(d))
+    write_sentinel_file(str(d), SENTINEL_TS)
+    return str(d), pdf
+
+
+def _run_to_memory(sp, name, mode="append", expected_input_rows=None):
+    from pipeflow_spark.streaming.engine import await_drained
+
+    q = sp.start_memory(name, output_mode=mode)
+    await_drained(q, expected_input_rows=expected_input_rows)
+    q.stop()
+
+
+def _to_spark(spark, pdf):
+    return spark.createDataFrame(pdf.drop(columns=["arrival_file", "is_late_arrival"]))
+
+
+def test_generator_determinism():
+    a = synthesize_transcripts(n_convs=30, n_files=4)
+    b = synthesize_transcripts(n_convs=30, n_files=4)
+    pd.testing.assert_frame_equal(a, b)
+    # zipf skew: hottest conv ≥ 5× median size
+    sizes = a.groupby("conv_id").size()
+    assert sizes.max() >= 5 * sizes.median()
+    assert a.is_late_arrival.mean() > 0.01
+
+
+def test_tumbling_window_matches_batch(spark, clean_dir):
+    d, pdf = clean_dir
+    sp = (
+        StreamingPipeline.read_transcripts(spark, d, max_files_per_trigger=2)
+        .with_watermark("ts", "0 seconds")
+        .tumbling_agg("ts", "5 minutes", ["role"], F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "role", "n")
+    )
+    _run_to_memory(sp, "tumbling", expected_input_rows=len(pdf) + 1)
+    got = {(r.ws, r.role): r.n for r in spark.sql("SELECT * FROM tumbling").collect()}
+    expect = {
+        (r.ws, r.role): r.n
+        for r in _to_spark(spark, pdf)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "role")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "role", "n")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_sliding_window_matches_batch(spark, clean_dir):
+    d, pdf = clean_dir
+    sp = (
+        StreamingPipeline.read_transcripts(spark, d, max_files_per_trigger=3)
+        .with_watermark("ts", "0 seconds")
+        .sliding_agg("ts", "10 minutes", "5 minutes", [], F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    _run_to_memory(sp, "sliding", expected_input_rows=len(pdf) + 1)
+    got = {(r.ws): r.n for r in spark.sql("SELECT * FROM sliding").collect()}
+    expect = {
+        r.ws: r.n
+        for r in _to_spark(spark, pdf)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_watermark_drops_late_turns(spark, late_dir, clean_dir):
+    d, pdf = late_dir
+    sp = (
+        StreamingPipeline.read_transcripts(spark, d, max_files_per_trigger=1)
+        .with_watermark("ts", "1 minute")  # tight horizon → late arrivals dropped
+        .tumbling_agg("ts", "5 minutes", ["role"], F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "role", "n")
+    )
+    _run_to_memory(sp, "late_drop", expected_input_rows=len(pdf) + 1)
+    got_total = spark.sql(
+        f"SELECT sum(n) AS s FROM late_drop WHERE ws < timestamp'{SENTINEL_TS}'"
+    ).first().s
+    full_total = len(pdf)
+    n_late = int(pdf.is_late_arrival.sum())
+    assert n_late > 0
+    # late arrivals (and only plausibly those) are missing
+    assert got_total < full_total
+    assert got_total >= full_total - n_late
+
+
+def test_session_window_stream(spark, tmp_path):
+    # hand-crafted: one conv with a 40-min silence gap → 2 sessions
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("c1", i, "user", f"t{i}", None, t0 + dt.timedelta(minutes=m))
+            for i, m in enumerate([0, 5, 10, 50, 55])]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    src = tmp_path / "sess"
+    src.mkdir()
+    write_transcript_parquet(pdf, str(src / "part-00000.parquet"))
+    write_sentinel_file(str(src), SENTINEL_TS)
+    sp = (
+        StreamingPipeline.read_transcripts(spark, str(src))
+        .with_watermark("ts", "0 seconds")
+        .session_agg("ts", "30 minutes", ["conv_id"], F.count("*").alias("n_turns"))
+        .select("conv_id", F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n_turns")
+    )
+    # NB: do NOT filter conv_id != SENTINEL in-plan — Catalyst pushes the
+    # predicate below the watermark into the scan, the sentinel row never
+    # advances event time, and the final session never closes.  The
+    # sentinel's own session can't close (it is the max event), so it never
+    # appears in the output anyway.
+    _run_to_memory(sp, "sessions", expected_input_rows=6)
+    got = sorted((r.ws, r.we, r.n_turns) for r in spark.sql("SELECT * FROM sessions").collect())
+    assert [(n) for _, _, n in got] == [3, 2]
+    assert got[0][0] == t0
+    # session window extends gap past the last event
+    assert got[0][1] == t0 + dt.timedelta(minutes=10 + 30)
+
+
+def test_dedupe_within_watermark(spark, tmp_path):
+    # duplicate (conv_id, turn_idx) in consecutive files → one survivor
+    t0 = dt.datetime(2025, 1, 1)
+    src = tmp_path / "dup"
+    src.mkdir()
+    a = pd.DataFrame(
+        [("c1", 0, "user", "first", None, t0), ("c1", 1, "assistant", "x", None, t0 + dt.timedelta(seconds=20))],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    b = pd.DataFrame(
+        [("c1", 0, "user", "dup-arrives-again", None, t0 + dt.timedelta(seconds=1))],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    write_transcript_parquet(a, str(src / "part-00000.parquet"))
+    write_transcript_parquet(b, str(src / "part-00001.parquet"))
+    sp = (
+        StreamingPipeline.read_transcripts(spark, str(src))
+        .with_watermark("ts", "10 minutes")
+        .dedupe_within_watermark(["conv_id", "turn_idx"])
+    )
+    _run_to_memory(sp, "dedup", expected_input_rows=3)
+    got = spark.sql("SELECT text FROM dedup WHERE turn_idx = 0").collect()
+    assert len(got) == 1 and got[0].text == "first"  # first arrival wins
+
+
+def test_stream_stream_join_replies(spark, clean_dir):
+    d, pdf = clean_dir
+    users = StreamingPipeline.read_transcripts(spark, d, 3).with_watermark("ts", "1 hour").filter(
+        "role = 'user'"  # sentinel is role=user but has no reply -> joins nothing
+    )
+    replies = StreamingPipeline.read_transcripts(spark, d, 3).with_watermark("ts", "1 hour").filter(
+        "role IN ('assistant','tool')"
+    )
+    joined = users.join_replies(replies, max_reply_delay="10 minutes").select(
+        "u_conv_id", "u_turn_idx", "a_turn_idx", "u_text", "a_text"
+    )
+    _run_to_memory(joined, "replies", expected_input_rows=2 * (len(pdf) + 1))
+    got = spark.sql("SELECT * FROM replies").collect()
+    assert len(got) > 0
+    assert all(r.a_turn_idx == r.u_turn_idx + 1 for r in got)
+    # batch oracle: pandas self-join of the static table
+    base = pdf.drop(columns=["arrival_file", "is_late_arrival"])
+    u = base[base.role == "user"]
+    a = base[base.role != "user"]
+    m = u.merge(a, on="conv_id", suffixes=("_u", "_a"))
+    m = m[
+        (m.turn_idx_a == m.turn_idx_u + 1)
+        & (m.ts_a >= m.ts_u)
+        & (m.ts_a <= m.ts_u + pd.Timedelta(minutes=10))
+    ]
+    assert len(got) == len(m)
+
+
+def test_stateful_per_key_running_count(spark, clean_dir):
+    d, pdf = clean_dir
+
+    def running(key, pdfs, state):
+        total = state.get()[0] if state.exists else 0
+        for p in pdfs:
+            total += len(p)
+        state.update((total,))
+        yield pd.DataFrame({"conv_id": [key[0]], "turns_seen": [total]})
+
+    sp = (
+        StreamingPipeline.read_transcripts(spark, d, max_files_per_trigger=100)
+        .filter(f"conv_id != '{SENTINEL_CONV}'")
+        .stateful_per_key(
+            ["conv_id"],
+            running,
+            "conv_id string, turns_seen long",
+            "turns_seen long",
+            output_mode="update",
+        )
+    )
+    _run_to_memory(sp, "statecount", mode="update", expected_input_rows=len(pdf) + 1)
+    got = {r.conv_id: r.turns_seen for r in spark.sql(
+        "SELECT conv_id, max(turns_seen) AS turns_seen FROM statecount GROUP BY conv_id").collect()}
+    expect = pdf.groupby("conv_id").size().to_dict()
+    assert got == expect
+
+
+# -- exactly-once / resume ----------------------------------------------------
+
+
+def _windowed(spark, d):
+    return (
+        StreamingPipeline.read_transcripts(spark, d, max_files_per_trigger=1)
+        .with_watermark("ts", "0 seconds")
+        .tumbling_agg(
+            "ts", "5 minutes", ["conv_id"], F.count("*").alias("n"), F.max("turn_idx").alias("max_turn")
+        )
+        .select(F.col("w.start").alias("ws"), "conv_id", "n", "max_turn")
+    )
+
+
+def _batch_oracle(spark, pdf):
+    return {
+        (r.ws, r.conv_id): (r.n, r.max_turn)
+        for r in _to_spark(spark, pdf)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("max_turn"))
+        .select(F.col("w.start").alias("ws"), "conv_id", "n", "max_turn")
+        .collect()
+    }
+
+
+def test_exactly_once_kill_resume(spark, clean_dir, tmp_path):
+    """Crash injected between sink write and ledger commit; restart from
+    checkpoint must reproduce the batch oracle exactly — no dupes, no holes."""
+    d, pdf = clean_dir
+    root, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    sink = ExactlyOnceSink(root, fail_after_write_batch_id=2)
+    q = _windowed(spark, d).start_exactly_once(sink, ckpt, output_mode="append")
+    with pytest.raises(Exception, match="injected failure"):
+        q.awaitTermination()
+
+    committed_before = sink.committed_batches()
+    assert 2 not in committed_before  # crashed batch is NOT visible
+
+    # restart from the same checkpoint: batch 2 replays (same id), commits,
+    # and the stream runs to completion
+    sink2 = ExactlyOnceSink(root)
+    q2 = _windowed(spark, d).start_exactly_once(sink2, ckpt, output_mode="append")
+    q2.awaitTermination()
+
+    out = sink2.read_committed(spark)
+    got = {(r.ws, r.conv_id): (r.n, r.max_turn) for r in out.collect()}
+    assert got == _batch_oracle(spark, pdf)  # sentinel's window never closes
+    assert "_batch_id" in out.columns
+    assert {m["batch_id"] for m in sink2.metrics()} == set(sink2.committed_batches())
+
+
+def test_exactly_once_replay_committed_is_noop(spark, clean_dir, tmp_path):
+    d, pdf = clean_dir
+    root, ckpt = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    sink = ExactlyOnceSink(root)
+    q = _windowed(spark, d).start_exactly_once(sink, ckpt)
+    q.awaitTermination()
+    assert {(r.ws, r.conv_id) for r in sink.read_committed(spark).collect()} == set(
+        _batch_oracle(spark, pdf)
+    )
+    before = {(r.ws, r.conv_id, r._batch_id) for r in sink.read_committed(spark).collect()}
+
+    # manually replay every committed batch with garbage data → all no-ops
+    garbage = spark.range(5).selectExpr(
+        "timestamp'2030-01-01' as ws", "'evil' as conv_id", "id as n", "id as max_turn"
+    )
+    for b in sink.committed_batches():
+        sink(garbage, b)
+    after = {(r.ws, r.conv_id, r._batch_id) for r in sink.read_committed(spark).collect()}
+    assert before == after
