@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import asof, dedupe, sessionize, similarity, skew, text
+from .operators import asof, dedupe, multimodal, sessionize, similarity, skew, text
 from .pipeline import Pipeline
 from .session import load_table
 from .validation import ValidationStrategy, Validator
@@ -861,3 +861,176 @@ def embed_ann_lsh(spark, sf_dir):
 def embed_knn_blocked(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     return similarity.all_pairs_cosine_topk(emb, k=3).orderBy("id", F.col("sim").desc(), "nbr_id")
+
+
+# ---------------------------------------------------------------------------
+# 6. Additional aggregates / set ops / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentiles_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.9), 4)  AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def percentiles_by_type(spark, sf_dir):
+    """Exact interpolated percentiles (JVM-side F.percentile — the exact twin
+    of the streaming-friendly percentile_approx)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("approx_distinct_users", None)  # sketch (HLL++): rows-only driver check
+def approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct — the streaming/scale path where exact
+    countDistinct's shuffle is unaffordable; verified exactly in tests at
+    small SF (error bound), rows-only here."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "cube_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def cube_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "set_ops_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+    ORDER BY o_custkey
+    """,
+)
+def set_ops_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = Pipeline(o).filter("o_orderstatus = 'O'").map("o_custkey")
+    b = Pipeline(o).filter("o_totalprice > 150000").map("o_custkey")
+    return a.intersect(b).order_by("o_custkey").df
+
+
+@register(
+    "union_segments",
+    """
+    SELECT c_custkey, 'big_spender' AS tag FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT c_custkey, 'automobile' AS tag FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ORDER BY c_custkey, tag
+    """,
+)
+def union_segments(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = Pipeline(c).filter("c_acctbal > 9000").map("c_custkey", F.lit("big_spender").alias("tag"))
+    b = Pipeline(c).filter("c_mktsegment = 'AUTOMOBILE'").map("c_custkey", F.lit("automobile").alias("tag"))
+    return a.union(b).order_by("c_custkey", "tag").df
+
+
+# ---------------------------------------------------------------------------
+# 7. Multimodal plumbing + streaming e2e (rows-only: no SQL twin possible)
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features", None)  # stubbed decode kernel: rows-only
+def multimodal_features(spark, sf_dir):
+    """Binary media columns → mapInPandas decode/feature stage → per-kind agg.
+    The decode kernel is a deterministic stub (no codecs in container); the
+    Spark plumbing (pruned scan → Arrow batches → typed schema) is real."""
+    media = multimodal.synthesize_media(spark, n=64, seed=42)
+    feats = multimodal.extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+@register("multimodal_frame_sample", None)  # synthesized media: rows-only
+def multimodal_frame_sample(spark, sf_dir):
+    media = multimodal.synthesize_media(spark, n=64, seed=42)
+    frames = multimodal.frame_sample(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames")).orderBy("media_id")
+
+
+@register("stream_tumbling_e2e", None)  # streaming: rows-only driver check
+def stream_tumbling_e2e(spark, sf_dir):
+    """Full micro-batch CEP chain end-to-end: deterministic transcript stream →
+    watermark → stateful dedupe → tumbling per-conv window agg → exactly-once
+    sink → read committed snapshot.  Deterministic output (seed 42)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from .streaming import ExactlyOnceSink, StreamingPipeline
+    from .streaming.transcripts import (
+        SENTINEL_CONV,
+        synthesize_transcripts,
+        write_arrival_files,
+        write_sentinel_file,
+    )
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_q_")
+    src = f"{work}/src"
+    pdf = synthesize_transcripts(n_convs=40, n_files=4, seed=42, late_frac=0.0)
+    write_arrival_files(pdf, src)
+    write_sentinel_file(src, dt.datetime(2026, 1, 1))
+    sink = ExactlyOnceSink(f"{work}/sink")
+    sp = (
+        StreamingPipeline.read_transcripts(spark, src, max_files_per_trigger=2)
+        .with_watermark("ts", "10 minutes")
+        .dedupe_within_watermark(["conv_id", "turn_idx"])
+        .tumbling_agg("ts", "5 minutes", ["conv_id"], F.count("*").alias("n"), F.max("turn_idx").alias("max_turn"))
+        .select(F.col("w.start").alias("ws"), "conv_id", "n", "max_turn")
+    )
+    q = sp.start_exactly_once(sink, f"{work}/ckpt", output_mode="append")
+    q.awaitTermination()
+    out = (
+        sink.read_committed(spark)
+        .filter(F.col("conv_id") != SENTINEL_CONV)
+        .select("ws", "conv_id", "n", "max_turn")
+        .orderBy("conv_id", "ws")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

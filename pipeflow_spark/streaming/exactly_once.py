@@ -68,8 +68,11 @@ class ExactlyOnceSink:
             shutil.rmtree(part_dir)  # partial write from a crashed attempt
 
         out = batch_df.withColumn("_batch_id", F.lit(batch_id))
-        n = out.count()
         out.write.mode("overwrite").parquet(part_dir)
+        # row count for the metrics ledger comes from the written files'
+        # parquet footers — a metadata-only read; counting batch_df BEFORE the
+        # write would recompute the whole upstream plan twice per batch.
+        n = batch_df.sparkSession.read.parquet(part_dir).count()
 
         if self.fail_after_write_batch_id == batch_id:
             self.fail_after_write_batch_id = None

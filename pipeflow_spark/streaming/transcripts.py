@@ -47,21 +47,42 @@ def synthesize_transcripts(
     Determinism: same args → identical rows, identical file assignment.
     """
     rng = np.random.default_rng(seed)
-    sizes = np.minimum(rng.zipf(zipf_a, size=n_convs) * 3, max_turns)
-    rows = []
-    for k in range(n_convs):
-        size = int(sizes[k])
-        conv = f"conv_{k:05d}"
-        start = int(rng.integers(0, 6 * 3600))  # conv start within 6h
-        for t in range(size):
-            role = ROLES[t % 3]
-            widx = rng.integers(0, len(_WORDS), size=6)
-            # text is a pure function of (conv_id, turn_idx) given the seed
-            text = f"{conv}#{t} " + " ".join(_WORDS[i] for i in widx)
-            tool = TOOLS[int(widx[0]) % len(TOOLS)] if role == "tool" else None
-            ts = BASE_TS + dt.timedelta(seconds=start + t * turn_step_sec)
-            rows.append((conv, t, role, text, tool, ts))
-    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    sizes = np.minimum(rng.zipf(zipf_a, size=n_convs) * 3, max_turns).astype(np.int64)
+    starts = rng.integers(0, 6 * 3600, size=n_convs)  # conv start within 6h
+
+    # fully vectorized row construction (pure numpy — generates 10^7 turns in
+    # seconds, which the scaling benchmark needs)
+    conv_k = np.repeat(np.arange(n_convs), sizes)
+    t = np.concatenate([np.arange(s) for s in sizes]) if len(sizes) else np.array([], dtype=np.int64)
+    conv_names = np.array([f"conv_{k:05d}" for k in range(n_convs)])
+    conv_ids = conv_names[conv_k]
+    roles = np.array(ROLES)[t % 3]
+    # text is a pure function of (conv_id, turn_idx): six words indexed by the
+    # affine hash (k·31 + t·7 + j·13) mod |WORDS| — which depends on j only
+    # through a 16-way base, so the word suffix comes from a 16-entry table
+    # (keeps generation vectorized at 10^7-turn scale for the scaling bench)
+    base = (conv_k * 31 + t * 7) % len(_WORDS)
+    suffix_table = np.array(
+        [" ".join(_WORDS[(b + 13 * j) % len(_WORDS)] for j in range(6)) for b in range(len(_WORDS))]
+    )
+    suffixes = suffix_table[base]
+    texts = np.fromiter(
+        (f"{c}#{ti} {s}" for c, ti, s in zip(conv_ids, t, suffixes)),
+        dtype=object,
+        count=len(t),
+    )
+    tools = np.where(roles == "tool", np.array(TOOLS)[base % len(TOOLS)], None)
+    ts = pd.to_datetime(BASE_TS) + pd.to_timedelta(starts[conv_k] + t * turn_step_sec, unit="s")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": conv_ids,
+            "turn_idx": t,
+            "role": roles,
+            "text": texts,
+            "tool": tools,
+            "ts": ts,
+        }
+    )
 
     # arrival: order by event time, chunk into n_files; then delay a sample of
     # rows by `late_delay_batches` files → they arrive after newer data
@@ -98,7 +119,14 @@ def write_transcript_parquet(pdf: pd.DataFrame, path: str) -> None:
         ]
     )
     out.to_parquet(
-        path, index=False, schema=schema, coerce_timestamps="us", allow_truncated_timestamps=True
+        path,
+        index=False,
+        schema=schema,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+        # small row groups so Spark's byte-range splits give scan parallelism
+        # within a single arrival file (row group = split granularity)
+        row_group_size=65536,
     )
 
 

@@ -1,0 +1,128 @@
+"""Sink semantics: canonical CSV formats, append mode, JSON shapes, and the
+keyed MERGE/upsert (ports of the reference's writer behavior — CsvWriter.cs
+canonical formats, CsvTests.cs:111-197 round-trips, PostgreSqlWriter.cs
+ON CONFLICT upsert semantics)."""
+
+import datetime as dt
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pipeflow_spark.sinks import canonicalize, collect_json_document, upsert_parquet, write
+
+
+def _csv_lines(path):
+    lines = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*"))):
+        with open(f) as fh:
+            lines += [l.rstrip("\n") for l in fh if l.strip()]
+    return lines
+
+
+def test_csv_canonical_formats(spark, tmp_path):
+    """DateTime -> 'yyyy-MM-dd HH:mm:ss', bool -> lowercase (CsvWriter.cs:135-147)."""
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 5, 7, 9, 11), True), (2, dt.datetime(2024, 12, 31, 23, 59, 59), False)],
+        "id int, ts timestamp, flag boolean",
+    )
+    out = str(tmp_path / "csv_out")
+    write.csv(df.coalesce(1), out)
+    lines = _csv_lines(out)
+    assert lines[0] == "id,ts,flag"
+    assert sorted(lines[1:]) == [
+        "1,2024-03-05 07:09:11,true",
+        "2,2024-12-31 23:59:59,false",
+    ]
+
+
+def test_csv_quoting_roundtrip(spark, tmp_path):
+    """Embedded delimiter/quote/newline survive a write->read cycle
+    (CsvTests.cs:143-167)."""
+    rows = [(1, 'has,comma'), (2, 'has "quotes"'), (3, "has\nnewline")]
+    df = spark.createDataFrame(rows, "id int, note string")
+    out = str(tmp_path / "csv_quote")
+    write.csv(df.coalesce(1), out)
+    back = (
+        spark.read.options(header=True, multiLine=True, quote='"', escape='"')
+        .schema("id int, note string")
+        .csv(out)
+    )
+    assert sorted((r.id, r.note) for r in back.collect()) == sorted(rows)
+
+
+def test_csv_append_mode(spark, tmp_path):
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id int, v string")
+    out = str(tmp_path / "csv_append")
+    write.csv(df1, out)
+    write.csv(df2, out, mode="append")
+    back = spark.read.options(header=True).schema("id int, v string").csv(out)
+    assert back.count() == 2
+
+
+def test_json_document_and_jsonl(spark, tmp_path):
+    df = spark.createDataFrame([(2, "b"), (1, "a")], "id int, v string")
+    jsonl = str(tmp_path / "jl")
+    write.json(df, jsonl)
+    assert spark.read.json(jsonl).count() == 2
+    doc = str(tmp_path / "doc.json")
+    collect_json_document(df, doc, order_by=["id"])
+    with open(doc) as f:
+        data = json.load(f)
+    assert data == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+
+
+def test_upsert_do_update(spark, tmp_path):
+    """ON CONFLICT DO UPDATE: incoming wins (PostgreSqlWriter.cs:228-244)."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "old1"), (2, "old2")], "k int, v string")
+    upsert_parquet(spark, base, path, ["k"])
+    inc = spark.createDataFrame([(2, "new2"), (3, "new3")], "k int, v string")
+    upsert_parquet(spark, inc, path, ["k"])
+    got = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "old1"), (2, "new2"), (3, "new3")]
+
+
+def test_upsert_do_nothing(spark, tmp_path):
+    """ON CONFLICT DO NOTHING: existing wins (PostgreSqlWriter.cs:222-226)."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "old1"), (2, "old2")], "k int, v string")
+    upsert_parquet(spark, base, path, ["k"])
+    inc = spark.createDataFrame([(2, "new2"), (3, "new3")], "k int, v string")
+    upsert_parquet(spark, inc, path, ["k"], do_update=False)
+    got = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "old1"), (2, "old2"), (3, "new3")]
+
+
+def test_upsert_idempotent_replay(spark, tmp_path):
+    """Replaying the same merge is a no-op — the batch-side analog of the
+    exactly-once sink's replay guarantee."""
+    path = str(tmp_path / "tbl")
+    inc = spark.createDataFrame([(1, "v1"), (2, "v2")], "k int, v string")
+    upsert_parquet(spark, inc, path, ["k"])
+    upsert_parquet(spark, inc, path, ["k"])
+    got = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "v1"), (2, "v2")]
+
+
+def test_canonicalize_preserves_non_special_types(spark):
+    df = spark.createDataFrame([(1, 2.5, "x")], "a int, b double, c string")
+    assert canonicalize(df).collect() == df.collect()
+
+
+def test_end_to_end_read_filter_sort_write_reread(spark, scores, tmp_path):
+    """The reference's flagship e2e (CsvTests.cs:169-197): filter score>=85,
+    sort desc, write CSV, re-read, verify order and values."""
+    out = str(tmp_path / "e2e")
+    result = scores.filter(F.col("score") >= 85).orderBy(F.col("score").desc())
+    write.csv(result.coalesce(1), out)
+    back = (
+        spark.read.options(header=True)
+        .schema("id int, name string, score int")
+        .csv(out)
+        .orderBy(F.col("score").desc())
+        .collect()
+    )
+    assert [(r.name, r.score) for r in back] == [("Eve", 95), ("Bob", 92), ("Diana", 88), ("Alice", 85)]
