@@ -31,6 +31,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -41,7 +42,7 @@ def get_spark(
     """
     n = cpus or DEFAULT_CPUS
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
+        SparkSession.builder.master(master or f"local[{n}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.sql.adaptive.enabled", "true")

@@ -70,9 +70,10 @@ class ExactlyOnceSink:
         out = batch_df.withColumn("_batch_id", F.lit(batch_id))
         out.write.mode("overwrite").parquet(part_dir)
         # row count for the metrics ledger comes from the written files'
-        # parquet footers — a metadata-only read; counting batch_df BEFORE the
-        # write would recompute the whole upstream plan twice per batch.
-        n = batch_df.sparkSession.read.parquet(part_dir).count()
+        # parquet footers — driver-side pyarrow metadata read, no extra Spark
+        # job; counting batch_df BEFORE the write would recompute the whole
+        # upstream plan twice per batch.
+        n = self._footer_count(part_dir)
 
         if self.fail_after_write_batch_id == batch_id:
             self.fail_after_write_batch_id = None
@@ -86,6 +87,16 @@ class ExactlyOnceSink:
         with open(tmp, "w") as f:
             f.write("committed")
         os.rename(tmp, os.path.join(self.ledger_dir, str(batch_id)))
+
+    @staticmethod
+    def _footer_count(part_dir: str) -> int:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in os.listdir(part_dir):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(part_dir, f)).metadata.num_rows
+        return total
 
     # -- read side ------------------------------------------------------------
     def read_committed(self, spark) -> DataFrame:

@@ -1,0 +1,77 @@
+"""Plan-quality assertions: the physical plans Catalyst produces for the
+registry queries must be the plans we'd want at 100 TB — filters pushed into
+the parquet scan, schemas pruned to referenced columns, small dims broadcast,
+no redundant shuffles.  These are executed-plan string checks (the same thing
+`.explain("formatted")` shows)."""
+
+from pyspark.sql import functions as F
+
+from pipeflow_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"][0](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], "shipdate filter not pushed"
+
+
+def test_column_pruning(spark, sf_dir):
+    df = QUERIES["filter_project"][0](spark, sf_dir)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 referenced columns are read, not all 6 of events
+    assert "event_id" in read_schema and "value" in read_schema
+    assert "props" not in read_schema and "ts" not in read_schema
+
+
+def test_broadcast_join_used(spark, sf_dir):
+    df = QUERIES["broadcast_join_brand_revenue"][0](spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(QUERIES["q5_local_supplier_volume"][0](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, "region/nation/supplier should broadcast"
+
+
+def test_remove_duplicates_single_shuffle(spark, sf_dir):
+    from pipeflow_spark import Pipeline
+    from pipeflow_spark.session import load_table
+
+    df = (
+        Pipeline(load_table(spark, sf_dir, "events"))
+        .remove_duplicates("user_id", order_cols=["ts", "event_id"])
+        .df
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, "keyed dedupe needs exactly one shuffle"
+
+
+def test_group_agg_partial_final(spark, sf_dir):
+    df = QUERIES["group_agg_events"][0](spark, sf_dir)
+    plan = _plan(df)
+    # partial (map-side) + final hash aggregate around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_whole_stage_codegen_covers_profile(spark, sf_dir):
+    from pipeflow_spark.operators import text
+    from pipeflow_spark.session import load_table
+
+    df = load_table(spark, sf_dir, "documents").select(
+        text.token_count(F.col("text")).alias("a"), text.fingerprint(F.col("text")).alias("b")
+    )
+    assert "WholeStageCodegen" in _plan(df), "profile expressions must stay in codegen"
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    df = QUERIES["salted_agg_events"][0](spark, sf_dir)
+    plan = _plan(df)
+    # phase 1 on (keys, salt), phase 2 on keys — two distinct hash shuffles
+    assert plan.count("Exchange hashpartitioning") == 2
