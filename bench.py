@@ -74,24 +74,35 @@ def bench_stream(spark) -> dict[str, float]:
 
     work = tempfile.mkdtemp(prefix="pipeflow_bench_")
     src, root, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
-    pdf = synthesize_transcripts(n_convs=3000, n_files=8, seed=42, late_frac=0.02)
+    pdf = synthesize_transcripts(n_convs=30000, n_files=8, seed=42, late_frac=0.02)
     write_arrival_files(pdf, src)
     write_sentinel_file(src, dt.datetime(2026, 1, 1))
     n_turns = len(pdf)
 
-    sp = (
-        StreamingPipeline.read_transcripts(spark, src, max_files_per_trigger=1)
-        .with_watermark("ts", "10 minutes")
-        .tumbling_agg(
-            "ts", "5 minutes", ["conv_id"], F.count("*").alias("n"), F.max("turn_idx").alias("max_turn")
+    # stateful-op state partitions are sized independently of core count
+    # (checkpoint-fixed in production); 16 keeps per-batch state-store
+    # overhead low while still saturating the cores in waves
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        sp = (
+            StreamingPipeline.read_transcripts(spark, src, max_files_per_trigger=2)
+            .with_watermark("ts", "10 minutes")
+            # prune to the aggregated columns before the stateful shuffle
+            .select("conv_id", "turn_idx", "ts")
+            .dedupe_within_watermark(["conv_id", "turn_idx"])
+            .tumbling_agg(
+                "ts", "5 minutes", ["conv_id"], F.count("*").alias("n"), F.max("turn_idx").alias("max_turn")
+            )
+            .select(F.col("w.start").alias("ws"), "conv_id", "n", "max_turn")
         )
-        .select(F.col("w.start").alias("ws"), "conv_id", "n", "max_turn")
-    )
-    sink = ExactlyOnceSink(root)
-    t0 = time.monotonic()
-    q = sp.start_exactly_once(sink, ckpt, output_mode="append")
-    q.awaitTermination()
-    wall = time.monotonic() - t0
+        sink = ExactlyOnceSink(root)
+        t0 = time.monotonic()
+        q = sp.start_exactly_once(sink, ckpt, output_mode="append")
+        q.awaitTermination()
+        wall = time.monotonic() - t0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     durations = sorted(p["durationMs"]["triggerExecution"] / 1000.0 for p in q.recentProgress)
     median_batch = durations[len(durations) // 2] if durations else float("nan")
     shutil.rmtree(work, ignore_errors=True)
