@@ -62,7 +62,58 @@ def word_ngrams(text_col, n: int = 3):
     return F.array_distinct(grams)
 
 
-# -- 2. exact n-gram Jaccard via inverted index -------------------------------
+# -- shared: exact-Jaccard verification of candidate pairs --------------------
+
+
+def _verify_jaccard(candidates: DataFrame, grams: DataFrame, threshold: float) -> DataFrame:
+    """Join candidate ``(id_a, id_b)`` pairs back to their full gram sets and
+    keep pairs whose *exact* Jaccard ≥ threshold.  Output has no false
+    positives regardless of how candidates were generated."""
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    return (
+        candidates.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("grams_a", "grams_b"))
+                / F.size(F.array_union("grams_a", "grams_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- 2. exact n-gram Jaccard via prefix-filtered inverted index ----------------
+
+
+def prefix_posting(grams: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered posting list ``(id, gram)`` from a
+    ``(id, grams, n_grams)`` table.
+
+    Global token order = (document frequency asc, gram) — rarest first.  Each
+    doc indexes only its first ``n_grams − ceil(t·n_grams) + 1`` grams in that
+    order; by the prefix-filtering principle (α = ⌈t·max(|A|,|B|)⌉ ≤ |A∩B|
+    for any pair with Jaccard ≥ t) every qualifying pair still shares an
+    indexed gram, while a ubiquitous gram sorts last everywhere and never
+    enters a prefix — removing the quadratic posting group a naive inverted
+    index builds for it.
+    """
+    from pyspark.sql import Window
+
+    posting = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
+    df_counts = posting.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    w = Window.partitionBy("id").orderBy("gram_df", "gram")
+    prefix_len = F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+    return (
+        posting.join(df_counts, "gram")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("id", "gram")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -72,55 +123,97 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """All pairs with n-gram Jaccard ≥ threshold, via posting-list self-join.
+    """All pairs with n-gram Jaccard ≥ threshold — posting-list self-join with
+    **prefix filtering** (SSJoin/All-Pairs style), then exact verification.
 
-    Plan shape (the scalable one): explode grams → self-equi-join on gram
-    (co-partitioned shuffle join; only docs *sharing* a gram ever meet) →
-    per-pair intersection count → join per-doc set sizes → Jaccard filter.
-    Never materializes the |docs|² cross product.
+    The scale-killer in a naive posting-list join is a ubiquitous gram (every
+    doc contains "the …"): its posting group is quadratic.  Prefix filtering
+    removes it *provably without false negatives*: order each doc's grams by a
+    global total order (document frequency ascending, gram as tiebreak — the
+    rarest-first order that minimizes candidates) and index only the first
+    ``n_grams - ceil(t * n_grams) + 1`` grams.  Any pair with Jaccard ≥ t must
+    share a gram inside both prefixes (pigeonhole on the global order), so the
+    candidate set is a superset of the answer; a high-DF gram sits at the end
+    of every doc's order and never enters a prefix at t = 0.8 (prefix ≈ 20% of
+    grams).  Candidates are then verified with exact set Jaccard.
+
+    Plan: one agg for DF, one shuffle join posting⋈DF, one per-doc window to
+    rank, prefix self-equi-join on gram, exact verify.  Never |docs|².
     """
-    grams = df.select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
-    ).withColumn("n_grams", F.size("grams"))
-    sizes = grams.select("id", "n_grams")
-    posting = grams.select("id", F.explode("grams").alias("gram"))
-    a, b = posting.alias("a"), posting.alias("b")
-    inter = (
+    from pyspark import StorageLevel
+
+    from ..session import spread
+
+    # persist: grams feeds the posting list, both self-join sides, and the
+    # verify join — see the note in minhash_lsh_pairs.
+    grams = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams"))
+        .withColumn("n_grams", F.size("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prefix = prefix_posting(grams, threshold).persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(candidates, grams, threshold)
 
 
 # -- 3. MinHash + banded LSH ---------------------------------------------------
 
+_MINHASH_P = 2_147_483_647  # Mersenne prime 2^31 − 1
 
-def minhash_signature(grams_col, num_hashes: int = 64):
-    """``num_hashes`` min-hash values as ``array<bigint>``.
 
-    Hash family: ``xxhash64(gram, seed_i)`` — k independent 64-bit families
-    evaluated entirely in codegen (``transform`` + ``array_min`` per seed, no
-    Python).
+def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic Carter–Wegman permutation params a·h + b mod p, a ∈ [1,p)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MINHASH_P, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MINHASH_P, size=num_hashes, dtype=np.uint64)
+    return a, b
 
-    NB: the per-seed lambda must stay single-parameter — PySpark interprets a
-    two-parameter higher-order-function lambda as ``(element, index)``.
+
+def minhash_band_keys_udf(num_hashes: int = 64, bands: int = 16, seed: int = 42):
+    """Vectorized signature+banding kernel: ``array<bigint>`` gram hashes →
+    ``array<bigint>`` of ``bands`` LSH band keys.
+
+    The grams are hashed **once** JVM-side (``transform(grams, xxhash64)``,
+    a single codegen pass over the array); the ``num_hashes`` Carter–Wegman
+    permutations and the per-band fold are pure numpy integer math inside one
+    Arrow batch: ``sig[s] = min((a_s · h + b_s) mod p)``, then each band of
+    ``r = num_hashes/bands`` signature values folds FNV-style into one 64-bit
+    key (salted with the band index so identical value-tuples in different
+    bands never collide).  This replaces the round-1 shape (64 separate
+    ``array_min(transform(...))`` columns = 64 codegen traversals of every
+    gram array, re-inlined again per band by projection collapse) with one
+    traversal + one Python eval node + a plain ``posexplode``.
     """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    a, b = _minhash_params(num_hashes, seed)
+    fnv = np.uint64(1099511628211)
 
-    def hasher(seed: int):
-        return lambda g: F.xxhash64(g, F.lit(seed))
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _keys(gram_hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in gram_hashes:
+            if hs is None or len(hs) == 0:
+                sig = np.zeros(num_hashes, dtype=np.uint64)
+            else:
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64) % np.uint64(_MINHASH_P)
+                # a[:,None]*h + b fits uint64: factors < 2^31 → product < 2^62
+                sig = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MINHASH_P)
+                sig = sig.min(axis=1)
+            bandvals = sig.reshape(bands, r)
+            keys = np.arange(bands, dtype=np.uint64)  # salt = band index
+            for j in range(r):
+                keys = (keys * fnv) ^ bandvals[:, j]
+            out.append(keys.view(np.int64))
+        return pd.Series(out)
 
-    return F.array(
-        *[F.array_min(F.transform(grams_col, hasher(seed))) for seed in range(num_hashes)]
-    )
+    return _keys
 
 
 def minhash_lsh_pairs(
@@ -143,25 +236,25 @@ def minhash_lsh_pairs(
     Scale: signature is 64×8 bytes/doc; band keys hash-shuffle uniformly; the
     bucket self-join only pairs docs sharing a band signature.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    grams = df.select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
+    from pyspark import StorageLevel
+
+    from ..session import ensure_shipped, spread
+
+    ensure_shipped(df.sparkSession)  # the signature pandas_udf runs on workers
+    # Persist the gram sets: the banded self-join and the verify join each
+    # reference them on both sides, and Spark has no common-subplan reuse
+    # across independent join branches — without the persist, word_ngrams
+    # recomputes ~5× per query.  MEMORY_AND_DISK: spills, never OOMs, and at
+    # corpus scale this is exactly the "write grams to a temp table" pattern.
+    grams = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sig = grams.select("id", "grams", minhash_signature(F.col("grams"), num_hashes).alias("sig"))
-    # band key = (band_idx, hash of the band's slice of the signature)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice("sig", bi * r + 1, r)), bi).alias("bkey"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bkey")
+    keys_udf = minhash_band_keys_udf(num_hashes, bands)
+    banded = grams.select(
+        "id", F.posexplode(keys_udf(F.transform("grams", lambda g: F.xxhash64(g))))
+    ).toDF("id", "band", "bkey")
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
         x.join(
@@ -173,22 +266,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
-    return (
-        candidates.join(ga, "id_a")
-        .join(gb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("grams_a", "grams_b"))
-                / F.size(F.array_union("grams_a", "grams_b")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= verify_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(candidates, grams, verify_threshold)
 
 
 # -- 4. SimHash ----------------------------------------------------------------
@@ -233,11 +311,11 @@ def simhash_pairs(
     equi-join on (block_idx, block_value), then verify the true Hamming
     distance with ``bit_count(xor)`` JVM-side.
     """
-    from ..session import ensure_shipped
+    from ..session import ensure_shipped, spread
 
     ensure_shipped(df.sparkSession)  # pandas_udf below needs the package on workers
     width = 64 // blocks
-    sk = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sk"))
+    sk = spread(df).select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sk"))
     mask = (1 << width) - 1
     blocked = sk.select(
         "id",

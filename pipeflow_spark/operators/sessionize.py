@@ -25,7 +25,12 @@ def sessionize(
     since the previous event exceeds ``gap_sec``."""
     order = [F.col(ts)] + [F.col(c) for c in (order_tiebreak or [])]
     w = Window.partitionBy(key).orderBy(*order)
-    gap = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.lag(ts).over(w))
+    # Fractional-second gap math: timestamp → epoch seconds with microsecond
+    # precision, matching SQL epoch().  unix_timestamp() truncates to whole
+    # seconds and splits sessions differently on sub-second gaps.  NTZ inputs
+    # route through timestamp (session tz is pinned UTC) before the cast.
+    epoch = F.col(ts).cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
     return df.withColumn(
         "session_id",

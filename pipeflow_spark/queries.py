@@ -657,8 +657,8 @@ def sliding_window_counts(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
@@ -794,9 +794,10 @@ def dedup_exact(spark, sf_dir):
     return dedupe.exact(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    """
+def _jaccard_pairs_oracle(threshold: float) -> str:
+    """Exact 3-gram Jaccard pair set ≥ threshold — the brute-force DuckDB twin
+    shared by `dedup_ngram_jaccard` and (recall-1 at this SF) `dedup_minhash_lsh`."""
+    return f"""
     WITH grams AS (
       SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
                                    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
@@ -812,24 +813,60 @@ def dedup_exact(spark, sf_dir):
     SELECT id_a, id_b,
            round(i * 1.0 / (len(ga.gs) + len(gb.gs) - i), 6) AS jaccard
     FROM inter JOIN grams ga ON ga.doc_id = id_a JOIN grams gb ON gb.doc_id = id_b
-    WHERE i * 1.0 / (len(ga.gs) + len(gb.gs) - i) >= 0.8
+    WHERE i * 1.0 / (len(ga.gs) + len(gb.gs) - i) >= {threshold}
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@register("dedup_ngram_jaccard", _jaccard_pairs_oracle(0.8))
 def dedup_ngram_jaccard(spark, sf_dir):
     out = dedupe.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
     return out.orderBy("id_a", "id_b")
 
 
-@register("dedup_minhash_lsh", None)  # approximate: rows-only driver check
+@register("dedup_minhash_lsh", _jaccard_pairs_oracle(0.8))
 def dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidates verified with exact Jaccard at 0.8 ⇒ zero false
+    positives by construction; the oracle equality additionally proves
+    recall = 1 at this SF.  Band miss probability per true pair at j = 0.8 is
+    (1 − 0.8⁴)¹⁶ ≈ 2·10⁻⁴ and falls steeply toward j = 1 (near-dup corpora
+    cluster there), so exact equality is the expected outcome, and any recall
+    loss is surfaced by the driver rather than hidden."""
     return dedupe.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), verify_threshold=0.8).orderBy(
         "id_a", "id_b"
     )
 
 
-@register("dedup_simhash", None)  # approximate: rows-only driver check
+@register(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))) AS tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM th, range(64) r(b) GROUP BY doc_id, b
+    ), sk0 AS (
+      SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS sk
+      FROM bits GROUP BY doc_id
+    ), sk AS (
+      SELECT d.doc_id, coalesce(s.sk, 0)::UBIGINT AS sk
+      FROM documents d LEFT JOIN sk0 s ON d.doc_id = s.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sk, b.sk))::INT AS hamming
+    FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sk, b.sk)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs vs a brute-force all-pairs DuckDB oracle (the
+    oracle reproduces the md5-token sketch bit-for-bit; at Hamming ≤ 3 < 4
+    blocks the pigeonhole guarantee makes the blocked join's output exactly
+    the brute-force pair set)."""
     return dedupe.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).orderBy("id_a", "id_b")
 
 

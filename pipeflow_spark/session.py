@@ -76,6 +76,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df, min_partitions: int | None = None):
+    """Round-robin repartition a DataFrame **only if** its scan has fewer
+    partitions than the cluster's parallelism.
+
+    A small parquet file (one row group) scans as a single partition, which
+    serializes every expression-heavy stage built on it (n-gram explode,
+    signature UDFs).  At real scale the scan already has thousands of
+    partitions and this is a no-op — the guard keeps it from *shrinking* a
+    large scan, so it is safe to apply unconditionally in operators that fan
+    out work per row.
+    """
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 _SHIPPED: set[int] = set()
 
 

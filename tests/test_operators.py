@@ -109,6 +109,33 @@ def test_ngram_jaccard_pairs(spark):
     assert (1, 3) in out  # near dup
 
 
+def test_prefix_filter_cuts_hot_gram_without_false_negatives(spark):
+    """A gram every doc shares (the classic 'the …' scale-killer) must not
+    enter any prefix posting list, and the pair output must still equal the
+    brute-force Jaccard answer (prefix filtering is recall-exact)."""
+    # 30 distinct docs + 1 near-dup pair, all sharing the phrase "the common header"
+    rows = [(i, f"the common header unique{i} alpha{i} beta{i} gamma{i} delta{i}") for i in range(30)]
+    rows.append((100, "the common header unique7 alpha7 beta7 gamma7 delta7 extra"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           dedupe.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    texts = dict(rows)
+    expect = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = _exact_jaccard(texts[a], texts[b])
+        if j >= 0.5:
+            expect[(a, b)] = pytest.approx(j, abs=1e-6)
+    assert out == expect and (7, 100) in out
+    # the hot gram ("the common header", df = 31) is pruned from every prefix:
+    grams = docs.select(F.col("doc_id").alias("id"),
+                        dedupe.word_ngrams(F.col("text"), 3).alias("grams")) \
+                .withColumn("n_grams", F.size("grams"))
+    posting = dedupe.prefix_posting(grams, 0.5)
+    max_group = posting.groupBy("gram").count().agg(F.max("count")).first()[0]
+    assert max_group <= 2  # no posting group scales with corpus size
+    assert posting.filter(F.col("gram") == "the common header").count() == 0
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     docs = _docs(spark)
     out = {(r.id_a, r.id_b) for r in dedupe.minhash_lsh_pairs(docs, verify_threshold=0.5).collect()}
@@ -260,3 +287,20 @@ def test_frame_sample(spark):
     vids = media.filter(F.col("kind") == "video").collect()
     expect = sum(((v.duration_ms - 1) // 1000) + 1 for v in vids)
     assert frames.count() == expect
+
+
+# -- approx aggregates -----------------------------------------------------------
+
+def test_approx_distinct_within_bound(spark, sf_dir):
+    """HLL++ (rsd=0.01) vs exact countDistinct — the error-bound check the
+    driver's rows-only gate can't perform (approx_distinct_users query)."""
+    from pipeflow_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    approx = {r.event_type: r.n for r in
+              ev.groupBy("event_type").agg(F.approx_count_distinct("user_id", 0.01).alias("n")).collect()}
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.05 * n, 2)
