@@ -32,6 +32,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB ANSI-SQL oracles; approximate/sketch operators (minhash,
-    simhash, LSH ANN) are deliberately omitted → rows-only driver check."""
+    """DuckDB ANSI-SQL oracles.  minhash (recall-1 LSH config vs the exact
+    Jaccard pair set) and simhash (brute-force sketch twin) are oracle-checked;
+    only genuinely non-SQL-expressible ops (LSH ANN probes, streaming e2e,
+    stubbed multimodal decode) remain rows-only."""
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

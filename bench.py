@@ -41,6 +41,9 @@ HEADLINE = [
     "text_profile",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "json_path_props",
     "embed_cosine_topk",
 ]
 

@@ -46,6 +46,14 @@ class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
         return Pipeline(reader.csv(path))
 
     @staticmethod
+    def pipeflow_csv(spark, path: str, **options) -> Pipeline:
+        """Reference-dialect CSV: Column{i} headerless synthesis +
+        ConvertValue inference (CsvReader.cs:91-96, 208-234)."""
+        from .csv_dialect import read_pipeflow_csv
+
+        return Pipeline(read_pipeflow_csv(spark, path, **options))
+
+    @staticmethod
     def json(spark, path: str, schema=None, **options) -> Pipeline:
         reader = spark.read.options(**options)
         if schema is not None:
@@ -57,9 +65,48 @@ class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
         return Pipeline(spark.read.format("jdbc").options(url=url, dbtable=table, **options).load())
 
     @staticmethod
+    def mongodb(spark, uri: str, database: str, collection: str, pipeline: list | None = None, **options) -> Pipeline:
+        """MongoDB source via the spark-mongodb connector (reference:
+        ``MongoReader.cs:103-141``).  The reference's pushdown DSL
+        (Where/Sort/Limit/Project, ``MongoReader.cs:35-101``) maps to an
+        aggregation ``pipeline`` option — Catalyst additionally pushes filters
+        and projections from downstream stages into the connector.  Requires
+        the ``mongo-spark-connector`` jar on the cluster (absent in this
+        sandbox: ``load()`` raises with the missing data-source message)."""
+        opts = mongo_options(uri, database, collection, pipeline, **options)
+        return Pipeline(spark.read.format("mongodb").options(**opts).load())
+
+    @staticmethod
     def table(spark, sf_dir: str, name: str) -> Pipeline:
         return Pipeline(load_table(spark, sf_dir, name))
 
     @staticmethod
     def collection(spark, rows, schema) -> Pipeline:
         return Pipeline(spark.createDataFrame(rows, schema))
+
+
+def mongo_options(
+    uri: str,
+    database: str,
+    collection: str,
+    pipeline: list | None = None,
+    batch_size: int | None = None,
+    **options,
+) -> dict:
+    """Build spark-mongodb connector options from the reference reader/writer
+    config surface (``MongoReader.cs:14-33``, ``MongoWriter.cs:20-45``):
+    connection.uri/database/collection, aggregation pipeline (the pushdown
+    DSL's compiled form), batch size."""
+    import json as _json
+
+    opts = {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+        **{str(k): str(v) for k, v in options.items()},
+    }
+    if pipeline is not None:
+        opts["aggregation.pipeline"] = _json.dumps(pipeline)
+    if batch_size is not None:
+        opts["maxBatchSize"] = str(batch_size)
+    return opts

@@ -3,4 +3,4 @@ training-data-pipeline extensions): dedupe family, similarity search, text
 analysis, as-of/range joins, sessionization, skew-aware aggregation,
 multimodal plumbing."""
 
-from . import asof, dedupe, multimodal, sessionize, similarity, skew, text  # noqa: F401
+from . import asof, dedupe, jsonpath, multimodal, sessionize, similarity, skew, text  # noqa: F401

@@ -79,10 +79,16 @@ def build_lsh_buckets(
     n_planes: int = 12,
     seed: int = 42,
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign every vector a sign-LSH bucket.  At scale this is the *write*
-    side: persist partitioned/bucketed by ``bucket`` so probes prune."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    side: persist partitioned/bucketed by ``bucket`` so probes prune.
+
+    Pass ``dim`` explicitly in production — the fallback learns it from a
+    driver-side ``first()`` at plan-build time, which is an extra job and
+    assumes the table is non-empty."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
     return embeddings.withColumn("bucket", _bucket_expr(v, planes))
@@ -130,13 +136,23 @@ def all_pairs_cosine_topk(
     vec_col: str = "embedding",
     block_planes: int = 6,
     seed: int = 42,
+    max_bucket_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-vector k nearest neighbours across the corpus, LSH-blocked:
     self-join within sign-LSH buckets (plus one-bit probes) then window top-k.
-    Avoids the |corpus|² cross join; exactness bounded by bucket recall."""
+    Avoids the |corpus|² cross join; exactness bounded by bucket recall.
+
+    ``max_bucket_size`` bounds the quadratic blow-up of a dense bucket
+    (clustered embeddings pile into few buckets): the *candidate* side of an
+    oversized bucket is deterministically subsampled to the cap (hash-ordered
+    row_number), so per-bucket join cost is ≤ |probes in bucket| × cap.  Every
+    vector still gets ranked (the probe side is never sampled); only its
+    candidate pool within a mega-bucket shrinks — a bounded-recall/bounded-cost
+    trade, the same one IVF probe limits make."""
     from pyspark.sql import Window
 
-    b = build_lsh_buckets(embeddings, block_planes, seed, vec_col)
+    b = build_lsh_buckets(embeddings, block_planes, seed, vec_col, dim=dim)
     probes = b.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -147,6 +163,13 @@ def all_pairs_cosine_topk(
     base = b.select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("w"), "bucket"
     )
+    if max_bucket_size is not None:
+        wcap = Window.partitionBy("bucket").orderBy(F.xxhash64(F.col("nbr_id")))
+        base = (
+            base.withColumn("__rn", F.row_number().over(wcap))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
     pairs = (
         probes.join(base, probes.probe_bucket == base.bucket)
         .filter(F.col("id") != F.col("nbr_id"))

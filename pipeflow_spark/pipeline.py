@@ -132,6 +132,13 @@ class Pipeline:
         """``RenameColumn`` — PipeFlow.cs:292-313."""
         return self._wrap(self._df.withColumnRenamed(old, new))
 
+    def select_path(self, name: str, json_col: str, path: str, cast: str | None = None) -> "Pipeline":
+        """JSONPath projection — ``SelectPath`` (JsonReader.cs:38-42,73-115)
+        as a JVM-side ``get_json_object`` column."""
+        from .operators.jsonpath import select_path
+
+        return self._wrap(self._df.withColumn(name, select_path(json_col, path, cast)))
+
     def fill_missing(self, column: str, default: Any) -> "Pipeline":
         """``FillMissing`` — PipeFlow.cs:234-250 (null → default; column
         absence is impossible under a fixed schema)."""
@@ -176,6 +183,12 @@ class Pipeline:
         """
         keys = [keys] if isinstance(keys, str) else list(keys)
         return self._wrap(self._df.groupBy(*keys).agg(*aggs))
+
+    def grouping_sets(self, sets: Sequence[Sequence[str]], cols: Sequence[str], *aggs: Column) -> "Pipeline":
+        """``GROUP BY GROUPING SETS`` — the general form of rollup/cube
+        (reference gap, SURVEY.md §2.6).  ``sets`` are the grouping-column
+        subsets; ``cols`` the union of grouping columns in output order."""
+        return self._wrap(self._df.groupingSets([list(s) for s in sets], *cols).agg(*aggs))
 
     def group_apply(self, keys: str | Sequence[str], fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str) -> "Pipeline":
         """Arbitrary per-group aggregator (the reference's lambda aggregators,
@@ -247,14 +260,32 @@ class Pipeline:
         Streaming-safe re-expression: validity is a vectorized boolean column,
         never a driver-side materialization.  ``SKIP`` filters, ``FIX`` keeps
         all rows (reference parity: Fix keeps as-is), ``THROW`` raises on the
-        first invalid row (counted distributedly), ``LOG`` attaches an error
-        column for side-output.
+        first invalid row (counted distributedly), ``LOG`` keeps all rows and
+        attaches ``observe()`` metrics — the distributed analog of the
+        reference's print-and-keep (``PipeFlow.cs:536-552``): per-row driver
+        printing doesn't exist on a cluster, so the side output is a metric
+        (``invalid_rows`` / ``total_rows``) readable after any action via
+        ``pipeline.validation_observation.get`` (and surfaced per micro-batch
+        by StreamingQueryListener in streaming).
         """
         valid = validator.valid_expr()
         if strategy is ValidationStrategy.SKIP:
             return self._wrap(self._df.filter(valid))
-        if strategy is ValidationStrategy.FIX or strategy is ValidationStrategy.LOG:
+        if strategy is ValidationStrategy.FIX:
             return self._wrap(self._df)
+        if strategy is ValidationStrategy.LOG:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = self._wrap(
+                self._df.observe(
+                    obs,
+                    F.sum((~valid).cast("long")).alias("invalid_rows"),
+                    F.count(F.lit(1)).alias("total_rows"),
+                )
+            )
+            out.validation_observation = obs
+            return out
         if strategy is ValidationStrategy.THROW:
             bad = self._df.filter(~valid).limit(1).count()
             if bad:

@@ -969,6 +969,101 @@ def cube_orders(spark, sf_dir):
 
 
 @register(
+    "json_path_props",
+    """
+    SELECT k_bucket, count(*) AS n, round(sum(value), 4) AS total
+    FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_bucket, value FROM events)
+    GROUP BY k_bucket ORDER BY k_bucket
+    """,
+)
+def json_path_props(spark, sf_dir):
+    """JSONPath projection over the events.props JSON column —
+    ``SelectPath`` (JsonReader.cs:38-42,73-115) as JVM-side get_json_object,
+    then aggregate by the extracted value."""
+    return (
+        Pipeline(_t(spark, sf_dir, "events"))
+        .select_path("k_bucket", "props", "$.k", cast="int")
+        .group_agg("k_bucket", F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .order_by("k_bucket")
+        .df
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY status, priority
+    """,
+)
+def grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube specialize —
+    reference gap, SURVEY.md §2.6)."""
+    return (
+        Pipeline(_t(spark, sf_dir, "orders"))
+        .grouping_sets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            ["o_orderstatus", "o_orderpriority"],
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .map(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.col("n"),
+            F.col("total"),
+        )
+        .order_by("status", "priority")
+        .df
+    )
+
+
+@register(
+    "validate_with_results",
+    """
+    SELECT event_id, CAST(len(errs) AS INT) AS n_errors,
+           coalesce(array_to_string(errs, '|'), '') AS errors_str
+    FROM (
+      SELECT event_id,
+             list_filter([
+               CASE WHEN NOT (try_cast(value AS DOUBLE) IS NOT NULL AND value BETWEEN 0 AND 0.5)
+                    THEN 'value out of range [0, 0.5]' END,
+               CASE WHEN NOT (event_type IN ('click', 'view'))
+                    THEN 'event_type not in allowed set' END,
+               CASE WHEN NOT (length(props) >= 8)
+                    THEN 'props shorter than 8' END
+             ], x -> x IS NOT NULL) AS errs
+      FROM events WHERE user_id < 100
+    ) ORDER BY event_id
+    """,
+)
+def validate_with_results(spark, sf_dir):
+    """``ValidateWithResults`` (PipeFlow.cs:559-574): every row + its list of
+    failed-rule messages, as vectorized expressions — no materialization.
+    The array column is flattened to (count, joined string) so the driver's
+    value hash compares it across engines."""
+    v = Validator()
+    v.column("value").range(0, 0.5)
+    v.column("event_type").isin("click", "view")
+    v.column("props").min_length(8)
+    return (
+        Pipeline(_t(spark, sf_dir, "events"))
+        .filter(F.col("user_id") < 100)
+        .validate_with_results(v)
+        .map(
+            "event_id",
+            F.size("errors").alias("n_errors"),
+            F.array_join("errors", "|").alias("errors_str"),
+        )
+        .order_by("event_id")
+        .df
+    )
+
+
+@register(
     "set_ops_intersect",
     """
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
@@ -1028,6 +1123,49 @@ def multimodal_frame_sample(spark, sf_dir):
     media = multimodal.synthesize_media(spark, n=64, seed=42)
     frames = multimodal.frame_sample(media, every_ms=1000)
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames")).orderBy("media_id")
+
+
+@register("stream_join_replies_e2e", None)  # streaming: rows-only driver check
+def stream_join_replies_e2e(spark, sf_dir):
+    """North-rule stream-stream join end-to-end: user turns ⋈ assistant/tool
+    replies on (conv_id, turn_idx+1) within a reply-delay bound, both sides
+    watermarked, through the exactly-once sink; per-conv pair counts returned
+    (deterministic: seed 42, watermark covers all arrivals)."""
+    import shutil
+    import tempfile
+
+    from .streaming import ExactlyOnceSink, StreamingPipeline
+    from .streaming.transcripts import synthesize_transcripts, write_arrival_files
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_join_q_")
+    src = f"{work}/src"
+    pdf = synthesize_transcripts(n_convs=40, n_files=4, seed=42, late_frac=0.0)
+    write_arrival_files(pdf, src)
+    users = (
+        StreamingPipeline.read_transcripts(spark, src, max_files_per_trigger=2)
+        .with_watermark("ts", "1 hour")
+        .filter("role = 'user'")
+    )
+    replies = (
+        StreamingPipeline.read_transcripts(spark, src, max_files_per_trigger=2)
+        .with_watermark("ts", "1 hour")
+        .filter("role IN ('assistant','tool')")
+    )
+    joined = users.join_replies(replies, max_reply_delay="10 minutes").select(
+        "u_conv_id", "u_turn_idx", "a_turn_idx"
+    )
+    sink = ExactlyOnceSink(f"{work}/sink")
+    q = joined.start_exactly_once(sink, f"{work}/ckpt", output_mode="append")
+    q.awaitTermination()
+    out = (
+        sink.read_committed(spark)
+        .groupBy(F.col("u_conv_id").alias("conv_id"))
+        .agg(F.count("*").alias("n_pairs"), F.max("a_turn_idx").alias("last_reply_turn"))
+        .orderBy("conv_id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @register("stream_tumbling_e2e", None)  # streaming: rows-only driver check

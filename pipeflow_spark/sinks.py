@@ -70,11 +70,79 @@ class write:  # noqa: N801 — fluent exit, mirrors reference `.ToCsv/.ToJson/..
         df.write.mode(mode).json(path)
 
     @staticmethod
+    def mongodb(
+        df: DataFrame,
+        uri: str,
+        database: str,
+        collection: str,
+        mode: str = "append",
+        ordered: bool = False,
+        **options,
+    ) -> None:
+        """``ToMongoDB`` (MongoWriter.cs:68-154) via the spark-mongodb
+        connector: executors bulk-insert partitions (``ordered=False`` =
+        the reference's unordered InsertMany, MongoWriter.cs:36-37); keyed
+        upsert maps to the connector's ``operationType=update`` +
+        ``idFieldList`` options passed through ``**options``.  Requires the
+        connector jar (absent in this sandbox — ``save()`` raises)."""
+        from . import mongo_options  # package attr; no circular import at call time
+
+        opts = mongo_options(uri, database, collection, ordered=str(ordered).lower(), **options)
+        df.write.format("mongodb").options(**opts).mode(mode).save()
+
+    @staticmethod
     def parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+
+
+_CURRENT = "_CURRENT"
+
+
+def _current_snapshot(table_path: str) -> str | None:
+    """Resolve the committed snapshot dir of a pointer-file table, or None.
+
+    Legacy compatibility: a directory holding parquet files directly (no
+    pointer) is treated as its own single snapshot.
+    """
+    ptr = os.path.join(table_path, _CURRENT)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            snap = os.path.join(table_path, f.read().strip())
+        return snap if os.path.isdir(snap) else None
+    if os.path.isdir(table_path) and any(
+        f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(table_path)
+    ):
+        return table_path
+    return None
+
+
+def read_upsert_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read the current committed snapshot of an :func:`upsert_parquet` table."""
+    snap = _current_snapshot(table_path)
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    return spark.read.parquet(snap)
+
+
+def _dedupe_incoming(incoming: DataFrame, keys: list[str], order_by: Sequence[str] | None) -> DataFrame:
+    """One row per key from the incoming side — MERGE/ON CONFLICT forbids a
+    source that affects the same target row twice (PG raises 21000).  With
+    ``order_by``, last-wins under that explicit ordering; without, an
+    arbitrary winner (``dropDuplicates``), documented and deterministic only
+    per task layout."""
+    if order_by:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+        return (
+            incoming.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return incoming.dropDuplicates(keys)
 
 
 def upsert_parquet(
@@ -83,22 +151,35 @@ def upsert_parquet(
     table_path: str,
     keys: Sequence[str],
     do_update: bool = True,
+    order_by: Sequence[str] | None = None,
+    keep_snapshots: int = 2,
 ) -> None:
-    """Keyed MERGE into a parquet table with atomic snapshot swap.
+    """Keyed MERGE into a parquet table with an atomic snapshot-pointer commit.
 
     ``do_update=True`` = ``ON CONFLICT DO UPDATE`` (incoming wins —
     PostgreSqlWriter.cs:228-244); ``False`` = ``ON CONFLICT DO NOTHING``
     (existing wins — PostgreSqlWriter.cs:222-226).  Equivalent to Iceberg
     ``MERGE INTO t USING s ON keys WHEN MATCHED THEN UPDATE WHEN NOT MATCHED
-    THEN INSERT``.
+    THEN INSERT``.  Incoming rows are first reduced to one per key
+    (:func:`_dedupe_incoming` — pass ``order_by`` for defined last-wins), so
+    the table never holds duplicate keys.
 
-    Atomicity: write the merged table to a staging dir, then swap via rename —
-    readers see old or new snapshot, never a mix (the parquet stand-in for an
-    Iceberg snapshot commit).
+    Commit protocol (the parquet stand-in for an Iceberg snapshot commit):
+    the merged table is written to a fresh ``snapshot-<n>-<uuid>`` dir, then a
+    single atomic rename updates the ``_CURRENT`` pointer file.  Readers
+    resolve the pointer (:func:`read_upsert_table`) and always see exactly one
+    complete snapshot — there is no window where the table is absent, and a
+    crash before the pointer flip leaves the old snapshot intact.  The
+    previous ``keep_snapshots - 1`` snapshots are retained for in-flight
+    readers; older ones (and orphaned dirs from crashed writes) are expired on
+    the next call, like Iceberg snapshot expiry.
     """
     keys = list(keys)
-    if os.path.exists(table_path):
-        current = spark.read.parquet(table_path)
+    os.makedirs(table_path, exist_ok=True)
+    snap = _current_snapshot(table_path)
+    incoming = _dedupe_incoming(incoming, keys, order_by)
+    if snap is not None:
+        current = spark.read.parquet(snap)
         if do_update:
             keep = current.join(incoming.select(*keys).distinct(), keys, "left_anti")
             merged = keep.unionByName(incoming)
@@ -106,16 +187,135 @@ def upsert_parquet(
             add = incoming.join(current.select(*keys).distinct(), keys, "left_anti")
             merged = current.unionByName(add)
     else:
-        merged = incoming.dropDuplicates(keys) if not do_update else incoming
+        merged = incoming
 
-    parent = os.path.dirname(os.path.abspath(table_path)) or "."
-    staging = os.path.join(parent, f".staging-{uuid.uuid4().hex}")
-    merged.write.mode("overwrite").parquet(staging)
-    old = os.path.join(parent, f".old-{uuid.uuid4().hex}")
-    if os.path.exists(table_path):
-        os.rename(table_path, old)
-    os.rename(staging, table_path)
-    shutil.rmtree(old, ignore_errors=True)
+    existing = sorted(d for d in os.listdir(table_path) if d.startswith("snapshot-"))
+    seq = len(existing) + 1
+    new_snap = f"snapshot-{seq:06d}-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(os.path.join(table_path, new_snap))
+    tmp = os.path.join(table_path, f".{_CURRENT}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        f.write(new_snap)
+    os.rename(tmp, os.path.join(table_path, _CURRENT))  # the atomic commit
+    # snapshot expiry: keep the new snapshot and (for in-flight readers) the
+    # one the pointer referenced before the flip; everything else — older
+    # snapshots AND orphans from crashed writes — is expired.
+    keep = {new_snap}
+    if keep_snapshots > 1 and snap is not None and snap != table_path:
+        keep.add(os.path.basename(snap))
+    for d in os.listdir(table_path):
+        full = os.path.join(table_path, d)
+        if d.startswith("snapshot-") and d not in keep:
+            shutil.rmtree(full, ignore_errors=True)
+        elif d.endswith(".tmp") and os.path.isfile(full):
+            os.remove(full)
+
+
+# -- JDBC sinks (ToSql / ToSqlBulk / ToPostgreSql) ----------------------------
+
+
+def upsert_statement(
+    table: str,
+    staging: str,
+    columns: Sequence[str],
+    keys: Sequence[str],
+    dialect: str = "postgresql",
+    do_update: bool = True,
+) -> str:
+    """The keyed-upsert SQL the reference writers issue, generated per dialect.
+
+    * ``postgresql`` → ``INSERT … SELECT … ON CONFLICT (keys) DO UPDATE SET
+      col = EXCLUDED.col`` / ``DO NOTHING`` (PostgreSqlWriter.cs:220-247).
+    * ``sqlserver`` → ``MERGE INTO … USING staging … WHEN MATCHED THEN UPDATE
+      WHEN NOT MATCHED THEN INSERT`` (the set-based twin of SqlWriter.cs's
+      batched INSERT, which has no upsert mode — MERGE is the T-SQL idiom).
+
+    Non-key columns drive the UPDATE SET list; a key-only table degrades to
+    DO NOTHING (nothing to update).
+    """
+    cols = list(columns)
+    keys = list(keys)
+    non_keys = [c for c in cols if c not in keys]
+    col_list = ", ".join(cols)
+    if dialect == "postgresql":
+        head = f"INSERT INTO {table} ({col_list}) SELECT {col_list} FROM {staging}"
+        if do_update and non_keys:
+            sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+            return f"{head} ON CONFLICT ({', '.join(keys)}) DO UPDATE SET {sets}"
+        return f"{head} ON CONFLICT ({', '.join(keys)}) DO NOTHING"
+    if dialect == "sqlserver":
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        insert = f"INSERT ({col_list}) VALUES ({', '.join('s.' + c for c in cols)})"
+        merge = f"MERGE INTO {table} AS t USING {staging} AS s ON {on}"
+        if do_update and non_keys:
+            sets = ", ".join(f"t.{c} = s.{c}" for c in non_keys)
+            return f"{merge} WHEN MATCHED THEN UPDATE SET {sets} WHEN NOT MATCHED THEN {insert};"
+        return f"{merge} WHEN NOT MATCHED THEN {insert};"
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+class jdbc:  # noqa: N801 — fluent exit, mirrors reference `.ToSql/.ToPostgreSql`
+    """JDBC write surface — ``ToSql`` / ``ToSqlBulk`` / ``ToPostgreSql``
+    (``PipeFlow/Sql/SqlWriter.cs:57-194``,
+    ``PipeFlow/PostgreSQL/PostgreSqlWriter.cs:123-247``).
+
+    Spark's JDBC writer already does what the reference hand-rolls: executors
+    write partitions in parallel with batched prepared statements
+    (``batchsize``), inside per-partition transactions, and ``truncate=true``
+    reuses the table like the reference's truncate-first mode.  ``ToSqlBulk``
+    maps to a large ``batchsize`` + ``rewriteBatchedStatements``-style driver
+    options passed through ``**options``.
+    """
+
+    @staticmethod
+    def write(
+        df: DataFrame,
+        url: str,
+        table: str,
+        mode: str = "append",
+        batch_size: int = 1000,
+        truncate: bool = False,
+        num_partitions: int | None = None,
+        **options,
+    ) -> None:
+        """``ToSql`` — batched multi-row INSERT in transactions
+        (SqlWriter.cs:160-194); ``mode='overwrite', truncate=True`` =
+        truncate-first (SqlWriter.cs:151-158)."""
+        w = df.write.format("jdbc").options(
+            url=url, dbtable=table, batchsize=str(batch_size), truncate=str(truncate).lower(), **options
+        )
+        if num_partitions:
+            w = w.option("numPartitions", str(num_partitions))
+        w.mode(mode).save()
+
+    @staticmethod
+    def upsert(
+        df: DataFrame,
+        url: str,
+        table: str,
+        keys: Sequence[str],
+        run_sql,
+        dialect: str = "postgresql",
+        do_update: bool = True,
+        staging_table: str | None = None,
+        order_by: Sequence[str] | None = None,
+        **options,
+    ) -> str:
+        """``ToPostgreSql`` upsert via the staging-table + set-based-merge
+        protocol: write to a staging table (distributed, batched), then one
+        ``ON CONFLICT``/``MERGE`` statement moves it into the target
+        atomically.  ``run_sql(sql)`` executes the merge on the database —
+        injected because JDBC DDL runs outside Spark (on a deployment it's a
+        psycopg/pyodbc call from the driver); returns the statement for
+        observability.  Incoming duplicates are reduced to one row per key
+        first (MERGE source must not hit a target row twice)."""
+        staging = staging_table or f"{table}__staging"
+        deduped = _dedupe_incoming(df, list(keys), order_by)
+        jdbc.write(deduped, url, staging, mode="overwrite", **options)
+        stmt = upsert_statement(table, staging, deduped.columns, keys, dialect, do_update)
+        run_sql(stmt)
+        run_sql(f"DROP TABLE {staging}")
+        return stmt
 
 
 def collect_json_document(df: DataFrame, path: str, order_by: Sequence[str] = ()) -> None:
@@ -132,4 +332,13 @@ def collect_json_document(df: DataFrame, path: str, order_by: Sequence[str] = ()
     os.rename(tmp, path)
 
 
-__all__ = ["CANON_TS_FMT", "canonicalize", "collect_json_document", "upsert_parquet", "write"]
+__all__ = [
+    "CANON_TS_FMT",
+    "canonicalize",
+    "collect_json_document",
+    "jdbc",
+    "read_upsert_table",
+    "upsert_parquet",
+    "upsert_statement",
+    "write",
+]

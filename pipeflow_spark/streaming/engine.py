@@ -66,6 +66,36 @@ class StreamingPipeline:
         )
         return cls(df)
 
+    @classmethod
+    def read_csv_stream(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType | str,
+        max_files_per_trigger: int = 1,
+        delimiter: str = ",",
+        header: bool = True,
+        **options,
+    ) -> "StreamingPipeline":
+        """Streaming CSV file source — the real counterpart of the reference's
+        ``IAsyncEnumerable`` CSV reader (``PipeFlow/CsvReaderAsync.cs:71-124``),
+        with the same dialect defaults as the batch reader (RFC-4180 quoting,
+        ``""`` escapes).  Streaming sources require an explicit schema — no
+        inference pass is possible on an unbounded input."""
+        df = (
+            spark.readStream.schema(schema)
+            .options(
+                header=header,
+                sep=delimiter,
+                quote='"',
+                escape='"',
+                maxFilesPerTrigger=max_files_per_trigger,
+                **options,
+            )
+            .csv(path)
+        )
+        return cls(df)
+
     @property
     def df(self) -> DataFrame:
         return self._df

@@ -304,3 +304,20 @@ def test_approx_distinct_within_bound(spark, sf_dir):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(0.05 * n, 2)
+
+
+def test_knn_bucket_cap_bounds_candidates(spark):
+    """max_bucket_size bounds a dense bucket's candidate pool: every vector
+    still gets neighbors, and no candidate list exceeds what the cap allows."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    # 60 tightly-clustered vectors: without a cap they share one bucket → 60²
+    rows = [(i, (base + 0.01 * rng.standard_normal(16)).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.all_pairs_cosine_topk(emb, k=3, max_bucket_size=10)
+    per_id = out.groupBy("id").count().collect()
+    assert len(per_id) == 60              # every vector ranked
+    assert all(r["count"] <= 3 for r in per_id)
+    # candidate pool per probe bucket is ≤ cap (+ one-bit probes ≤ planes+1 buckets)
+    uncapped = similarity.all_pairs_cosine_topk(emb, k=3)
+    assert uncapped.count() >= out.count()

@@ -54,7 +54,8 @@ sys.path.insert(0, REPO)
 N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "150000"))
 N_FILES = 4
 TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
-SIZES = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_SIZES", "1,4").split(","))  # cores: N and 4N
+SIZES = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_SIZES", "1,4").split(","))  # cores: (N, kN)
+assert len(SIZES) == 2 and SIZES[1] > SIZES[0], "SPARK_GRAFT_SIZES must be two ascending core counts"
 MASTER_URL = "spark://127.0.0.1:7077"
 
 
@@ -282,7 +283,9 @@ def main() -> None:
                 "n_cores": {"cores": n, "best": best[n], "all_trials": [t["turns_per_sec"] for t in trials[n]]},
                 "n4_cores": {"cores": n4, "best": best[n4], "all_trials": [t["turns_per_sec"] for t in trials[n4]]},
                 "scaling_efficiency": round(
-                    best[n4]["turns_per_sec"] / (4 * best[n]["turns_per_sec"]), 3
+                    # efficiency = throughput ratio / core ratio (works for any
+                    # SPARK_GRAFT_SIZES pair, not just 4x)
+                    best[n4]["turns_per_sec"] / ((n4 / n) * best[n]["turns_per_sec"]), 3
                 ),
             }
         )

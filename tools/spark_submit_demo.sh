@@ -4,6 +4,7 @@
 # standalone cluster (separate master/worker/executor JVMs).
 set -e
 REPO=$(cd "$(dirname "$0")/.." && pwd)
+export REPO
 SPARK_PKG=$(python -c "import pyspark, os; print(os.path.dirname(pyspark.__file__))")
 
 bash "$REPO/tools/standalone_cluster.sh" start 8
