@@ -199,6 +199,36 @@ class StreamingPipeline:
         out = g.applyInPandasWithState(fn, output_schema, state_schema, output_mode, timeout)
         return self._wrap(out)
 
+    def transform_with_state(
+        self,
+        keys: Sequence[str],
+        processor,
+        output_schema: str,
+        output_mode: str = "append",
+        time_mode: str = "None",
+    ) -> "StreamingPipeline":
+        """``transformWithStateInPandas`` — the arbitrary-state v2 API (typed
+        named state slots + timers over RocksDB); see
+        :mod:`pipeflow_spark.streaming.cep` for processors.  Needs the
+        protobuf package at runtime (state-server protocol); gated here so the
+        failure is a clear error instead of a crashed query."""
+        from .cep import has_transform_with_state_runtime
+
+        if not has_transform_with_state_runtime():
+            raise RuntimeError(
+                "transformWithStateInPandas needs the 'protobuf' package, which "
+                "this environment lacks; use stateful_per_key (applyInPandasWithState) "
+                "— pipeflow_spark.streaming.cep wraps each processor for both APIs"
+            )
+        g = self._df.groupBy(*[F.col(k) for k in keys])
+        out = g.transformWithStateInPandas(
+            statefulProcessor=processor,
+            outputStructType=output_schema,
+            outputMode=output_mode,
+            timeMode=time_mode,
+        )
+        return self._wrap(out)
+
     # -- sinks -----------------------------------------------------------------------------------
     def start_exactly_once(
         self,

@@ -311,3 +311,70 @@ def test_exactly_once_replay_committed_is_noop(spark, clean_dir, tmp_path):
         sink(garbage, b)
     after = {(r.ws, r.conv_id, r._batch_id) for r in sink.read_committed(spark).collect()}
     assert before == after
+
+
+def test_tool_loop_detector_cep(spark, tmp_path):
+    """Per-conv tool-loop CEP over per-key state — a run of consecutive tool
+    turns split ACROSS arrival files must still be detected (state crosses
+    micro-batches).  Runs on the v1 API (applyInPandasWithState); the v2 twin
+    (transformWithStateInPandas, ToolLoopDetector) shares the same kernel but
+    needs protobuf, absent here (see test_transform_with_state_gated)."""
+    from pipeflow_spark.streaming.cep import (
+        TOOL_LOOP_OUTPUT_SCHEMA,
+        TOOL_LOOP_STATE_SCHEMA,
+        tool_loop_apply_fn,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def mk(conv, idx, role):
+        return (conv, idx, role, f"t{idx}", "search" if role == "tool" else None,
+                t0 + dt.timedelta(minutes=idx))
+
+    # c1: tool run of 3 (idx 1-3) split across files, then user closes it;
+    # c2: tool run of 2 (idx 2-3) closed in-file; c3: no qualifying run
+    f1 = [mk("c1", 0, "user"), mk("c1", 1, "tool"), mk("c1", 2, "tool"),
+          mk("c2", 0, "user"), mk("c2", 1, "assistant"), mk("c3", 0, "tool")]
+    f2 = [mk("c1", 3, "tool"), mk("c1", 4, "user"),
+          mk("c2", 2, "tool"), mk("c2", 3, "tool"), mk("c2", 4, "assistant"),
+          mk("c3", 1, "user")]
+    src = tmp_path / "loops"
+    src.mkdir()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    write_transcript_parquet(pd.DataFrame(f1, columns=cols), str(src / "part-00000.parquet"))
+    write_transcript_parquet(pd.DataFrame(f2, columns=cols), str(src / "part-00001.parquet"))
+    sp = (
+        StreamingPipeline.read_transcripts(spark, str(src), max_files_per_trigger=1)
+        .select("conv_id", "turn_idx", "role")
+        .stateful_per_key(
+            ["conv_id"], tool_loop_apply_fn(threshold=2),
+            TOOL_LOOP_OUTPUT_SCHEMA, TOOL_LOOP_STATE_SCHEMA,
+        )
+    )
+    _run_to_memory(sp, "tool_loops", expected_input_rows=12)
+    got = {(r.conv_id, r.streak, r.end_turn_idx) for r in spark.sql("SELECT * FROM tool_loops").collect()}
+    # closed runs: c1 idx1-3 (len 3), c2 idx2-3 (len 2); c1's file-1 open run
+    # of 2 also surfaces as a progress report (batch-boundary dependent)
+    assert ("c1", 3, 3) in got and ("c2", 2, 3) in got
+    assert not any(c == "c3" for c, _, _ in got)
+
+
+def test_transform_with_state_gated(spark, clean_dir):
+    """The v2 API is gated on its protobuf runtime dependency: with it
+    present the chain builds; without it the engine raises a clear error
+    instead of a crashed streaming query."""
+    from pipeflow_spark.streaming.cep import (
+        TOOL_LOOP_OUTPUT_SCHEMA,
+        ToolLoopDetector,
+        has_transform_with_state_runtime,
+    )
+
+    d, pdf = clean_dir
+    sp = StreamingPipeline.read_transcripts(spark, d, 3).select("conv_id", "turn_idx", "role")
+    if not has_transform_with_state_runtime():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            sp.transform_with_state(["conv_id"], ToolLoopDetector(2), TOOL_LOOP_OUTPUT_SCHEMA)
+        return
+    out = sp.transform_with_state(["conv_id"], ToolLoopDetector(2), TOOL_LOOP_OUTPUT_SCHEMA)
+    _run_to_memory(out, "tool_loops_v2", expected_input_rows=len(pdf) + 1)
+    assert spark.sql("SELECT * FROM tool_loops_v2").count() > 0
