@@ -7,6 +7,7 @@ transforms, Structured Streaming micro-batch CEP over transcript tables with
 watermarks / windows / stateful joins, and an exactly-once idempotent sink.
 """
 
+from .catalog import TableCatalog
 from .pipeline import Pipeline, PipelineResult
 from .session import get_spark, load_table
 from .validation import ValidationError, ValidationStrategy, Validator
@@ -14,6 +15,7 @@ from .validation import ValidationError, ValidationStrategy, Validator
 __all__ = [
     "Pipeline",
     "PipelineResult",
+    "TableCatalog",
     "ValidationError",
     "ValidationStrategy",
     "Validator",

@@ -1,0 +1,189 @@
+"""Table catalog with a format config-flip: Iceberg when the runtime jar is
+on the classpath, parquet snapshot-pointer tables otherwise.
+
+This materializes SURVEY.md §7.0's plan — "a parquet-backed table layout with
+the same commit semantics behind a ``Catalog`` interface so the Iceberg path
+is a config flip".  Both formats give readers an atomic snapshot view:
+
+* ``iceberg`` — tables are catalog identifiers (``<catalog>.<ns>.<name>``);
+  writes go through the DataFrameWriterV2 API, keyed upsert is a real
+  ``MERGE INTO``, and Iceberg's metadata-pointer commit provides snapshot
+  isolation.  Session must be built with :func:`iceberg_session_conf`.
+* ``parquet`` (sandbox default — no Iceberg jar ships in this container) —
+  tables are ``<warehouse>/<name>`` dirs using the snapshot-pointer commit
+  protocol of :func:`..sinks.upsert_parquet`: write a fresh ``snapshot-*``
+  dir, atomically rename the ``_CURRENT`` pointer.  Same reader guarantee
+  (exactly one complete snapshot, never a mix), minus time travel.
+
+The streaming exactly-once sink (:mod:`..streaming.exactly_once`) rides the
+same protocol; on a real cluster flipping ``format="iceberg"`` upgrades every
+table commit to an Iceberg snapshot commit with no operator changes.
+
+Reference parity: PipeFlow's keyed ``ON CONFLICT`` upsert
+(``/root/reference/PipeFlow/PostgreSQL/PostgreSqlWriter.cs:220-247``) is the
+semantic model for :meth:`TableCatalog.upsert`.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import sinks
+
+DEFAULT_CATALOG = "local"
+DEFAULT_NAMESPACE = "db"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def iceberg_session_conf(
+    warehouse: str, catalog: str = DEFAULT_CATALOG
+) -> dict[str, str]:
+    """Builder configs for a Hadoop-catalog Iceberg session (public Iceberg
+    quickstart layout).  Apply before ``getOrCreate``; no-op value-wise if the
+    jar is absent (Spark ignores unknown catalog impls until first use)."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+def merge_into_sql(
+    target: str, source_view: str, columns: Sequence[str], keys: Sequence[str], do_update: bool = True
+) -> str:
+    """Iceberg/ANSI ``MERGE INTO`` for keyed upsert — ``do_update`` toggles
+    DO UPDATE vs DO NOTHING semantics (PostgreSqlWriter.cs:220-247)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    non_keys = [c for c in columns if c not in keys]
+    cols = ", ".join(columns)
+    vals = ", ".join(f"s.{c}" for c in columns)
+    stmt = f"MERGE INTO {target} t USING {source_view} s ON {on}"
+    if do_update and non_keys:
+        sets = ", ".join(f"t.{c} = s.{c}" for c in non_keys)
+        stmt += f" WHEN MATCHED THEN UPDATE SET {sets}"
+    stmt += f" WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    return stmt
+
+
+class TableCatalog:
+    """Format-dispatching table store.  ``format=None`` auto-detects:
+    ``iceberg`` when the runtime jar is present, else ``parquet``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        format: str | None = None,  # noqa: A002 - mirrors DataFrameWriter arg
+        catalog: str = DEFAULT_CATALOG,
+        namespace: str = DEFAULT_NAMESPACE,
+    ) -> None:
+        if format not in (None, "iceberg", "parquet"):
+            raise ValueError(f"unknown table format: {format!r}")
+        self.spark = spark
+        self.warehouse = warehouse
+        self.format = format or ("iceberg" if iceberg_available(spark) else "parquet")
+        if self.format == "iceberg" and not iceberg_available(spark):
+            raise RuntimeError("format='iceberg' but no Iceberg runtime jar on the classpath")
+        self.catalog = catalog
+        self.namespace = namespace
+
+    # -- identifiers --------------------------------------------------------
+
+    def ident(self, table: str) -> str:
+        """Catalog identifier (iceberg) or table directory (parquet)."""
+        if self.format == "iceberg":
+            return f"{self.catalog}.{self.namespace}.{table}"
+        return os.path.join(self.warehouse, table)
+
+    def exists(self, table: str) -> bool:
+        if self.format == "iceberg":
+            return self.spark.catalog.tableExists(self.ident(table))
+        try:
+            return sinks._current_snapshot(self.ident(table)) is not None
+        except OSError:
+            return False
+
+    # -- IO ------------------------------------------------------------------
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        """``overwrite`` replaces the table snapshot atomically; ``append``
+        adds rows (parquet: previous snapshot unioned into the new one, so the
+        pointer flip stays the only commit point)."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"unsupported mode: {mode!r}")
+        if self.format == "iceberg":
+            w = df.writeTo(self.ident(table))
+            if mode == "overwrite":
+                w.createOrReplace()
+            else:
+                w.append()
+            return
+        if mode == "append" and self.exists(table):
+            df = self.read(table).unionByName(df)
+        self._parquet_snapshot_write(df, table)
+
+    def _parquet_snapshot_write(self, df: DataFrame, table: str) -> None:
+        import uuid
+
+        path = self.ident(table)
+        os.makedirs(path, exist_ok=True)
+        snap = f"snapshot-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(path, snap))
+        tmp = os.path.join(path, f"._CURRENT.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(snap)
+        prev = sinks._current_snapshot(path)
+        os.rename(tmp, os.path.join(path, "_CURRENT"))
+        if prev and os.path.basename(prev).startswith("snapshot-"):
+            shutil.rmtree(prev, ignore_errors=True)
+
+    def read(self, table: str) -> DataFrame:
+        if self.format == "iceberg":
+            return self.spark.read.table(self.ident(table))
+        return sinks.read_upsert_table(self.spark, self.ident(table))
+
+    def upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: Sequence[str],
+        do_update: bool = True,
+        order_by: Sequence[str] | None = None,
+    ) -> None:
+        """Keyed MERGE (ON CONFLICT DO UPDATE / DO NOTHING)."""
+        if self.format == "iceberg":
+            src = f"__merge_src_{table}"
+            sinks._dedupe_incoming(df, list(keys), order_by).createOrReplaceTempView(src)
+            if not self.exists(table):
+                self.spark.table(src).writeTo(self.ident(table)).create()
+            else:
+                self.spark.sql(
+                    merge_into_sql(self.ident(table), src, df.columns, list(keys), do_update)
+                )
+            self.spark.catalog.dropTempView(src)
+            return
+        sinks.upsert_parquet(
+            self.spark, df, self.ident(table), keys, do_update=do_update, order_by=order_by
+        )
+
+    def drop(self, table: str) -> None:
+        if self.format == "iceberg":
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.ident(table)}")
+            return
+        shutil.rmtree(self.ident(table), ignore_errors=True)

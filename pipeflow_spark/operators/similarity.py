@@ -129,6 +129,83 @@ def lsh_topk(
     )
 
 
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    bands: int = 12,
+    band_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, sim)`` for every
+    pair with cosine ≥ ``threshold`` that collides in at least one of
+    ``bands`` independent sign-LSH tables of ``band_planes`` bits — the
+    embedding member of the dedupe family (exact / n-gram Jaccard /
+    MinHash-LSH / SimHash / **embedding-cosine**).
+
+    Banded multi-table LSH, the same structure as MinHash banding: with
+    per-plane collision probability p = 1 − θ/π, pair recall is
+    1 − (1 − p^band_planes)^bands — at cosine 0.45 and the defaults, ≈0.90.
+    Raise ``band_planes`` (selectivity) as the corpus grows and ``bands``
+    (recall) to compensate; candidate cost is one shuffle of
+    ``bands × |corpus|`` posting rows plus per-(band, bucket) equi-join
+    groups — never |corpus|².  The verify step computes the exact cosine, so
+    false positives are impossible and the approximation is recall-only
+    (quantified in tests/test_operators.py).
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, bands * band_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    band_buckets = F.array(
+        *[
+            _bucket_expr(v, planes[j * band_planes : (j + 1) * band_planes])
+            for j in range(bands)
+        ]
+    )
+    posting = embeddings.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.posexplode(band_buckets).alias("band", "bucket"),
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def bucket_sql(vec_expr: str, dim: int, n_planes: int, seed: int = 42, offset: int = 0) -> str:
+    """ANSI-SQL twin of :func:`_bucket_expr` for the DuckDB oracles: the same
+    seed-42 Gaussian planes embedded as array literals, the same sign-bit sum.
+    ``offset`` selects a band's plane slice out of a larger
+    ``random_hyperplanes(dim, offset + n_planes, seed)`` matrix (banded LSH).
+    Sign decisions are numerically safe on this data (min |dot| ≈ 9e-5 at
+    sf0.01 — far above float64 summation noise), so both engines agree
+    bit-for-bit."""
+    planes = random_hyperplanes(dim, offset + n_planes, seed)[offset:]
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 def all_pairs_cosine_topk(
     embeddings: DataFrame,
     k: int = 5,

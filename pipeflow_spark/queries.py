@@ -886,18 +886,92 @@ def embed_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, q, k=10)
 
 
-@register("embed_ann_lsh", None)  # approximate: rows-only driver check
+_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "embed_ann_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({similarity.bucket_sql("v", 64, 10)}) AS bucket FROM e),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, {_COS.format(a="b.v", b="q.qv")} AS sim
+    FROM b, q
+    WHERE b.bucket IN (q.qb, {", ".join(f"xor(q.qb, {1 << i})" for i in range(10))})
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
 def embed_ann_lsh(spark, sf_dir):
+    """Multi-probe sign-LSH ANN.  The oracle is an *algorithm twin* (same
+    seed-42 planes as DuckDB array literals, same sign-bit buckets, same
+    1-bit probe set, same exact-cosine ranking) — the same bit-for-bit
+    verification pattern as dedup_simhash.  Exact-top-k equality is NOT the
+    contract (recall on this near-uniform synthetic corpus is inherently low
+    for any LSH); the exact baseline is embed_cosine_topk."""
     emb = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    bucketed = similarity.build_lsh_buckets(emb, n_planes=10)
+    bucketed = similarity.build_lsh_buckets(emb, n_planes=10, dim=64)
     return similarity.lsh_topk(bucketed, q, k=10, n_planes=10)
 
 
-@register("embed_knn_blocked", None)  # approximate: rows-only driver check
+_KNN_PROBES = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(6)])
+
+
+@register(
+    "embed_knn_blocked",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
+    b AS (SELECT vec_id, v, ({similarity.bucket_sql("v", 64, 6)}) AS bucket FROM e),
+    probes AS (SELECT vec_id AS id, v, unnest([{_KNN_PROBES}]) AS pb FROM b),
+    pairs AS (
+      SELECT DISTINCT p.id, n.vec_id AS nbr_id, {_COS.format(a="p.v", b="n.v")} AS sim
+      FROM probes p JOIN b n ON p.pb = n.bucket AND p.id <> n.vec_id)
+    SELECT id, nbr_id, sim FROM (
+      SELECT id, nbr_id, sim, row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr_id) AS rk
+      FROM pairs) t
+    WHERE rk <= 3 ORDER BY id, sim DESC, nbr_id
+    """,
+)
 def embed_knn_blocked(spark, sf_dir):
+    """LSH-blocked all-pairs k-NN vs a DuckDB algorithm twin (same planes,
+    buckets, probes, ranking — see embed_ann_lsh note)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return similarity.all_pairs_cosine_topk(emb, k=3).orderBy("id", F.col("sim").desc(), "nbr_id")
+    return similarity.all_pairs_cosine_topk(emb, k=3, dim=64).orderBy(
+        "id", F.col("sim").desc(), "nbr_id"
+    )
+
+
+_BAND_POSTINGS = "\n      UNION ALL ".join(
+    f"SELECT vec_id, v, {j} AS band, ({similarity.bucket_sql('v', 64, 4, offset=j * 4)}) AS bucket FROM e"
+    for j in range(12)
+)
+
+
+@register(
+    "dedup_embed_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    posting AS (
+      {_BAND_POSTINGS}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {_COS.format(a="a.v", b="b.v")} AS sim
+      FROM posting a JOIN posting b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.45 ORDER BY id_a, id_b
+    """,
+)
+def dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.45 under banded 12×4-bit
+    sign-LSH blocking) — the embedding member of the dedupe family.  Verify
+    step is the exact cosine, so false positives are impossible; blocking
+    recall vs brute force is asserted in tests/test_operators.py.  The oracle
+    is an algorithm twin: same seed-42 plane bands as DuckDB literals, same
+    posting-list equi-join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_dup_pairs(emb, threshold=0.45, dim=64).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

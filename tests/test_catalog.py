@@ -1,0 +1,102 @@
+"""TableCatalog: the Iceberg/parquet config-flip table store (SURVEY.md §7.0).
+
+The parquet snapshot-pointer path is exercised end-to-end; the Iceberg path
+(identifiers, session conf, MERGE INTO text) is verified structurally and its
+runtime branch is gated on the jar being present (absent in this sandbox).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeflow_spark.catalog import (
+    TableCatalog,
+    iceberg_available,
+    iceberg_session_conf,
+    merge_into_sql,
+)
+
+
+def _cat(spark, tmp_path):
+    return TableCatalog(spark, str(tmp_path / "wh"), format="parquet")
+
+
+def test_autodetect_falls_back_to_parquet(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    assert cat.format == ("iceberg" if iceberg_available(spark) else "parquet")
+
+
+def test_iceberg_format_requires_jar(spark, tmp_path):
+    if iceberg_available(spark):
+        pytest.skip("iceberg jar present — explicit format is legal")
+    with pytest.raises(RuntimeError, match="iceberg"):
+        TableCatalog(spark, str(tmp_path / "wh"), format="iceberg")
+
+
+def test_write_read_roundtrip_and_overwrite(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    df = spark.range(5).withColumn("v", F.col("id") * 2)
+    cat.write(df, "t")
+    assert sorted(r.v for r in cat.read("t").collect()) == [0, 2, 4, 6, 8]
+    cat.write(spark.range(2).withColumn("v", F.lit(99)), "t")  # atomic replace
+    assert sorted(r.v for r in cat.read("t").collect()) == [99, 99]
+    # exactly one committed snapshot dir remains after overwrite expiry
+    snaps = [d for d in os.listdir(cat.ident("t")) if d.startswith("snapshot-")]
+    assert len(snaps) == 1
+
+
+def test_append_unions_previous_snapshot(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.write(spark.range(3), "t")
+    cat.write(spark.range(3, 5), "t", mode="append")
+    assert sorted(r.id for r in cat.read("t").collect()) == [0, 1, 2, 3, 4]
+
+
+def test_upsert_do_update_and_do_nothing(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    cat.write(base, "t")
+    inc = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    cat.upsert(inc, "t", keys=["k"])  # DO UPDATE: incoming wins
+    assert {(r.k, r.v) for r in cat.read("t").collect()} == {(1, "a"), (2, "B"), (3, "c")}
+    inc2 = spark.createDataFrame([(3, "X"), (4, "d")], "k int, v string")
+    cat.upsert(inc2, "t", keys=["k"], do_update=False)  # DO NOTHING: existing wins
+    assert {(r.k, r.v) for r in cat.read("t").collect()} == {
+        (1, "a"), (2, "B"), (3, "c"), (4, "d")
+    }
+
+
+def test_exists_and_drop(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    assert not cat.exists("t")
+    cat.write(spark.range(1), "t")
+    assert cat.exists("t")
+    cat.drop("t")
+    assert not cat.exists("t")
+
+
+def test_iceberg_session_conf_shape():
+    conf = iceberg_session_conf("/wh", catalog="local")
+    assert conf["spark.sql.catalog.local"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.local.warehouse"] == "/wh"
+    assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+
+
+def test_merge_into_sql_text():
+    up = merge_into_sql("local.db.t", "src", ["k", "a", "b"], ["k"])
+    assert up == (
+        "MERGE INTO local.db.t t USING src s ON t.k = s.k"
+        " WHEN MATCHED THEN UPDATE SET t.a = s.a, t.b = s.b"
+        " WHEN NOT MATCHED THEN INSERT (k, a, b) VALUES (s.k, s.a, s.b)"
+    )
+    nothing = merge_into_sql("t", "s", ["k", "a"], ["k"], do_update=False)
+    assert "WHEN MATCHED" not in nothing and "WHEN NOT MATCHED THEN INSERT" in nothing
+
+
+def test_iceberg_roundtrip(spark, tmp_path):  # pragma: no cover - gated
+    if not iceberg_available(spark):
+        pytest.skip("requires iceberg-spark-runtime jar (not in sandbox)")
+    cat = TableCatalog(spark, str(tmp_path / "wh"), format="iceberg")
+    cat.write(spark.range(3), "t")
+    assert cat.read("t").count() == 3

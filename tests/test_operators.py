@@ -306,6 +306,30 @@ def test_approx_distinct_within_bound(spark, sf_dir):
         assert abs(approx[k] - n) <= max(0.05 * n, 2)
 
 
+def test_cosine_dup_pairs_no_false_positives_and_recall(spark, sf_dir):
+    """dedup_embed_cosine contract: the blocked pair set is a subset of the
+    brute-force pair set at the same threshold (verify step = exact cosine, so
+    false positives are impossible); banded 12×4-bit LSH recall on this corpus
+    must clear 0.5 (measured 1.0 at sf0.001 and sf0.01 — expected ≈0.90 from
+    1-(1-p^4)^12 at cosine 0.45)."""
+    from pipeflow_spark.operators import similarity
+    from pipeflow_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = {(r.id_a, r.id_b) for r in
+               similarity.cosine_dup_pairs(emb, threshold=0.45, dim=64).collect()}
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("v"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("w"))
+    brute = {(r.id_a, r.id_b) for r in
+             a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", similarity.cosine(F.col("v"), F.col("w")).alias("sim"))
+             .filter(F.col("sim") >= 0.45).collect()}
+    assert blocked <= brute, "blocked output contains a false positive"
+    assert brute, "threshold yields no pairs — test is vacuous"
+    recall = len(blocked) / len(brute)
+    assert recall >= 0.5, f"blocking recall {recall:.2f} too low"
+
+
 def test_knn_bucket_cap_bounds_candidates(spark):
     """max_bucket_size bounds a dense bucket's candidate pool: every vector
     still gets neighbors, and no candidate list exceeds what the cap allows."""
