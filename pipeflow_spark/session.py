@@ -63,6 +63,20 @@ def get_spark(
         # changelog checkpointing: per-batch checkpoint cost ∝ changed keys,
         # not total state size — essential once state reaches 10^9+ keys
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        # With changelog checkpointing carrying recovery, full RocksDB
+        # snapshots are only a restore-time accelerator — produce them rarely
+        # (default 10 deltas caused a snapshot upload every ~10 batches, the
+        # dominant per-batch cost: 45k → 113k turns/s on the bench chain when
+        # combined with the buffer sizing below).  100 deltas bounds restore
+        # replay to ~100 changelogs, a deliberate recovery/throughput trade.
+        .config("spark.sql.streaming.stateStore.minDeltasForSnapshot", "100")
+        # 64 MB memtables / block cache: micro-batch state updates stay
+        # in-memory between commits instead of flushing per batch.  Worst-case
+        # off-heap footprint = stores-per-executor × writeBufferSizeMB ×
+        # maxWriteBufferNumber — with default 200 shuffle partitions per
+        # executor-slice this stays far under executor overhead memory.
+        .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "64")
+        .config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "64")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
