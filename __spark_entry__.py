@@ -33,7 +33,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB ANSI-SQL oracles.  minhash (recall-1 LSH config vs the exact
-    Jaccard pair set) and simhash (brute-force sketch twin) are oracle-checked;
-    only genuinely non-SQL-expressible ops (LSH ANN probes, streaming e2e,
-    stubbed multimodal decode) remain rows-only."""
+    Jaccard pair set), simhash (brute-force sketch twin), the sign-LSH
+    ANN/kNN/embedding-dedup family (algorithm twins: same seed-42 planes as
+    SQL literals), and one full streaming chain over the events table
+    (stream_events_tumbling_oracle — committed exactly-once output ≡ batch
+    SQL aggregate) are oracle-checked; only genuinely non-SQL-expressible ops
+    (HLL sketch values, synthetic-transcript streaming e2e, stubbed
+    multimodal decode) remain rows-only."""
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

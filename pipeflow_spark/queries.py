@@ -1242,6 +1242,219 @@ def stream_join_replies_e2e(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def _events_stream_source(spark, sf_dir: str, work: str):
+    """Bounded replay of the driver's events table as a file-source stream:
+    symlink the real parquet as batch 1, then a far-future ``__sentinel__``
+    row as the final file so the watermark advances past every real window
+    (append mode emits a window only once the watermark passes it — the
+    file-source stand-in for an event-time heartbeat).  Returns the streaming
+    DataFrame; callers exclude ``event_type = '__sentinel__'`` on read-back.
+
+    No rows are watermark-dropped (the whole table arrives as one in-order
+    batch), so committed stream output ≡ the batch aggregate over the same
+    table — which is exactly what the DuckDB oracles of the
+    ``stream_events_*_oracle`` queries assert.
+    """
+    import datetime as _dt
+    import os as _os
+    import shutil as _shutil
+
+    batch = _t(spark, sf_dir, "events")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    _os.symlink(
+        _os.path.join(sf_dir, "events.parquet"), _os.path.join(src, "part-00000.parquet")
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, _dt.datetime(2099, 1, 1), -1, "__sentinel__", 0.0, "{}")], batch.schema
+    )
+    stage = _os.path.join(work, "sentinel_stage")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
+    _shutil.copy(_os.path.join(stage, part), _os.path.join(src, "part-99999.parquet"))
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # the parquet column is TIMESTAMP_NTZ; event-time watermarks require
+        # TIMESTAMP (the UTC session makes the reinterpretation lossless)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _committed(spark, sp, sink_root: str, ckpt: str):
+    """Run a bounded stream to completion through the exactly-once sink and
+    return the committed snapshot as a local-batch DataFrame.
+
+    State partitions are pinned to 8 for the duration (stateful-op partition
+    count bakes into the checkpoint at first start, and each partition is a
+    state store with fixed per-batch commit cost — at this bounded replay's
+    size, fewer/larger stores beat many tiny ones; production sizes this for
+    the largest planned cluster instead)."""
+    from .streaming import ExactlyOnceSink
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sink = ExactlyOnceSink(sink_root)
+        q = sp.start_exactly_once(sink, ckpt, output_mode="append")
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sink.read_committed(spark)
+
+
+@register(
+    "stream_events_tumbling_oracle",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_events_tumbling_oracle(spark, sf_dir):
+    """The north-star batch-equality proof with a real SQL oracle: the full
+    micro-batch chain (file-source stream → watermark → stateful dedupe →
+    tumbling window agg → exactly-once ledgered sink) over the driver's own
+    events table; the committed snapshot must equal the plain batch SQL
+    aggregate bit-for-bit ("reproduce the reference pipeline's output rows
+    for the same input stream and watermark")."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_ev_")
+    sp = (
+        StreamingPipeline(_events_stream_source(spark, sf_dir, work))
+        .with_watermark("ts", "10 minutes")
+        .dedupe_within_watermark(["event_id"])
+        .tumbling_agg(
+            "ts", "1 hour", ["event_type"], F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("ws", "event_type", "n", "total")
+        .orderBy("ws", "event_type")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "stream_events_session_oracle",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+)
+def stream_events_session_oracle(spark, sf_dir):
+    """Streaming ``session_window`` (30-min gap, per user) through the
+    exactly-once sink vs the gaps-and-islands batch SQL.  Semantics pinned:
+    Spark merges an event into a session iff it lands strictly inside
+    [start, last_ts + gap), so the SQL twin opens a new session at
+    ``diff >= gap`` (note ``>=`` — the batch ``sessionize`` operator's
+    reference semantics use ``>``, a deliberate difference documented there).
+    ``session_window.start`` = min event ts of the merged session ≡
+    ``min(ts)`` per island."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_sess_")
+    src = _events_stream_source(spark, sf_dir, work)
+    sp = StreamingPipeline(
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("user_id") != -1)
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "stream_events_join_oracle",
+    """
+    SELECT c.user_id AS user_id, count(*) AS n_pairs,
+           round(sum(p.value), 4) AS purchase_total
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_events_join_oracle(spark, sf_dir):
+    """Stateful stream-stream time-interval join with a SQL oracle: click
+    stream ⋈ purchase stream on user_id with purchases within 1 h after the
+    click, both sides watermarked (state cleanup), committed exactly-once,
+    then aggregated per user on the committed snapshot.  Inner-join emission
+    is deterministic (rows emit when matched; the watermark only bounds
+    state), so the committed pair set ≡ the batch interval join."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_j_")
+    src = _events_stream_source(spark, sf_dir, work)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("c_user", "c_ts", "c_id", "p_ts", "p_value")
+    out = (
+        _committed(spark, StreamingPipeline(joined), f"{work}/sink", f"{work}/ckpt")
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"), F.round(F.sum("p_value"), 4).alias("purchase_total"))
+        .orderBy("user_id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 @register("stream_tumbling_e2e", None)  # streaming: rows-only driver check
 def stream_tumbling_e2e(spark, sf_dir):
     """Full micro-batch CEP chain end-to-end: deterministic transcript stream →
