@@ -135,6 +135,48 @@ class StreamingPipeline:
         g = self._df.groupBy(F.window(ts_col, size).alias("w"), *keys)
         return self._wrap(g.agg(*aggs))
 
+    def salted_tumbling_counts(
+        self,
+        ts_col: str,
+        size: str,
+        keys: Sequence[str],
+        salt_col: str,
+        n_salt: int = 8,
+        count_alias: str = "n",
+    ) -> "StreamingPipeline":
+        """Skew-salted tumbling count — the north rule's "skew salting on hot
+        conv_ids" applied *inside* the stateful pipeline, not just in batch
+        (:mod:`..operators.skew`).
+
+        A hot key (one conversation with millions of turns per window) makes a
+        plain ``groupBy(window, conv_id)`` put that window-key's whole state
+        update on one task.  Two chained stateful aggregations split it:
+
+        1. partial count per ``(window, keys, salt)`` where salt =
+           ``pmod(xxhash64(salt_col), n_salt)`` — a *deterministic* salt from
+           a high-cardinality column (turn_idx), so replayed micro-batches
+           land updates on the same state rows (exactly-once safe, unlike
+           ``rand()``);
+        2. re-aggregate per ``(window, keys)`` over ``window_time(w)`` —
+           Spark's chained-windowed-aggregation form (supported for multiple
+           stateful operators since 3.4; the second agg's event time is the
+           first window's end).
+
+        Only algebraic aggregates decompose this way; counts/sums cover the
+        CEP rollups the north star names.  Output schema: ``w`` struct +
+        keys + ``count_alias``.
+        """
+        salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salt)).alias("__salt")
+        partial = (
+            self._df.groupBy(F.window(ts_col, size).alias("w"), *keys, salt)
+            .agg(F.count("*").alias("__partial_n"))
+        )
+        final = (
+            partial.groupBy(F.window(F.window_time("w"), size).alias("w"), *keys)
+            .agg(F.sum("__partial_n").alias(count_alias))
+        )
+        return self._wrap(final)
+
     def sliding_agg(
         self, ts_col: str, size: str, slide: str, keys: Sequence[str], *aggs: Column
     ) -> "StreamingPipeline":

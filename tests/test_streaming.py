@@ -89,6 +89,32 @@ def test_tumbling_window_matches_batch(spark, clean_dir):
     assert got == expect
 
 
+def test_salted_tumbling_counts_match_plain(spark, clean_dir):
+    """Skew-salted two-phase windowed count (chained stateful aggs) must be
+    value-identical to the single-phase groupBy(window, conv_id) — salting
+    changes the partitioning of state updates, never the result.  The salt is
+    deterministic (xxhash64 of turn_idx), so micro-batch replays hit the same
+    state rows (exactly-once safe)."""
+    d, pdf = clean_dir
+    sp = (
+        StreamingPipeline.read_transcripts(spark, d, max_files_per_trigger=2)
+        .with_watermark("ts", "0 seconds")
+        .salted_tumbling_counts("ts", "5 minutes", ["conv_id"], salt_col="turn_idx", n_salt=8)
+        .select(F.col("w.start").alias("ws"), "conv_id", "n")
+    )
+    _run_to_memory(sp, "salted_tumbling", expected_input_rows=len(pdf) + 1)
+    got = {(r.ws, r.conv_id): r.n for r in spark.sql("SELECT * FROM salted_tumbling").collect()}
+    expect = {
+        (r.ws, r.conv_id): r.n
+        for r in _to_spark(spark, pdf)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "conv_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "conv_id", "n")
+        .collect()
+    }
+    assert got == expect
+
+
 def test_sliding_window_matches_batch(spark, clean_dir):
     d, pdf = clean_dir
     sp = (
