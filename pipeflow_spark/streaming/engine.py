@@ -143,6 +143,7 @@ class StreamingPipeline:
         salt_col: str,
         n_salt: int = 8,
         count_alias: str = "n",
+        sum_cols: dict[str, str] | None = None,
     ) -> "StreamingPipeline":
         """Skew-salted tumbling count — the north rule's "skew salting on hot
         conv_ids" applied *inside* the stateful pipeline, not just in batch
@@ -162,18 +163,20 @@ class StreamingPipeline:
            stateful operators since 3.4; the second agg's event time is the
            first window's end).
 
-        Only algebraic aggregates decompose this way; counts/sums cover the
-        CEP rollups the north star names.  Output schema: ``w`` struct +
-        keys + ``count_alias``.
+        Only algebraic aggregates decompose this way; counts and sums
+        (``sum_cols = {source_col: alias}``) cover the CEP rollups the north
+        star names — avg is ``sum/count`` downstream.  Output schema: ``w``
+        struct + keys + ``count_alias`` + sum aliases.
         """
+        sums = sum_cols or {}
         salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salt)).alias("__salt")
-        partial = (
-            self._df.groupBy(F.window(ts_col, size).alias("w"), *keys, salt)
-            .agg(F.count("*").alias("__partial_n"))
+        partial = self._df.groupBy(F.window(ts_col, size).alias("w"), *keys, salt).agg(
+            F.count("*").alias("__partial_n"),
+            *[F.sum(c).alias(f"__partial_{a}") for c, a in sums.items()],
         )
-        final = (
-            partial.groupBy(F.window(F.window_time("w"), size).alias("w"), *keys)
-            .agg(F.sum("__partial_n").alias(count_alias))
+        final = partial.groupBy(F.window(F.window_time("w"), size).alias("w"), *keys).agg(
+            F.sum("__partial_n").alias(count_alias),
+            *[F.sum(f"__partial_{a}").alias(a) for a in sums.values()],
         )
         return self._wrap(final)
 

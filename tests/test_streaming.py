@@ -99,17 +99,21 @@ def test_salted_tumbling_counts_match_plain(spark, clean_dir):
     sp = (
         StreamingPipeline.read_transcripts(spark, d, max_files_per_trigger=2)
         .with_watermark("ts", "0 seconds")
-        .salted_tumbling_counts("ts", "5 minutes", ["conv_id"], salt_col="turn_idx", n_salt=8)
-        .select(F.col("w.start").alias("ws"), "conv_id", "n")
+        .salted_tumbling_counts(
+            "ts", "5 minutes", ["conv_id"], salt_col="turn_idx", n_salt=8,
+            sum_cols={"turn_idx": "turn_sum"},
+        )
+        .select(F.col("w.start").alias("ws"), "conv_id", "n", "turn_sum")
     )
     _run_to_memory(sp, "salted_tumbling", expected_input_rows=len(pdf) + 1)
-    got = {(r.ws, r.conv_id): r.n for r in spark.sql("SELECT * FROM salted_tumbling").collect()}
+    got = {(r.ws, r.conv_id): (r.n, r.turn_sum)
+           for r in spark.sql("SELECT * FROM salted_tumbling").collect()}
     expect = {
-        (r.ws, r.conv_id): r.n
+        (r.ws, r.conv_id): (r.n, r.turn_sum)
         for r in _to_spark(spark, pdf)
         .groupBy(F.window("ts", "5 minutes").alias("w"), "conv_id")
-        .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("ws"), "conv_id", "n")
+        .agg(F.count("*").alias("n"), F.sum("turn_idx").alias("turn_sum"))
+        .select(F.col("w.start").alias("ws"), "conv_id", "n", "turn_sum")
         .collect()
     }
     assert got == expect

@@ -52,9 +52,11 @@ def main():
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
@@ -90,7 +92,7 @@ def main():
         else:
             print(f"PASS  {name} ({len(s_rows)} rows, {time.monotonic()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; failures: {failures or 'none'}")
+    print(f"\n{ran - len(failures)}/{ran} ok; failures: {failures or 'none'}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
