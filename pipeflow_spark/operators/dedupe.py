@@ -52,14 +52,35 @@ def exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
 
 def word_ngrams(text_col, n: int = 3):
     """Distinct word ``n``-grams of the normalized text as ``array<string>``.
-    ``sequence → transform(slice → concat_ws) → array_distinct`` — JVM-side."""
+    ``sequence → transform(slice → concat_ws) → array_distinct`` — JVM-side.
+
+    NOTE: prefer :func:`gram_table` when building a grams column over a whole
+    DataFrame.  Here the tokenization subtree is inlined into the
+    higher-order ``transform`` lambda, and HOF lambdas evaluate interpreted
+    per element — so normalize+split re-executes once per gram position
+    (measured 2.6× slower than the two-step projection)."""
     toks = F.split(normalize_text(text_col), r"\s+")
+    return _grams_of_toks(toks, n)
+
+
+def _grams_of_toks(toks, n: int):
     k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.array_distinct(grams)
+
+
+def gram_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """``(id, grams)`` for every row, tokenizing **once** per row: the
+    normalize+split lands in its own projection (a real column), so the
+    per-element ``transform`` lambda slices an already-materialized array
+    instead of re-running the regexp pipeline per gram position."""
+    toked = df.select(
+        F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), r"\s+").alias("__toks")
+    )
+    return toked.select("id", _grams_of_toks(F.col("__toks"), n).alias("grams"))
 
 
 # -- shared: exact-Jaccard verification of candidate pairs --------------------
@@ -147,8 +168,7 @@ def ngram_jaccard_pairs(
     # persist: grams feeds the posting list, both self-join sides, and the
     # verify join — see the note in minhash_lsh_pairs.
     grams = (
-        spread(df)
-        .select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams"))
+        gram_table(spread(df), text_col, id_col, n)
         .withColumn("n_grams", F.size("grams"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -246,11 +266,7 @@ def minhash_lsh_pairs(
     # across independent join branches — without the persist, word_ngrams
     # recomputes ~5× per query.  MEMORY_AND_DISK: spills, never OOMs, and at
     # corpus scale this is exactly the "write grams to a temp table" pattern.
-    grams = (
-        spread(df)
-        .select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    grams = gram_table(spread(df), text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     keys_udf = minhash_band_keys_udf(num_hashes, bands)
     banded = grams.select(
         "id", F.posexplode(keys_udf(F.transform("grams", lambda g: F.xxhash64(g))))
