@@ -90,11 +90,28 @@ def fingerprint(col: Column) -> Column:
 def rolling_fingerprint(col: Column, window: int = 8) -> Column:
     """Winnowing-style rolling fingerprint: min over md5 hashes of
     character ``window``-grams of the normalized text.  Pure Column algebra
-    (sequence → transform → array_min)."""
-    norm = normalize_text(col)
-    n = F.greatest(F.length(norm) - window + 1, F.lit(1))
-    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(norm.substr(i, F.lit(window))))
+    (sequence → transform → array_min).
+
+    NOTE: ``col`` should already be normalized (a materialized column, e.g.
+    via :func:`add_rolling_fingerprint`) — higher-order ``transform`` lambdas
+    evaluate interpreted per element, so an expensive subtree passed here
+    would re-execute once per character position."""
+    n = F.greatest(F.length(col) - window + 1, F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(col.substr(i, F.lit(window))))
     return F.array_min(grams)
+
+
+def add_rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "rolling_fp", window: int = 8
+) -> DataFrame:
+    """Two-step rolling fingerprint: normalize once into a real column, then
+    roll over it (same per-row-tokenize-once pattern as
+    :func:`..operators.dedupe.gram_table`)."""
+    return (
+        df.withColumn("__norm", normalize_text(F.col(text_col)))
+        .withColumn(out, rolling_fingerprint(F.col("__norm"), window))
+        .drop("__norm")
+    )
 
 
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -58,6 +58,20 @@ def test_quality_score_bounds(spark, sf_dir):
     assert 0.0 <= stats.lo <= stats.hi <= 1.0
 
 
+def test_rolling_fingerprint(spark):
+    """Winnowing property: identical normalized text → identical rolling fp;
+    case/whitespace variants collapse; different text differs."""
+    df = spark.createDataFrame(
+        [(1, "The quick   brown fox"), (2, "the quick brown FOX"), (3, "a different document")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.rolling_fp for r in text.add_rolling_fingerprint(df).collect()}
+    assert rows[1] == rows[2] != rows[3]
+    # deterministic across runs
+    again = {r.doc_id: r.rolling_fp for r in text.add_rolling_fingerprint(df).collect()}
+    assert rows == again
+
+
 # -- dedupe --------------------------------------------------------------------
 
 def _docs(spark):
