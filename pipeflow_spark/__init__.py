@@ -79,6 +79,31 @@ class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
         return Pipeline(spark.read.format("mongodb").options(**opts).load())
 
     @staticmethod
+    def excel(spark, path: str, **options) -> Pipeline:
+        """xlsx source (reference: ``ExcelReader.cs:61-163``) — stdlib OOXML
+        parser; single file driver-side, glob/directory distributed via
+        binaryFile + mapInPandas.  See :mod:`pipeflow_spark.excel`."""
+        from .excel import read_excel
+
+        return Pipeline(read_excel(spark, path, **options))
+
+    @staticmethod
+    def api(spark, url: str, **options) -> Pipeline:
+        """REST API source (reference: ``ApiReader.cs:54-141``) — eager
+        driver-side fetch with retry/pagination/envelope semantics.  For
+        distributed ingest over a known page range use
+        :func:`pipeflow_spark.rest.read_api_partitioned`."""
+        from .rest import read_api
+
+        return Pipeline(read_api(spark, url, **options))
+
+    @staticmethod
+    def api_partitioned(spark, url: str, pages: int, page_size: int, schema, **options) -> Pipeline:
+        from .rest import read_api_partitioned
+
+        return Pipeline(read_api_partitioned(spark, url, pages, page_size, schema, **options))
+
+    @staticmethod
     def table(spark, sf_dir: str, name: str) -> Pipeline:
         return Pipeline(load_table(spark, sf_dir, name))
 

@@ -91,6 +91,22 @@ class write:  # noqa: N801 — fluent exit, mirrors reference `.ToCsv/.ToJson/..
         df.write.format("mongodb").options(**opts).mode(mode).save()
 
     @staticmethod
+    def excel(df: DataFrame, path: str, sheet: str = "Sheet1", headers: bool = True) -> None:
+        """``ToExcel`` (ExcelWriter.cs:58-125) — driver-side single-file
+        xlsx for small result sets; see :mod:`pipeflow_spark.excel`."""
+        from .excel import write_excel
+
+        write_excel(df, path, sheet=sheet, headers=headers)
+
+    @staticmethod
+    def api(df: DataFrame, url: str, **options) -> None:
+        """``ToApi`` (ApiWriter.cs:62-142) — batched JSON requests issued
+        from ``foreachPartition`` (distributed, driver never collects)."""
+        from .rest import write_api
+
+        write_api(df, url, **options)
+
+    @staticmethod
     def parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
         w = df.write.mode(mode)
         if partition_by:
