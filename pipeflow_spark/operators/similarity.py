@@ -255,3 +255,111 @@ def all_pairs_cosine_topk(
     )
     w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("nbr_id"))
     return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+# -- IVF (inverted-file) coarse quantization ---------------------------------
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    dim: int | None = None,
+    seed: int = 42,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's k-means coarse quantizer, trained driver-side on a bounded
+    deterministic sample (``orderBy(id).limit(sample)`` →
+    TakeOrderedAndProject, O(sample) driver memory regardless of corpus
+    size — the standard IVF recipe: train on a sample, assign everything).
+
+    Returns an ``(n_lists, dim)`` float64 centroid matrix.  Deterministic:
+    seeded init from sample points, fixed iteration count, empty clusters
+    reseeded from the (seeded) generator.
+    """
+    rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    if dim is not None and X.shape[1] != dim:
+        raise ValueError(f"embedding dim {X.shape[1]} != declared {dim}")
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_lists, replace=False)].copy()
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(Xn @ Cn.T, axis=1)  # max-cosine assignment
+        for j in range(n_lists):
+            members = X[assign == j]
+            C[j] = members.mean(axis=0) if len(members) else X[rng.integers(len(X))]
+    return C
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a 1-based ``list_id`` column: the max-cosine centroid (ties →
+    lowest list id; zero-norm vectors → list of the -2.0 sentinel, i.e.
+    list 1 after ties).  Pure Column algebra — the centroid matrix rides as
+    plan literals, assignment is one narrow projection, no shuffle.
+
+    Write side at scale: persist ``partitionBy("list_id")`` so probe-time
+    ``isin`` filters prune partitions (same pattern as LSH buckets).
+    Similarities are rounded to 6 decimals before the argmax so the DuckDB
+    oracle twin (cross-join + window argmax over the same rounded cosine)
+    agrees exactly.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.array(
+        *[
+            F.coalesce(
+                F.round(cosine(v, F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")), 6),
+                F.lit(-2.0),
+            )
+            for c in centroids
+        ]
+    )
+    return embeddings.withColumn("list_id", F.array_position(sims, F.array_max(sims)).cast("int"))
+
+
+def ivf_probes(centroids, query_vec: list[float], nprobe: int) -> list[int]:
+    """The ``nprobe`` 1-based list ids nearest the query by rounded cosine
+    (ties → lowest id) — computed driver-side from the small centroid
+    matrix; the probe set ships into the plan as an ``isin`` literal."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    denom = np.linalg.norm(C, axis=1) * np.linalg.norm(q)
+    sims = np.round((C @ q) / np.where(denom == 0, np.nan, denom), 6)
+    sims = np.where(np.isnan(sims), -2.0, sims)
+    order = sorted(range(len(C)), key=lambda i: (-sims[i], i))
+    return [i + 1 for i in order[:nprobe]]
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: scan only the ``nprobe`` inverted lists nearest
+    the query, exact-cosine rank inside them.  With
+    ``nprobe == n_lists`` this equals :func:`cosine_topk` exactly (the
+    full-probe equivalence tested in tests/test_operators.py) — recall
+    degrades gracefully as ``nprobe`` shrinks, cost is
+    O(|corpus| × nprobe / n_lists) rows scanned instead of |corpus|.
+    """
+    probes = ivf_probes(centroids, query_vec, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        assigned.filter(F.col("list_id").isin(probes))
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -944,6 +944,57 @@ def embed_knn_blocked(spark, sf_dir):
     )
 
 
+# Sampled-data coarse quantizer for the oracle twin: centroid c_j = the
+# embedding of vec_id j*31 (16 lists, deterministic, expressible in SQL).
+# The production trainer is k-means (similarity.train_ivf_centroids) — its
+# correctness is pinned by the full-probe ≡ exact-top-k property in
+# tests/test_operators.py, which holds for ANY centroid set.
+_IVF_NPROBE = 4
+
+
+@register(
+    "embed_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT (vec_id // 31) + 1 AS list_id, v AS cv FROM e
+          WHERE vec_id % 31 = 0 AND vec_id < 496),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    asn AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT e.vec_id, e.v, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY COALESCE({_COS.format(a="e.v", b="c.cv")}, -2.0) DESC, c.list_id) AS rk
+        FROM e CROSS JOIN c) t WHERE rk = 1),
+    probes AS (
+      SELECT list_id FROM c, q
+      ORDER BY COALESCE({_COS.format(a="c.cv", b="q.qv")}, -2.0) DESC, list_id
+      LIMIT {_IVF_NPROBE})
+    SELECT a.vec_id, {_COS.format(a="a.v", b="q.qv")} AS sim
+    FROM asn a, q
+    WHERE a.list_id IN (SELECT list_id FROM probes)
+    ORDER BY sim DESC, a.vec_id LIMIT 10
+    """,
+)
+def embed_ivf_topk(spark, sf_dir):
+    """IVF ANN: assign every vector to its max-cosine inverted list, probe
+    only the 4 lists nearest the query, exact-cosine rank inside them.  The
+    DuckDB oracle is an algorithm twin (same sampled centroids, same
+    rounded-cosine argmax with lowest-list tiebreak, same probe ranking) —
+    the scale path where `isin(probes)` prunes a list_id-partitioned table
+    to nprobe/n_lists of the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent]
+    q = centroids[0]  # vec_id 0 is the query (and centroid 1)
+    assigned = similarity.ivf_assign(emb, centroids)
+    return similarity.ivf_topk(assigned, centroids, q, k=10, nprobe=_IVF_NPROBE)
+
+
 _BAND_POSTINGS = "\n      UNION ALL ".join(
     f"SELECT vec_id, v, {j} AS band, ({similarity.bucket_sql('v', 64, 4, offset=j * 4)}) AS bucket FROM e"
     for j in range(12)

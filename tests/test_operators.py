@@ -201,6 +201,42 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.7
 
 
+def test_ivf_full_probe_equals_exact(spark, sf_dir):
+    """With nprobe == n_lists IVF scans every list → must equal exact
+    brute-force top-k for ANY centroid set; holds for the k-means trainer."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    C = similarity.train_ivf_centroids(emb, n_lists=8, sample=256, iters=5)
+    assert C.shape == (8, 64)
+    assigned = similarity.ivf_assign(emb, C)
+    full = similarity.ivf_topk(assigned, C, q, k=10, nprobe=8).collect()
+    exact = similarity.cosine_topk(emb, q, k=10).collect()
+    assert [(r.vec_id, r.sim) for r in full] == [(r.vec_id, r.sim) for r in exact]
+    # trainer determinism: same seed → identical centroids
+    assert np.array_equal(C, similarity.train_ivf_centroids(emb, n_lists=8, sample=256, iters=5))
+
+
+def test_ivf_probe_pruning_and_recall(spark, sf_dir, tmp_path):
+    """nprobe < n_lists scans only the probed lists: on a table persisted
+    partitionBy(list_id) — the IVF write side — the probe isin becomes a
+    PartitionFilter, so the scan reads nprobe/n_lists of the corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    C = similarity.train_ivf_centroids(emb, n_lists=8, sample=256, iters=5)
+    path = str(tmp_path / "ivf_table")
+    similarity.ivf_assign(emb, C).write.partitionBy("list_id").parquet(path)
+    assigned = spark.read.parquet(path)
+    probes = similarity.ivf_probes(C, q, nprobe=2)
+    assert len(probes) == 2 and all(1 <= p <= 8 for p in probes)
+    approx = similarity.ivf_topk(assigned, C, q, k=10, nprobe=2)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "list_id" in plan.split("PartitionFilters:")[1][:200]
+    ids = {r.vec_id for r in approx.collect()}
+    assert 0 in ids  # the query vector itself lives in a probed list
+    exact_ids = {r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    assert len(ids & exact_ids) >= 3  # sane recall on near-uniform data
+
+
 # -- asof -------------------------------------------------------------------------
 
 def test_asof_join_matches_merge_asof(spark):
