@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_simhash",
     "json_path_props",
     "embed_cosine_topk",
+    "embed_ivf_topk",
 ]
 
 
