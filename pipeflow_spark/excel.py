@@ -206,7 +206,9 @@ def read_excel(
         sheet=sheet, headers=headers, start_row=start_row,
         start_col=start_col, end_row=end_row, end_col=end_col,
     )
-    if path.endswith(".xlsx"):
+    import os
+
+    if os.path.isfile(path):
         with open(path, "rb") as f:
             names, rows = parse_xlsx(f.read(), **kwargs)
         if schema is not None:
@@ -273,21 +275,42 @@ def _cell_xml(ref: str, value) -> str:
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
 
 
-def write_excel(df: DataFrame, path: str, sheet: str = "Sheet1", headers: bool = True) -> None:
+def write_excel(
+    df: DataFrame, path: str, sheet: str = "Sheet1", headers: bool = True, append: bool = False
+) -> None:
     """Write a DataFrame to a single xlsx file (ExcelWriter.cs:58-125).
 
     Driver-side by necessity — xlsx is one zip, not a partitioned format;
     like :func:`~pipeflow_spark.sinks.collect_json_document` this is for
     small result sets (reports), never a data-plane sink.  Rows are fetched
     via ``toLocalIterator`` so only one partition is resident at a time.
+
+    ``append=True`` continues after the last used row of an existing file
+    without re-writing the header (ExcelWriter.cs:75-90, ``WithAppend``).
     """
+    import os
+
     names = df.columns
+    prefix: list[list] = []
+    if append and os.path.exists(path):
+        with open(path, "rb") as f:
+            _, existing = parse_xlsx(f.read(), headers=False)
+        width = max((len(r) for r in existing), default=len(names))
+        cols = [f"Column{i + 1}" for i in range(width)]
+        prefix = [[row.get(c) for c in cols] for row in existing]
+        headers = False  # reference only writes headers into a fresh sheet
     body = io.StringIO()
     body.write(
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
     )
     r = 1
+    for vals in prefix:
+        cells = "".join(
+            _cell_xml(f"{_idx_to_col(i + 1)}{r}", v) for i, v in enumerate(vals)
+        )
+        body.write(f'<row r="{r}">{cells}</row>')
+        r += 1
     if headers:
         cells = "".join(_cell_xml(f"{_idx_to_col(i + 1)}{r}", n) for i, n in enumerate(names))
         body.write(f'<row r="{r}">{cells}</row>')

@@ -91,12 +91,12 @@ class write:  # noqa: N801 — fluent exit, mirrors reference `.ToCsv/.ToJson/..
         df.write.format("mongodb").options(**opts).mode(mode).save()
 
     @staticmethod
-    def excel(df: DataFrame, path: str, sheet: str = "Sheet1", headers: bool = True) -> None:
+    def excel(df: DataFrame, path: str, sheet: str = "Sheet1", headers: bool = True, append: bool = False) -> None:
         """``ToExcel`` (ExcelWriter.cs:58-125) — driver-side single-file
         xlsx for small result sets; see :mod:`pipeflow_spark.excel`."""
         from .excel import write_excel
 
-        write_excel(df, path, sheet=sheet, headers=headers)
+        write_excel(df, path, sheet=sheet, headers=headers, append=append)
 
     @staticmethod
     def api(df: DataFrame, url: str, **options) -> None:

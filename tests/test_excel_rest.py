@@ -102,6 +102,18 @@ def test_excel_blank_header_synthesis_and_shared_strings(tmp_path):
     assert rows == [{"label": "x", "Column2": 7}, {"label": "yz", "Column2": 8.5}]
 
 
+def test_excel_append_mode(spark, tmp_path):
+    """WithAppend (ExcelWriter.cs:75-90): rows continue after the last used
+    row, header written only once; glob-vs-file dispatch uses the filesystem."""
+    path = str(tmp_path / "log.xlsx")
+    df = _mixed_df(spark).select("id", "name")
+    write_excel(df, path)
+    write_excel(df.withColumn("id", df.id + 10), path, append=True)
+    out = read_excel(spark, path).orderBy("id").collect()
+    assert [r.id for r in out] == [1, 2, 11, 12]
+    assert out[0]["name"] == "alpha"
+
+
 def test_excel_directory_distributed_read(spark, tmp_path):
     """Glob of xlsx → binaryFile + mapInPandas: executors parse in parallel."""
     for i in range(3):
