@@ -67,6 +67,30 @@ class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
         return Pipeline(spark.read.format("jdbc").options(url=url, dbtable=table, **options).load())
 
     @staticmethod
+    def jdbc_partitioned(
+        spark,
+        url: str,
+        table: str,
+        partition_column: str,
+        lower_bound,
+        upper_bound,
+        num_partitions: int = 8,
+        **options,
+    ) -> Pipeline:
+        """Range-partitioned JDBC read — the scale analog of the reference's
+        EF ``Skip(n).Take(pageSize)`` paging loop
+        (``Builder/QueryablePipelineBuilder.cs:284-312``): instead of one
+        connection pulling sequential pages, ``num_partitions`` executors
+        each pull a ``partition_column`` range concurrently (keyset paging,
+        no OFFSET re-scans).  Pick a indexed, roughly-uniform numeric/date
+        column; skewed ranges → some executors idle (use ``predicates`` via
+        plain ``read.jdbc`` options for custom splits)."""
+        opts = jdbc_partition_options(partition_column, lower_bound, upper_bound, num_partitions)
+        return Pipeline(
+            spark.read.format("jdbc").options(url=url, dbtable=table, **opts, **options).load()
+        )
+
+    @staticmethod
     def mongodb(spark, uri: str, database: str, collection: str, pipeline: list | None = None, **options) -> Pipeline:
         """MongoDB source via the spark-mongodb connector (reference:
         ``MongoReader.cs:103-141``).  The reference's pushdown DSL
@@ -110,6 +134,25 @@ class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
     @staticmethod
     def collection(spark, rows, schema) -> Pipeline:
         return Pipeline(spark.createDataFrame(rows, schema))
+
+
+def jdbc_partition_options(
+    partition_column: str, lower_bound, upper_bound, num_partitions: int = 8
+) -> dict:
+    """Spark JDBC range-partitioning options (the keyset-paging analog of
+    ``QueryablePipelineBuilder.cs:284-312``); validated here so a bad range
+    fails at plan-build, not executor-side."""
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    numeric = isinstance(lower_bound, (int, float)) and isinstance(upper_bound, (int, float))
+    if (lower_bound >= upper_bound) if numeric else (str(lower_bound) >= str(upper_bound)):
+        raise ValueError("lower_bound must sort below upper_bound")
+    return {
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower_bound),
+        "upperBound": str(upper_bound),
+        "numPartitions": str(num_partitions),
+    }
 
 
 def mongo_options(

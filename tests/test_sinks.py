@@ -235,3 +235,25 @@ def test_end_to_end_read_filter_sort_write_reread(spark, scores, tmp_path):
         .collect()
     )
     assert [(r.name, r.score) for r in back] == [("Eve", 95), ("Bob", 92), ("Diana", 88), ("Alice", 85)]
+
+
+def test_jdbc_partition_options():
+    """Range-partitioned JDBC read plumbing (keyset-paging analog of
+    QueryablePipelineBuilder.cs:284-312) — options validated at build time."""
+    import pytest
+
+    from pipeflow_spark import jdbc_partition_options
+
+    opts = jdbc_partition_options("id", 0, 1_000_000, 16)
+    assert opts == {
+        "partitionColumn": "id",
+        "lowerBound": "0",
+        "upperBound": "1000000",
+        "numPartitions": "16",
+    }
+    with pytest.raises(ValueError):
+        jdbc_partition_options("id", 10, 10)
+    with pytest.raises(ValueError):
+        jdbc_partition_options("ts", "2024-02-01", "2024-01-01")
+    with pytest.raises(ValueError):
+        jdbc_partition_options("id", 0, 1, num_partitions=0)
