@@ -1,0 +1,176 @@
+"""Property-based tests (hypothesis) over the engine's pure kernels.
+
+These cover invariants that example-based tests can't sweep: arbitrary cell
+values through the xlsx writer/parser, arbitrary JSON shapes through the API
+envelope rules, arbitrary centroid geometry through IVF probe selection, and
+arbitrary column sets through upsert-SQL generation.  All driver-side pure
+functions — no Spark jobs, so the whole module runs in seconds.
+"""
+
+import io
+import json
+import math
+import zipfile
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pipeflow_spark.excel import _cell_xml, _col_to_idx, _idx_to_col, parse_xlsx
+from pipeflow_spark.operators.similarity import ivf_probes
+from pipeflow_spark.rest import rows_from_json
+from pipeflow_spark.sinks import upsert_statement
+
+# -- excel: column refs and cell roundtrip -----------------------------------
+
+
+@given(st.integers(min_value=1, max_value=20_000))
+def test_col_ref_roundtrip(i):
+    assert _col_to_idx(_idx_to_col(i)) == i
+
+
+_cell_values = st.one_of(
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.booleans(),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"),  # XML can't carry control chars
+        ),
+        max_size=40,
+    ),
+)
+
+
+def _xlsx_bytes(rows):
+    """Minimal workbook from a grid of python values, via the writer's own
+    cell encoder — the pure core of write_excel without a DataFrame."""
+    body = io.StringIO()
+    body.write(
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+    )
+    for r, vals in enumerate(rows, start=1):
+        cells = "".join(_cell_xml(f"{_idx_to_col(c + 1)}{r}", v) for c, v in enumerate(vals))
+        body.write(f'<row r="{r}">{cells}</row>')
+    body.write("</sheetData></worksheet>")
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", body.getvalue())
+    return buf.getvalue()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(_cell_values, min_size=1, max_size=5), min_size=1, max_size=5))
+def test_xlsx_cell_roundtrip(grid):
+    """Every scalar written by _cell_xml parses back to an equal value
+    (ints as int, non-integral floats as float, bools, text) — per the
+    reference's typed-cell contract (ExcelReader.cs:131-163)."""
+    width = max(len(r) for r in grid)
+    padded = [list(r) + [None] * (width - len(r)) for r in grid]
+    _, rows = parse_xlsx(_xlsx_bytes(padded), headers=False)
+    it = iter(rows)
+    for orig in padded:
+        if all(v is None for v in orig):
+            continue  # rows with no cells are skipped by contract
+        got = next(it)
+        for c, v in enumerate(orig):
+            g = got.get(f"Column{c + 1}")
+            if v is None:
+                assert g is None  # absent cells → null
+            elif isinstance(v, bool):
+                assert g is v
+            elif isinstance(v, float):
+                # integral floats are canonicalized to int (reference rule)
+                if v == int(v) and abs(v) < 2**62:
+                    assert g == int(v) and isinstance(g, int)
+                else:
+                    assert isinstance(g, float) and math.isclose(g, v, rel_tol=0, abs_tol=0)
+            elif isinstance(v, int):
+                assert g == v
+            else:
+                assert g == v
+
+
+# -- rest: envelope rules -----------------------------------------------------
+
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(), st.floats(allow_nan=False), st.text(max_size=10)
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=3), st.dictionaries(st.text(max_size=5), inner, max_size=3)
+    ),
+    max_leaves=8,
+)
+_json_objects = st.dictionaries(st.text(max_size=8), _json_values, max_size=4)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_json_objects, max_size=5))
+def test_rows_from_json_envelope_equivalence(objs):
+    """Root array, {"data": [...]}, {"results": [...]}, {"items": [...]}
+    all yield identical rows (ApiReader.cs:142-195), every value is a
+    scalar-or-JSON-text (never a nested list/dict), and nested values
+    roundtrip through json.loads."""
+    base = rows_from_json(objs)
+    assert base == rows_from_json({"data": objs})
+    assert base == rows_from_json({"results": objs})
+    assert base == rows_from_json({"items": objs})
+    for row, orig in zip(base, objs):
+        for k, v in row.items():
+            assert not isinstance(v, (list, dict))
+            if isinstance(orig[k], (list, dict)):
+                assert json.loads(v) == orig[k]
+            else:
+                assert v == orig[k]
+
+
+# -- similarity: IVF probe selection ------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_ivf_probes_properties(n_lists, seed):
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_lists, 8))
+    q = rng.standard_normal(8).tolist()
+    full = ivf_probes(C, q, nprobe=n_lists)
+    assert sorted(full) == list(range(1, n_lists + 1))  # full probe = permutation
+    for nprobe in range(1, n_lists):
+        assert ivf_probes(C, q, nprobe) == full[:nprobe]  # prefix-stable
+
+
+# -- sinks: upsert SQL generation ---------------------------------------------
+
+
+_ident = st.text(alphabet="abcdefghij_", min_size=1, max_size=6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_ident, min_size=2, max_size=6, unique=True), st.data())
+def test_upsert_statement_updates_exactly_non_keys(cols, data):
+    keys = data.draw(st.lists(st.sampled_from(cols), min_size=1, max_size=len(cols) - 1, unique=True))
+    non_keys = [c for c in cols if c not in keys]
+    stmt = upsert_statement("tgt", "stg", cols, keys, dialect="postgresql")
+    set_clause = stmt.split("DO UPDATE SET ", 1)[1].rstrip(";")
+    assignments = set(set_clause.split(", "))
+    assert assignments == {f"{c} = EXCLUDED.{c}" for c in non_keys}
