@@ -1449,6 +1449,53 @@ def stream_events_session_oracle(spark, sf_dir):
 
 
 @register(
+    "stream_events_sliding_oracle",
+    """
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+             event_type, value
+      FROM events)
+    SELECT ws, event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_events_sliding_oracle(spark, sf_dir):
+    """Streaming sliding windows (1 h size, 30 min slide) through watermark +
+    stateful dedupe + the exactly-once sink vs a batch SQL twin: every event
+    belongs to exactly size/slide = 2 windows, so the oracle unnests each row
+    into its two 30-min-aligned window starts and re-aggregates.  Both
+    engines 30-min-align to an epoch origin, so boundaries agree exactly.
+    Completes the oracle-checked window family (tumbling / sliding /
+    session)."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_slide_")
+    sp = (
+        StreamingPipeline(_events_stream_source(spark, sf_dir, work))
+        .with_watermark("ts", "10 minutes")
+        .dedupe_within_watermark(["event_id"])
+        .sliding_agg(
+            "ts", "1 hour", "30 minutes", ["event_type"],
+            F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("ws", "event_type", "n", "total")
+        .orderBy("ws", "event_type")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "stream_events_join_oracle",
     """
     SELECT c.user_id AS user_id, count(*) AS n_pairs,
