@@ -69,18 +69,21 @@ class ExactlyOnceSink:
 
         out = batch_df.withColumn("_batch_id", F.lit(batch_id))
         out.write.mode("overwrite").parquet(part_dir)
-        # row count for the metrics ledger comes from the written files'
-        # parquet footers — driver-side pyarrow metadata read, no extra Spark
-        # job; counting batch_df BEFORE the write would recompute the whole
-        # upstream plan twice per batch.
-        n = self._footer_count(part_dir)
+        # lineage + row counts come from the written files' parquet footers —
+        # driver-side pyarrow metadata read, no extra Spark job; counting
+        # batch_df BEFORE the write would recompute the whole upstream plan
+        # twice per batch.  Per-file entries are the per-partition lineage:
+        # every committed output partition file is traced to its batch with
+        # its own row count (the Iceberg analog is the manifest entry).
+        files = self._footer_counts(part_dir)
+        n = sum(f["rows"] for f in files)
 
         if self.fail_after_write_batch_id == batch_id:
             self.fail_after_write_batch_id = None
             raise RuntimeError(f"injected failure after write of batch {batch_id}")
 
         with open(os.path.join(self.metrics_dir, f"{batch_id}.json"), "w") as f:
-            json.dump({"batch_id": batch_id, "rows": n}, f)
+            json.dump({"batch_id": batch_id, "rows": n, "partitions": files}, f)
 
         # atomic commit marker: write-temp + rename
         tmp = os.path.join(self.ledger_dir, f".{batch_id}.{uuid.uuid4().hex}.tmp")
@@ -89,29 +92,28 @@ class ExactlyOnceSink:
         os.rename(tmp, os.path.join(self.ledger_dir, str(batch_id)))
 
     @staticmethod
-    def _footer_count(part_dir: str) -> int:
+    def _footer_counts(part_dir: str) -> list[dict]:
+        """``[{file, rows}]`` for every output partition file, from parquet
+        footer metadata only."""
         import pyarrow.parquet as pq
 
-        total = 0
-        for f in os.listdir(part_dir):
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(part_dir, f)).metadata.num_rows
-        return total
+        return [
+            {"file": f, "rows": pq.ParquetFile(os.path.join(part_dir, f)).metadata.num_rows}
+            for f in sorted(os.listdir(part_dir))
+            if f.endswith(".parquet")
+        ]
 
     # -- read side ------------------------------------------------------------
     def read_committed(self, spark) -> DataFrame:
         """Snapshot view over committed batches only (uncommitted partitions
         are invisible — the Iceberg-snapshot semantics on plain parquet)."""
-        committed = self.committed_batches()
-        empty_schema = None
         dirs = [
             os.path.join(self.data_dir, f"batch_id={b}")
-            for b in committed
+            for b in self.committed_batches()
             if os.path.exists(os.path.join(self.data_dir, f"batch_id={b}"))
         ]
         if not dirs:
             raise ValueError("no committed batches")
-        _ = empty_schema
         return spark.read.parquet(*dirs)
 
     def metrics(self) -> list[dict]:

@@ -320,6 +320,12 @@ def test_exactly_once_kill_resume(spark, clean_dir, tmp_path):
     assert got == _batch_oracle(spark, pdf)  # sentinel's window never closes
     assert "_batch_id" in out.columns
     assert {m["batch_id"] for m in sink2.metrics()} == set(sink2.committed_batches())
+    # per-partition lineage: every committed batch lists its output files, and
+    # the per-file footer counts sum to the batch row count
+    for m in sink2.metrics():
+        assert sum(p["rows"] for p in m["partitions"]) == m["rows"]
+        assert all(p["file"].endswith(".parquet") for p in m["partitions"])
+    assert sum(m["rows"] for m in sink2.metrics()) == out.count()
 
 
 def test_exactly_once_replay_committed_is_noop(spark, clean_dir, tmp_path):
