@@ -364,3 +364,76 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# -- 5. pairs → clusters → keep-list -----------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs: ``(node, component)`` for every node in the
+    edge list, where ``component`` is the smallest node id reachable from it.
+
+    The missing last step of every dedupe tier above — pair lists don't dedupe
+    a corpus; the keep/drop decision needs the transitive closure (A~B, B~C ⇒
+    one cluster {A,B,C}, keep min).
+
+    Iterative min-label propagation, all DataFrame ops:
+
+    * labels start as ``node → node``;
+    * each round every node takes ``min(own label, min over neighbors'
+      labels)`` via one equi-join on node id + one hash aggregate;
+    * stop when a round changes nothing (driver-side count per round — a
+      scalar, not a collect of data).
+
+    Rounds to converge = cluster diameter in hops.  Near-dup clusters are
+    shallow template families (diameter ≲ 5), so the loop is a handful of
+    bounded shuffles; ``localCheckpoint`` truncates lineage each round so the
+    plan stays flat instead of doubling per iteration.  If diameters ever grow
+    (social-graph-shaped inputs), the drop-in upgrade is alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce"), which converges in O(log² n) rounds with the same
+    per-round primitives.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn("comp", F.col("node"))
+
+    for _ in range(max_iter):
+        # min label among each node's neighbors (one shuffle join + one agg)
+        neighbor_min = (
+            edges.join(labels, edges.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+                (F.col("ncomp").isNotNull() & (F.col("ncomp") < F.col("comp"))).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter("_chg").count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def keep_list(components: DataFrame) -> DataFrame:
+    """Canonical keep/drop decision per clustered doc: keep the smallest id of
+    each component, drop the rest.  ``(node, component, keep)``."""
+    return components.select(
+        "node", "component", (F.col("node") == F.col("component")).alias("keep")
+    )

@@ -190,6 +190,18 @@ class Pipeline:
         subsets; ``cols`` the union of grouping columns in output order."""
         return self._wrap(self._df.groupingSets([list(s) for s in sets], *cols).agg(*aggs))
 
+    def unpivot(
+        self,
+        ids: Sequence[str],
+        values: Sequence[str],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "Pipeline":
+        """Wide → long (melt): one output row per (id row × value column).
+        Inverse of pivot; narrow op (Expand node, no shuffle) — each input row
+        expands locally to ``len(values)`` rows."""
+        return self._wrap(self._df.unpivot(list(ids), list(values), var_name, value_name))
+
     def group_apply(self, keys: str | Sequence[str], fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str) -> "Pipeline":
         """Arbitrary per-group aggregator (the reference's lambda aggregators,
         PipeFlow.cs:483) — ``applyInPandas`` Arrow-vectorized grouped map."""

@@ -794,11 +794,10 @@ def dedup_exact(spark, sf_dir):
     return dedupe.exact(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-def _jaccard_pairs_oracle(threshold: float) -> str:
-    """Exact 3-gram Jaccard pair set ≥ threshold — the brute-force DuckDB twin
-    shared by `dedup_ngram_jaccard` and (recall-1 at this SF) `dedup_minhash_lsh`."""
-    return f"""
-    WITH grams AS (
+def _jaccard_cte_body(threshold: float) -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — exact 3-gram
+    Jaccard pair set ≥ threshold, shared by the dedupe-tier oracles."""
+    return f"""grams AS (
       SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
                                    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
       FROM (SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
@@ -809,12 +808,20 @@ def _jaccard_pairs_oracle(threshold: float) -> str:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
       FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(i * 1.0 / (len(ga.gs) + len(gb.gs) - i), 6) AS jaccard
-    FROM inter JOIN grams ga ON ga.doc_id = id_a JOIN grams gb ON gb.doc_id = id_b
-    WHERE i * 1.0 / (len(ga.gs) + len(gb.gs) - i) >= {threshold}
-    ORDER BY id_a, id_b
+    ), pairs AS (
+      SELECT id_a, id_b,
+             round(i * 1.0 / (len(ga.gs) + len(gb.gs) - i), 6) AS jaccard
+      FROM inter JOIN grams ga ON ga.doc_id = id_a JOIN grams gb ON gb.doc_id = id_b
+      WHERE i * 1.0 / (len(ga.gs) + len(gb.gs) - i) >= {threshold}
+    )"""
+
+
+def _jaccard_pairs_oracle(threshold: float) -> str:
+    """Exact 3-gram Jaccard pair set ≥ threshold — the brute-force DuckDB twin
+    shared by `dedup_ngram_jaccard` and (recall-1 at this SF) `dedup_minhash_lsh`."""
+    return f"""
+    WITH {_jaccard_cte_body(threshold)}
+    SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
     """
 
 
@@ -1594,3 +1601,214 @@ def stream_tumbling_e2e(spark, sf_dir):
     rows, schema = out.collect(), out.schema
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# 9. Round-2 additions: outer joins, subquery semantics, unpivot, richer
+#    window functions, dedupe clustering (pairs → transitive closure)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "left_outer_join_custdist",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def left_outer_join_custdist(spark, sf_dir):
+    """TPC-H q13 shape — LEFT OUTER join preserving customers with zero
+    orders, null-skipping count(o_orderkey), then a distribution over the
+    counts.  Exercises outer-join null semantics end-to-end (a count(*)
+    here would be wrong: the null row must count as 0)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        Pipeline(cust)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .group_agg("c_custkey", F.count("o_orderkey").alias("c_count"))
+        .group_agg("c_count", F.count("*").alias("custdist"))
+        .order_by(F.col("custdist").desc(), F.col("c_count").desc())
+        .df
+    )
+
+
+@register(
+    "full_outer_join_daily_recon",
+    """
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+               FROM orders GROUP BY 1),
+         l AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_ships
+               FROM lineitem GROUP BY 1)
+    SELECT coalesce(o.d, l.d) AS d,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_ships, 0) AS n_ships
+    FROM o FULL OUTER JOIN l ON o.d = l.d
+    ORDER BY d
+    """,
+)
+def full_outer_join_daily_recon(spark, sf_dir):
+    """FULL OUTER reconciliation: days with orders but no shipments and vice
+    versa both survive with zero-filled counts.  Pre-aggregating each side
+    before the join keeps the outer join's shuffle at days-cardinality, not
+    fact-table cardinality — the scale-safe shape."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = orders.groupBy(F.col("o_orderdate").cast("date").alias("od")).agg(
+        F.count("*").alias("n_orders")
+    )
+    l = li.groupBy(F.col("l_shipdate").cast("date").alias("ld")).agg(
+        F.count("*").alias("n_ships")
+    )
+    return (
+        o.join(l, o.od == l.ld, "full_outer")
+        .select(
+            F.coalesce("od", "ld").alias("d"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "scalar_subquery_below_half_avg",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_small,
+           round(sum(l_extendedprice), 4) AS small_revenue
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def scalar_subquery_below_half_avg(spark, sf_dir):
+    """TPC-H q17 shape — correlated scalar subquery (per-part average
+    threshold).  Spark-first decorrelation: compute the per-part threshold as
+    ONE aggregate, broadcast it, and filter — a single fact scan + broadcast
+    hash join instead of a per-row subquery evaluation."""
+    li = _t(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("lim"))
+    return (
+        li.alias("l")
+        .join(F.broadcast(thresholds).alias("t"), F.col("l.l_partkey") == F.col("t.l_partkey"))
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 4).alias("small_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_returnflag, measure, round(sum(v), 4) AS total, count(*) AS n
+    FROM (
+      SELECT l_returnflag, 'l_discount' AS measure, l_discount AS v FROM lineitem
+      UNION ALL SELECT l_returnflag, 'l_quantity', l_quantity FROM lineitem
+      UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """Wide → long (unpivot/melt), the inverse of `pivot_status_priority`.
+    Spark's unpivot is a narrow Expand node — rows triple locally, no
+    shuffle until the aggregate; the oracle's UNION ALL twin would scan the
+    table three times."""
+    return (
+        Pipeline(_t(spark, sf_dir, "lineitem"))
+        .unpivot(
+            ids=["l_returnflag"],
+            values=["l_discount", "l_quantity", "l_tax"],
+            var_name="measure",
+            value_name="v",
+        )
+        .group_agg(
+            ["l_returnflag", "measure"],
+            F.round(F.sum("v"), 4).alias("total"),
+            F.count("*").alias("n"),
+        )
+        .order_by("l_returnflag", "measure")
+        .df
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    """
+    SELECT event_type, q, count(*) AS n,
+           round(min(value), 4) AS lo, round(max(value), 4) AS hi,
+           round(max(pr), 6) AS max_pr, round(max(cd), 6) AS max_cd
+    FROM (SELECT event_type, value,
+                 ntile(4)       OVER w AS q,
+                 percent_rank() OVER w AS pr,
+                 cume_dist()    OVER w AS cd
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+    GROUP BY event_type, q
+    ORDER BY event_type, q
+    """,
+)
+def window_ntile_quartiles(spark, sf_dir):
+    """ntile / percent_rank / cume_dist — the distribution-ranking window
+    functions (`window_topn_per_group` covers row_number/rank).  The
+    event_id tiebreaker makes every rank deterministic under shuffle."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "value",
+            F.ntile(4).over(w).alias("q"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .groupBy("event_type", "q")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.round(F.max("pr"), 6).alias("max_pr"),
+            F.round(F.max("cd"), 6).alias("max_cd"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_jaccard_cte_body(0.8)},
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    r(node, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lab FROM edges e JOIN r ON r.node = e.d
+    )
+    SELECT node, min(lab) AS component, node = min(lab) AS keep
+    FROM r GROUP BY node ORDER BY node
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Pair list → transitive closure → canonical keep/drop — the step that
+    actually dedupes a corpus (A~B, B~C must collapse to ONE keeper even
+    when A~C was never emitted as a pair).  Iterative min-label propagation
+    over the exact-Jaccard pairs (operators/dedupe.py:connected_components);
+    the oracle is DuckDB's recursive CTE over the same pair SQL."""
+    pairs = dedupe.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return dedupe.keep_list(dedupe.connected_components(pairs)).orderBy("node")

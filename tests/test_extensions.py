@@ -142,3 +142,20 @@ def test_validate_isin_type(spark):
     v.column("n").of_type("int")
     out = Pipeline(df).validate(v).to_list()
     assert len(out) == 1 and out[0].status == "O"
+
+
+def test_unpivot_roundtrip(spark):
+    """unpivot is pivot's inverse: wide (q1, q2 columns) → long → the original
+    long rows; nulls in unmentioned cells are preserved as null values."""
+    wide = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 3.0, None)], "k string, q1 double, q2 double"
+    )
+    out = (
+        Pipeline(wide)
+        .unpivot(ids=["k"], values=["q1", "q2"], var_name="quarter", value_name="v")
+        .order_by("k", "quarter")
+        .to_list()
+    )
+    assert [(r.k, r.quarter, r.v) for r in out] == [
+        ("a", "q1", 1.0), ("a", "q2", 2.0), ("b", "q1", 3.0), ("b", "q2", None),
+    ]

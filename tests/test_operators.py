@@ -395,3 +395,26 @@ def test_knn_bucket_cap_bounds_candidates(spark):
     # candidate pool per probe bucket is ≤ cap (+ one-bit probes ≤ planes+1 buckets)
     uncapped = similarity.all_pairs_cosine_topk(emb, k=3)
     assert uncapped.count() >= out.count()
+
+
+# -- connected components (dedupe clustering) ----------------------------------
+
+def test_connected_components_transitive_closure(spark):
+    """A-B, B-C, C-D chain (diameter 3, never emitted as A-D) collapses to one
+    component; isolated pair keeps its own; untouched node never appears."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.node: r.component for r in dedupe.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    keep = {r.node: r.keep for r in dedupe.keep_list(dedupe.connected_components(pairs)).collect()}
+    assert keep == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False}
+
+
+def test_connected_components_order_invariant(spark):
+    """Edge direction and order don't matter: the component id is the min
+    node id regardless of which side of the pair it arrived on."""
+    pairs = spark.createDataFrame([(9, 5), (5, 7), (8, 9)], "id_a bigint, id_b bigint")
+    comp = {r.node: r.component for r in dedupe.connected_components(pairs).collect()}
+    assert comp == {5: 5, 7: 5, 8: 5, 9: 5}

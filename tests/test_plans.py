@@ -99,3 +99,21 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
     assert not offenders, f"cartesian plans: {offenders}"
+
+
+def test_scalar_subquery_decorrelated_broadcast(spark, sf_dir):
+    """The correlated-scalar-subquery query must plan as ONE fact scan joined
+    to a broadcast threshold table — not a per-row subquery or a shuffled
+    self-join."""
+    plan = _plan(QUERIES["scalar_subquery_below_half_avg"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unpivot_is_narrow_expand(spark, sf_dir):
+    """Unpivot must expand rows locally (Expand/Generate node) with no shuffle
+    before the aggregate's own exchange."""
+    plan = _plan(QUERIES["unpivot_lineitem_measures"][0](spark, sf_dir))
+    assert "Expand" in plan
+    # exactly the aggregate's one shuffle (the sort's rangepartitioning
+    # exchange is the orderBy terminal, not the unpivot)
+    assert plan.count("Exchange hashpartitioning") == 1
