@@ -794,14 +794,15 @@ def dedup_exact(spark, sf_dir):
     return dedupe.exact(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-def _jaccard_cte_body(threshold: float) -> str:
+def _jaccard_cte_body(threshold: float, table: str = "documents") -> str:
     """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — exact 3-gram
-    Jaccard pair set ≥ threshold, shared by the dedupe-tier oracles."""
+    Jaccard pair set ≥ threshold over ``table``, shared by the dedupe-tier
+    oracles."""
     return f"""grams AS (
       SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
                                    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
       FROM (SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-            FROM documents)
+            FROM {table})
     ), posting AS (
       SELECT doc_id, unnest(gs) AS g FROM grams
     ), inter AS (
@@ -1812,3 +1813,100 @@ def dedup_clusters(spark, sf_dir):
     the oracle is DuckDB's recursive CTE over the same pair SQL."""
     pairs = dedupe.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
     return dedupe.keep_list(dedupe.connected_components(pairs)).orderBy("node")
+
+
+_QUALITY_SQL = """
+    round(0.4 * (length(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / greatest(length(text), 1))
+        + 0.3 * least(length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|you|that|it|for)\\b')) * 1.0
+                      / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 1.0)
+        + 0.2 * least(length(text) / 500.0, 1.0)
+        + 0.1 * (1 - length(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) * 1.0 / greatest(length(text), 1)), 6)
+"""
+
+
+@register(
+    "curate_training_corpus",
+    f"""
+    WITH RECURSIVE
+    f AS (
+      SELECT doc_id, text, source,
+             {_QUALITY_SQL} AS q,
+             {_LANG_CASE_SQL} AS lang_pred,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    survivors AS (
+      SELECT doc_id, text, source, q, n_tokens FROM (
+        SELECT f.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM f WHERE lang_pred = 'en' AND q >= 0.5
+      ) WHERE rn = 1
+    ),
+    {_jaccard_cte_body(0.8, table="survivors")},
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    r(node, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lab FROM edges e JOIN r ON r.node = e.d
+    ),
+    comps AS (SELECT node, min(lab) AS component FROM r GROUP BY node)
+    SELECT source, count(*) AS n_kept, sum(n_tokens) AS total_tokens,
+           round(avg(q), 6) AS avg_quality
+    FROM survivors s LEFT JOIN comps c ON s.doc_id = c.node
+    WHERE c.node IS NULL OR c.component = s.doc_id
+    GROUP BY source ORDER BY source
+    """,
+)
+def curate_training_corpus(spark, sf_dir):
+    """Flagship LLM-data-curation composite — the full keep/drop pipeline a
+    training-data run needs, end-to-end in one plan:
+
+    1. score every document (quality heuristic + n-gram lang-id, pure Column
+       algebra, whole-stage codegen) and gate on ``lang = en ∧ quality ≥ 0.5``;
+    2. drop exact duplicates (min doc_id per normalized fingerprint — one
+       hash shuffle on the 128-bit fp);
+    3. drop near-duplicates: exact-Jaccard pairs over the survivors
+       (prefix-filtered posting join), transitive closure
+       (connected_components), keep each cluster's min id;
+    4. report per-source corpus stats (docs kept, token budget, mean quality).
+
+    Every stage is an operator already oracle-checked in isolation; this query
+    proves the COMPOSITION against one DuckDB recursive-CTE twin.  At 100 TB
+    each stage stays shuffle-bounded: scoring is narrow, exact dedupe is one
+    uniform hash agg, the pair join is prefix-pruned, label propagation is
+    diameter-bounded rounds over cluster-sized edge lists."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        text.quality_score(F.col("text")).alias("q"),
+        text.lang_id(F.col("text")).alias("lang_pred"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    ).filter((F.col("lang_pred") == "en") & (F.col("q") >= 0.5))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    survivors = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "source", "q", "n_tokens")
+    )
+    pairs = dedupe.ngram_jaccard_pairs(survivors, threshold=0.8)
+    comps = dedupe.connected_components(pairs)
+    curated = survivors.join(comps, survivors.doc_id == comps.node, "left").filter(
+        F.col("node").isNull() | (F.col("component") == F.col("doc_id"))
+    )
+    return (
+        curated.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
