@@ -3,4 +3,14 @@ training-data-pipeline extensions): dedupe family, similarity search, text
 analysis, as-of/range joins, sessionization, skew-aware aggregation,
 multimodal plumbing."""
 
-from . import asof, dedupe, jsonpath, multimodal, sessionize, similarity, skew, text  # noqa: F401
+from . import (  # noqa: F401
+    asof,
+    decontaminate,
+    dedupe,
+    jsonpath,
+    multimodal,
+    sessionize,
+    similarity,
+    skew,
+    text,
+)

@@ -1,0 +1,72 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with a (much smaller) evaluation/benchmark corpus.
+
+The standard LLM-training hygiene step (GPT-3 appendix-C style n-gram
+overlap): any training doc containing an 8-gram that also appears in an eval
+document is contaminated and must be dropped or audited before training.
+
+Scale shape — this is the part that matters at 100 TB:
+
+* the eval side is tiny (benchmarks are MBs, the corpus is TBs), so its
+  distinct-gram set is **broadcast**; the corpus side is a map-only
+  explode → broadcast-hash semi-join — the 100 TB scan never shuffles;
+* gram posting lists stay ``(id, gram)`` pairs only as long as the join
+  needs them; the output is one row per contaminated doc;
+* counts are per-doc ``count(*)`` over the broadcast join output — a single
+  hash aggregation keyed on doc id (uniform, no skew handling needed).
+
+Reference analog: PipeFlow has no decontamination surface; nearest is the
+``Filter``/``RemoveDuplicates`` composition (``PipeFlow/Pipeline.cs:60-84``).
+This is part of the training-data extension surface mandated by the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedupe import gram_table
+
+
+def eval_gram_set(eval_df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """Distinct word ``n``-grams of the eval corpus as a one-column frame
+    ``(g)`` — the broadcast side."""
+    return (
+        gram_table(eval_df, text_col, id_col, n=n)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+
+
+def contaminated_docs(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """``(doc_id, shared_grams)`` for every training doc sharing ≥1 distinct
+    word ``n``-gram with any eval doc.  ``shared_grams`` counts *distinct*
+    overlapping grams (gram_table already dedupes per doc)."""
+    evset = eval_gram_set(eval_df, text_col, id_col, n=n)
+    posting = gram_table(train_df, text_col, id_col, n=n).select(
+        F.col("id").alias(id_col), F.explode("grams").alias("g")
+    )
+    return (
+        posting.join(F.broadcast(evset), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("shared_grams"))
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """The filtering form: training docs with ZERO eval overlap (left-anti
+    broadcast join on the contaminated id set)."""
+    bad = contaminated_docs(train_df, eval_df, text_col, id_col, n=n).select(id_col)
+    return train_df.join(F.broadcast(bad), id_col, "left_anti")

@@ -114,6 +114,67 @@ def add_rolling_fingerprint(
     )
 
 
+# -- PII redaction -----------------------------------------------------------
+#
+# Ordered (pattern, token) rules; order matters (SSN before generic phone so
+# ddd-dd-dddd is not half-eaten by a later rule).  Patterns are deliberately
+# RE2-safe (no backreferences/lookaround) so the DuckDB oracle can run the
+# exact same strings with the 'g' flag; Spark's regexp_replace is
+# replace-all by default.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Chained regexp_replace over :data:`PII_RULES` — pure JVM Column
+    algebra, one projection, no Python per row.  At 100 TB this is a
+    map-only stage: no shuffle, pipelined into whatever scan feeds it."""
+    out = col
+    for pattern, token in PII_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """Per-rule match counts (pre-redaction), aliased ``n_email/n_ssn/
+    n_phone/n_ip`` — the audit columns a redaction pipeline reports."""
+    names = ("n_email", "n_ssn", "n_phone", "n_ip")
+    return [
+        F.regexp_count(col, F.lit(p)).alias(a) for (p, _), a in zip(PII_RULES, names, strict=True)
+    ]
+
+
+# -- intra-document repetition ----------------------------------------------
+
+
+def repetition_score(toks: Column, n: int = 3) -> Column:
+    """Fraction of repeated word ``n``-grams in a doc: ``1 − |distinct
+    grams| / |grams|`` — the classic boilerplate/spam signal (high for
+    "foo bar foo bar …" churn).  ``toks`` must be a materialized token-array
+    column (tokenize once per row; HOF lambdas evaluate interpreted per
+    element, see :func:`..operators.dedupe.gram_table`)."""
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.round(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6)
+
+
+def add_repetition_score(
+    df: DataFrame, text_col: str = "text", out: str = "rep_score", n: int = 3
+) -> DataFrame:
+    """Two-step projection: normalize+split into a real column, then score."""
+    return (
+        df.withColumn("__toks", F.split(normalize_text(F.col(text_col)), WHITESPACE))
+        .withColumn(out, repetition_score(F.col("__toks"), n))
+        .drop("__toks")
+    )
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile: token counts, language, quality, fingerprint."""
     c = F.col(text_col)

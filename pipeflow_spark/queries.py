@@ -20,10 +20,19 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import asof, dedupe, multimodal, sessionize, similarity, skew, text
+from .operators import (
+    asof,
+    decontaminate,
+    dedupe,
+    multimodal,
+    sessionize,
+    similarity,
+    skew,
+    text,
+)
 from .pipeline import Pipeline
 from .session import load_table
 from .validation import ValidationStrategy, Validator
@@ -163,6 +172,56 @@ def q5_local_supplier_volume(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           round(c_acctbal, 4) AS acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item revenue by customer): lineitem→orders
+    shuffle join on the date-pruned orders side, nation broadcast, customer
+    joined post-agg-input — agg keys include the customer attributes so the
+    groupBy stays one shuffle; top-k via TakeOrderedAndProject."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
     )
 
 
@@ -780,6 +839,153 @@ def quality_histogram(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
+
+
+# PII oracle pieces are generated from text.PII_RULES so both engines run
+# byte-identical regex strings (RE2-safe: no backreferences/lookaround).
+_PII_ALIASES = ("n_email", "n_ssn", "n_phone", "n_ip")
+_PII_RAW_SQL = """
+      text || ' contact user' || (doc_id % 97)::VARCHAR || '@mail'
+           || (doc_id % 7)::VARCHAR || '.example.com'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                        || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                        || ((doc_id * 7) % 256)::VARCHAR
+                   ELSE '' END
+"""
+
+
+def _pii_oracle_sql() -> str:
+    redacted = "raw"
+    for pat, tok in text.PII_RULES:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{tok}', 'g')"
+    counts = ",\n           ".join(
+        f"length(regexp_extract_all(raw, '{pat}')) AS {alias}"
+        for (pat, _), alias in zip(text.PII_RULES, _PII_ALIASES)
+    )
+    return f"""
+    WITH raw_docs AS (SELECT doc_id, {_PII_RAW_SQL} AS raw FROM documents)
+    SELECT doc_id, {redacted} AS redacted,
+           {counts}
+    FROM raw_docs ORDER BY doc_id
+    """
+
+
+def _pii_raw_column() -> Column:
+    """Spark twin of ``_PII_RAW_SQL``: the corpus text plus a deterministic
+    doc_id-derived contact line (the testdata corpus itself contains no PII;
+    deriving the fixture from the table keeps the 'no synthesized inputs'
+    rule while giving the redactor real matches)."""
+    did = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad(s(did % 1000), 3, "0"),
+        F.lit("-"),
+        F.lpad(s(did % 10000), 4, "0"),
+    )
+    ssn = F.concat(F.lit(" ssn 123-45-"), F.lpad(s(did % 10000), 4, "0"))
+    ip = F.concat(F.lit(" from 10.0."), s(did % 256), F.lit("."), s((did * 7) % 256))
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        s(did % 97),
+        F.lit("@mail"),
+        s(did % 7),
+        F.lit(".example.com"),
+        F.when(did % 3 == 0, phone).otherwise(F.lit("")),
+        F.when(did % 5 == 0, ssn).otherwise(F.lit("")),
+        F.when(did % 2 == 0, ip).otherwise(F.lit("")),
+    )
+
+
+@register("pii_redaction", _pii_oracle_sql())
+def pii_redaction(spark, sf_dir):
+    """PII scrub for training corpora: chained regexp_replace (email → SSN →
+    phone → IPv4) plus per-rule audit counts.  Map-only JVM stage — at
+    100 TB this pipelines into the scan with no shuffle; the rules list is
+    the single source of truth for both engines."""
+    raw = F.col("__raw")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _pii_raw_column().alias("__raw"))
+        .select(
+            "doc_id",
+            text.redact_pii(raw).alias("redacted"),
+            *text.pii_counts(raw),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "repetition_profile",
+    """
+    WITH toked AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                            i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS gs
+      FROM toked
+    )
+    SELECT doc_id, round(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 6) AS rep3
+    FROM g ORDER BY doc_id
+    """,
+)
+def repetition_profile(spark, sf_dir):
+    """Intra-document repetition (1 − distinct/total word 3-grams): the
+    boilerplate/spam-churn quality signal.  Tokenize-once projection, then
+    pure Column algebra — no shuffle, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    return text.add_repetition_score(d, "text", out="rep3", n=3).select("doc_id", "rep3").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "decontaminate_ngram",
+    """
+    WITH toked AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]))) AS gs
+      FROM toked
+    ), ev AS (
+      SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id < 50
+    ), tr AS (
+      SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id >= 50
+    )
+    SELECT doc_id, count(*) AS shared_grams
+    FROM tr JOIN ev USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C style 8-gram overlap):
+    docs 0-49 stand in as the eval/benchmark set, the rest as the training
+    corpus.  Eval gram set is broadcast — the corpus side is a map-only
+    explode + broadcast semi-join, so the 100 TB scan never shuffles; the
+    per-doc count is one uniform hash agg."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") < 50)
+    tr = d.filter(F.col("doc_id") >= 50)
+    return decontaminate.contaminated_docs(tr, ev, n=8).orderBy("doc_id")
 
 
 @register(

@@ -9,7 +9,16 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from pipeflow_spark.operators import asof, dedupe, multimodal, sessionize, similarity, skew, text
+from pipeflow_spark.operators import (
+    asof,
+    decontaminate,
+    dedupe,
+    multimodal,
+    sessionize,
+    similarity,
+    skew,
+    text,
+)
 
 
 # -- text ---------------------------------------------------------------------
@@ -418,3 +427,56 @@ def test_connected_components_order_invariant(spark):
     pairs = spark.createDataFrame([(9, 5), (5, 7), (8, 9)], "id_a bigint, id_b bigint")
     comp = {r.node: r.component for r in dedupe.connected_components(pairs).collect()}
     assert comp == {5: 5, 7: 5, 8: 5, 9: 5}
+
+
+# -- PII redaction / repetition / decontamination ---------------------------
+
+
+def test_redact_pii_removes_all_rule_matches(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.co.uk now"),
+            (2, "ssn 123-45-6789 phone 555-123-4567"),
+            (3, "server at 192.168.0.1 up"),
+            (4, "clean text, no pii at all"),
+        ],
+        "id int, text string",
+    )
+    out = df.select("id", text.redact_pii(F.col("text")).alias("red"), *text.pii_counts(F.col("text")))
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].red == "mail <EMAIL> now" and rows[1].n_email == 1
+    assert rows[2].red == "ssn <SSN> phone <PHONE>"
+    assert (rows[2].n_ssn, rows[2].n_phone) == (1, 1)
+    assert rows[3].red == "server at <IP> up" and rows[3].n_ip == 1
+    assert rows[4].red == rows[4]["red"] == "clean text, no pii at all"
+    # residual scan: no rule matches anything post-redaction
+    residual = df.select(text.redact_pii(F.col("text")).alias("red")).select(
+        *[F.regexp_count("red", F.lit(p)).alias(a) for (p, _), a in zip(text.PII_RULES, ("a", "b", "c", "d"))]
+    ).agg(F.sum(F.expr("a + b + c + d")).alias("n")).first()
+    assert residual.n == 0
+
+
+def test_repetition_score_bounds_and_signal(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c a b c"), (2, "one two three four five six")],
+        "id int, text string",
+    )
+    out = {r.id: r.rep for r in text.add_repetition_score(df, "text", out="rep").collect()}
+    # doc 1: 10 3-grams, only 3 distinct ("a b c","b c a","c a b") -> 0.7
+    assert abs(out[1] - 0.7) < 1e-9
+    assert out[2] == 0.0
+
+
+def test_decontaminate_removes_all_overlap(spark, sf_dir):
+    from pipeflow_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 50)
+    tr = docs.filter(F.col("doc_id") >= 50)
+    flagged = decontaminate.contaminated_docs(tr, ev, n=8)
+    clean = decontaminate.decontaminate(tr, ev, n=8)
+    # flagged ∪ clean partitions the train set; clean has zero residual overlap
+    assert flagged.count() + clean.count() == tr.count()
+    assert decontaminate.contaminated_docs(clean, ev, n=8).count() == 0
+    # every flagged doc really shares >=1 distinct 8-gram
+    assert flagged.filter(F.col("shared_grams") < 1).count() == 0
