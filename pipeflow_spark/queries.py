@@ -28,6 +28,7 @@ from .operators import (
     decontaminate,
     dedupe,
     multimodal,
+    sampling,
     sessionize,
     similarity,
     skew,
@@ -986,6 +987,113 @@ def decontaminate_ngram(spark, sf_dir):
     ev = d.filter(F.col("doc_id") < 50)
     tr = d.filter(F.col("doc_id") >= 50)
     return decontaminate.contaminated_docs(tr, ev, n=8).orderBy("doc_id")
+
+
+# Deterministic-sampling oracle fragments share the Column definitions'
+# single source of truth (bucket fn + mixture rates) via generated SQL.
+_MIX_RATES = {f"src{i}": (1.0 if i < 5 else 0.5 if i < 10 else 0.2) for i in range(20)}
+
+
+def _mix_rate_case_sql() -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX_RATES.items())
+    return f"CASE source {whens} ELSE 0 END"
+
+
+@register(
+    "split_train_val",
+    f"""
+    SELECT CASE WHEN {sampling.hash_bucket_sql("doc_id")} < 10 THEN 'val' ELSE 'train' END AS split,
+           count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def split_train_val(spark, sf_dir):
+    """Reproducible train/val split by id-hash bucket: the same doc lands in
+    the same split on any cluster size or partition layout (unlike seeded
+    ``sample``).  Map-only filter + one small agg."""
+    d = sampling.add_split(_t(spark, sf_dir, "documents"), val_pct=10)
+    return (
+        d.groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "corpus_mixture",
+    f"""
+    SELECT source, count(*) AS n_kept
+    FROM documents
+    WHERE {sampling.hash_bucket_sql("doc_id")} < ({_mix_rate_case_sql()}) * 100
+    GROUP BY source ORDER BY source
+    """,
+)
+def corpus_mixture(spark, sf_dir):
+    """Deterministic source-mixture downsampling (keep-rate per source —
+    'mix 5 parts web, 1 part low-quality'): hash-bucket filter, stable
+    across reruns/epochs/cluster sizes, no shuffle before the count."""
+    kept = sampling.mixture_filter(
+        _t(spark, sf_dir, "documents"), "source", _MIX_RATES, id_col="doc_id"
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept")).orderBy("source")
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars, (doc_id % 8)::INT AS shard FROM documents
+    ), c AS (
+      SELECT doc_id, shard,
+             (sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id) - n_chars)::BIGINT AS start_tok
+      FROM s
+    )
+    SELECT doc_id, shard,
+           (start_tok // 4096)::BIGINT AS seq_in_shard,
+           (start_tok % 4096)::BIGINT AS "offset"
+    FROM c ORDER BY doc_id
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """GPT-style concatenate-and-chunk packing: each doc gets the training
+    sequence + offset where its first token lands (budget 4096, n_chars as
+    the token proxy).  Sharded windows (``id % 8``) — per-shard sorts run in
+    parallel, no global sort at 100 TB."""
+    out = sampling.pack_sequences(
+        _t(spark, sf_dir, "documents"), token_col="n_chars", budget=4096, shards=8
+    )
+    return out.select("doc_id", "shard", "seq_in_shard", "offset").orderBy("doc_id")
+
+
+@register(
+    "user_event_paths",
+    """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           count(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_event_paths(spark, sf_dir):
+    """Transcript assembly: collapse each user's event stream into one
+    ordered path string (the batch shape of per-conversation turn
+    concatenation for training-example building).  ``collect_list`` of
+    (ts, event_id, type) structs → ``array_sort`` (ties broken by unique
+    event_id) → join — one shuffle on the group key, order restored
+    deterministically inside each group, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
 
 
 @register(

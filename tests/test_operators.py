@@ -14,6 +14,7 @@ from pipeflow_spark.operators import (
     decontaminate,
     dedupe,
     multimodal,
+    sampling,
     sessionize,
     similarity,
     skew,
@@ -480,3 +481,45 @@ def test_decontaminate_removes_all_overlap(spark, sf_dir):
     assert decontaminate.contaminated_docs(clean, ev, n=8).count() == 0
     # every flagged doc really shares >=1 distinct 8-gram
     assert flagged.filter(F.col("shared_grams") < 1).count() == 0
+
+
+# -- deterministic sampling / split / mixture / packing ---------------------
+
+
+def test_hash_split_partitions_and_is_stable(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.add_split(docs, val_pct=10)
+    n = docs.count()
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n and set(counts) <= {"train", "val"}
+    assert 0 < counts.get("val", 0) < n / 3  # ~10% of buckets, loose bound
+    # same rows land in the same split on a different partition layout
+    again = sampling.add_split(docs.repartition(7), val_pct=10)
+    assert out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+
+
+def test_mixture_filter_rates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = docs.filter(F.col("source") == "src0").count()
+    kept = sampling.mixture_filter(docs, "source", {"src0": 1.0})
+    assert kept.filter(F.col("source") == "src0").count() == full  # rate 1.0 keeps all
+    assert kept.filter(F.col("source") != "src0").count() == 0  # unlisted sources drop
+    assert sampling.mixture_filter(docs, "source", {"src0": 0.0}).count() == 0
+
+
+def test_pack_sequences_layout_invariants(spark):
+    rows = [(i, 1000 + (i * 37) % 500) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+    out = sampling.pack_sequences(df, "n_tok", budget=2048, shards=4).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rs in by_shard.items():
+        expect_start = 0
+        for r in rs:
+            assert r.doc_id % 4 == shard
+            assert r.start_tok == expect_start  # exact concatenation layout
+            assert r.seq_in_shard == expect_start // 2048
+            assert r.offset == expect_start % 2048 and 0 <= r.offset < 2048
+            expect_start += r.n_tok
