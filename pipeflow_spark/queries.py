@@ -731,6 +731,55 @@ def sessionize_events(spark, sf_dir):
     return sessionize.session_stats(ev, "user_id", "ts", gap_sec=1800).orderBy("user_id", "session_id")
 
 
+def _ordered_path(sep: str = ">") -> Column:
+    """Deterministic per-group event-path assembly: collect (ts, event_id,
+    type) structs, array_sort (lexicographic struct order = ts then the
+    unique event_id tie-break), project the type, join.  The shuffle carries
+    only the three narrow columns."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        sep,
+    )
+
+
+@register(
+    "session_transcripts",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id < 200
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS transcript,
+           count(*) AS n_turns
+    FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def session_transcripts(spark, sf_dir):
+    """Per-session transcript assembly (the batch backfill shape of building
+    training examples from conversation turns): gap-sessionize, then one
+    ordered concat per session — sessionize's key shuffle is reused by the
+    groupBy (same key prefix), order restored deterministically in-group."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    s = sessionize.sessionize(ev, "user_id", "ts", gap_sec=1800, order_tiebreak=["event_id"])
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(_ordered_path().alias("transcript"), F.count("*").alias("n_turns"))
+        .orderBy("user_id", "session_id")
+    )
+
+
 @register(
     "salted_agg_events",
     """
@@ -1763,6 +1812,59 @@ def stream_events_session_oracle(spark, sf_dir):
         _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
         .filter(F.col("user_id") != -1)
         .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "stream_events_transcripts_oracle",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS transcript,
+           count(*) AS n_turns
+    FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+)
+def stream_events_transcripts_oracle(spark, sf_dir):
+    """Streaming transcript assembly — the north star's 'build training
+    examples from transcript streams' op: session_window (30-min gap) whose
+    aggregate is the full ordered event path (collect_list structs →
+    array_sort → join), emitted exactly-once when the watermark closes the
+    session; committed snapshot must equal the gaps-and-islands batch SQL
+    (``>=`` gap, session_window merge semantics — see
+    stream_events_session_oracle)."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_tx_")
+    src = _events_stream_source(spark, sf_dir, work)
+    sp = StreamingPipeline(
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(_ordered_path().alias("transcript"), F.count("*").alias("n_turns"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "transcript", "n_turns")
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("user_id") != -1)
+        .select("user_id", "session_start", "transcript", "n_turns")
         .orderBy("user_id", "session_start")
     )
     rows, schema = out.collect(), out.schema

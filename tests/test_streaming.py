@@ -414,3 +414,46 @@ def test_transform_with_state_gated(spark, clean_dir):
     out = sp.transform_with_state(["conv_id"], ToolLoopDetector(2), TOOL_LOOP_OUTPUT_SCHEMA)
     _run_to_memory(out, "tool_loops_v2", expected_input_rows=len(pdf) + 1)
     assert spark.sql("SELECT * FROM tool_loops_v2").count() > 0
+
+
+def test_stream_transcript_assembly_matches_batch(spark, clean_dir):
+    """North-star check: assemble each conversation session's full ordered
+    turn text in the stream (session_window whose aggregate is the ordered
+    text concat) and compare per-turn-text-equal against an independent
+    pandas gaps-and-islands build (same >= gap merge rule as session_window)."""
+    src, pdf = clean_dir
+    gap_min = 30
+    assembled = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "turn_idx", "text"))),
+            lambda x: x["text"],
+        ),
+        "\n",
+    )
+    df = (
+        StreamingPipeline.read_transcripts(spark, src)
+        .with_watermark("ts", "0 seconds")
+        .df.groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"), "conv_id")
+        .agg(assembled.alias("transcript"), F.count("*").alias("n_turns"))
+        .select("conv_id", F.col("w.start").alias("ws"), "transcript", "n_turns")
+    )
+    _run_to_memory(StreamingPipeline(df), "tx_assembly", expected_input_rows=len(pdf) + 1)
+    got = {
+        (r.conv_id, r.ws): r.transcript
+        for r in spark.sql("SELECT * FROM tx_assembly").collect()
+        if r.conv_id != SENTINEL_CONV
+    }
+    exp = {}
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["ts", "turn_idx"])
+        start, texts, last = None, [], None
+        for ts, text_ in zip(g.ts, g.text):
+            if last is not None and (ts - last).total_seconds() >= gap_min * 60:
+                exp[(conv, start.to_pydatetime())] = "\n".join(texts)
+                start, texts = None, []
+            if start is None:
+                start = ts
+            texts.append(text_)
+            last = ts
+        exp[(conv, start.to_pydatetime())] = "\n".join(texts)
+    assert got == exp
