@@ -46,6 +46,9 @@ HEADLINE = [
     "json_path_props",
     "embed_cosine_topk",
     "embed_ivf_topk",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "session_transcripts",
 ]
 
 

@@ -31,8 +31,10 @@ from .dedupe import gram_table
 def eval_gram_set(eval_df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8) -> DataFrame:
     """Distinct word ``n``-grams of the eval corpus as a one-column frame
     ``(g)`` — the broadcast side."""
+    from ..session import spread
+
     return (
-        gram_table(eval_df, text_col, id_col, n=n)
+        gram_table(spread(eval_df), text_col, id_col, n=n)
         .select(F.explode("grams").alias("g"))
         .distinct()
     )
@@ -47,13 +49,24 @@ def contaminated_docs(
 ) -> DataFrame:
     """``(doc_id, shared_grams)`` for every training doc sharing ≥1 distinct
     word ``n``-gram with any eval doc.  ``shared_grams`` counts *distinct*
-    overlapping grams (gram_table already dedupes per doc)."""
-    evset = eval_gram_set(eval_df, text_col, id_col, n=n)
-    posting = gram_table(train_df, text_col, id_col, n=n).select(
-        F.col("id").alias(id_col), F.explode("grams").alias("g")
+    overlapping grams (gram_table already dedupes per doc).
+
+    Both sides join on ``xxhash64(gram)`` instead of the ~n·6-byte gram
+    string: the broadcast table and the corpus-side probe keys shrink to
+    8 bytes each, and string equality becomes long equality in codegen.  A
+    collision would need two distinct grams at the same 64-bit hash *with
+    one on each side* — ≈ |eval|·|corpus| / 2⁶⁴, vanishing at any real
+    eval-set size."""
+    from ..session import spread
+
+    evset = eval_gram_set(eval_df, text_col, id_col, n=n).select(
+        F.xxhash64("g").alias("gh")
     )
+    posting = gram_table(spread(train_df), text_col, id_col, n=n).select(
+        F.col("id").alias(id_col), F.explode("grams").alias("g")
+    ).select(id_col, F.xxhash64("g").alias("gh"))
     return (
-        posting.join(F.broadcast(evset), "g")
+        posting.join(F.broadcast(evset), "gh")
         .groupBy(id_col)
         .agg(F.count("*").alias("shared_grams"))
     )

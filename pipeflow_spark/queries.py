@@ -227,6 +227,111 @@ def q10_returned_items(spark, sf_dir):
 
 
 @register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion revenue share): conditional aggregation over
+    a join — the CASE folds into the partial agg, so the join output never
+    materializes per-branch; the date filter pushes to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 4) AS totalprice, round(sum(l_quantity), 4) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the IN/HAVING subquery is a
+    pre-aggregated key set left-semi-joined to orders — at scale the key set
+    is tiny (quantity>300 orders are rare), so it broadcasts and the big
+    lineitem re-join only touches surviving orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive multi-column predicates): Catalyst
+    extracts the common single-side conjuncts from the OR — the part scan
+    prunes to the three brands, lineitem to the quantity hull — before the
+    join evaluates the full disjunction."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & (q >= 1) & (q <= 20))
+        | ((b == "Brand#2") & s.between(10, 30) & (q >= 10) & (q <= 30))
+        | ((b == "Brand#3") & s.between(20, 50) & (q >= 20) & (q <= 40))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+@register(
     "filter_project",
     """
     SELECT event_id, user_id, round(value * 100.0, 4) AS value_pct
