@@ -117,3 +117,38 @@ def test_unpivot_is_narrow_expand(spark, sf_dir):
     # exactly the aggregate's one shuffle (the sort's rangepartitioning
     # exchange is the orderBy terminal, not the unpivot)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q19_pushes_common_disjunct_conjuncts(spark, sf_dir):
+    """Catalyst must extract the brand set and quantity hull from the OR and
+    push them into the part/lineitem scans — the disjunction alone would scan
+    everything."""
+    plan = _plan(QUERIES["q19_disjunctive_predicates"][0](spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")  # one section per scan
+    assert any("p_brand" in s[:400] for s in pushed[1:]), "brand disjunct not pushed to part scan"
+    assert any("l_quantity" in s[:400] for s in pushed[1:]), "quantity hull not pushed to lineitem scan"
+
+
+def test_q18_semi_join_broadcasts_key_set(spark, sf_dir):
+    """The IN/HAVING key set (rare orders) must broadcast into a left-semi
+    hash join, not shuffle the orders table."""
+    plan = _plan(QUERIES["q18_large_volume_orders"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-gram set must broadcast; the corpus side must stay map-only
+    up to the join (no shuffle of the exploded posting list before it)."""
+    plan = _plan(QUERIES["decontaminate_ngram"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redaction_jvm_only_map_only(spark, sf_dir):
+    """The chained regexp_replace redactor is plain JVM projection work — no
+    Python eval node anywhere, and no hash shuffle before the terminal sort
+    (the only exchange is the orderBy's range partitioning)."""
+    plan = _plan(QUERIES["pii_redaction"][0](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "regexp_replace" in plan
