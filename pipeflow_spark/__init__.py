@@ -63,6 +63,33 @@ class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
         return Pipeline(reader.json(path))
 
     @staticmethod
+    def orc(spark, path: str, **options) -> Pipeline:
+        """ORC — columnar like parquet (predicate pushdown, column pruning,
+        vectorized scan all apply); built into Spark."""
+        return Pipeline(spark.read.options(**options).orc(path))
+
+    @staticmethod
+    def text(spark, path: str, whole_text: bool = False, **options) -> Pipeline:
+        """Line-per-row text (column ``value``); ``whole_text=True`` reads one
+        row per file (small-corpus document ingestion)."""
+        return Pipeline(spark.read.options(wholetext=whole_text, **options).text(path))
+
+    @staticmethod
+    def avro(spark, path: str, **options) -> Pipeline:
+        """Avro — row format for streaming interchange.  The ``spark-avro``
+        module is external since Spark 2.4; without the jar on the classpath
+        this raises with the spark-submit flag to add."""
+        try:
+            return Pipeline(spark.read.format("avro").options(**options).load(path))
+        except Exception as ex:  # AnalysisException: data source not found
+            if "avro" in str(ex).lower():
+                raise RuntimeError(
+                    "spark-avro is not on the classpath; launch with "
+                    "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+                ) from ex
+            raise
+
+    @staticmethod
     def jdbc(spark, url: str, table: str, **options) -> Pipeline:
         return Pipeline(spark.read.format("jdbc").options(url=url, dbtable=table, **options).load())
 

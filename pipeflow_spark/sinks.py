@@ -113,6 +113,31 @@ class write:  # noqa: N801 — fluent exit, mirrors reference `.ToCsv/.ToJson/..
             w = w.partitionBy(*partition_by)
         w.parquet(path)
 
+    @staticmethod
+    def orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(path)
+
+    @staticmethod
+    def text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+        """Single string column → one line per row."""
+        df.write.mode(mode).text(path)
+
+    @staticmethod
+    def avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+        """Gated like :meth:`read.avro` — external module since Spark 2.4."""
+        try:
+            df.write.mode(mode).format("avro").save(path)
+        except Exception as ex:
+            if "avro" in str(ex).lower():
+                raise RuntimeError(
+                    "spark-avro is not on the classpath; launch with "
+                    "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+                ) from ex
+            raise
+
 
 _CURRENT = "_CURRENT"
 

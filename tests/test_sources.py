@@ -176,3 +176,45 @@ def test_mongo_read_raises_without_connector(spark):
 
     with _pytest.raises(Exception, match="(?i)mongodb|data.?source|failed to find"):
         read.mongodb(spark, "mongodb://h:27017", "db", "coll")
+
+
+# -- ORC / text / Avro formats -------------------------------------------------
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from pipeflow_spark import read
+    from pipeflow_spark.sinks import write
+
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    write.orc(src, path)
+    back = read.orc(spark, path).df
+    assert sorted(back.collect()) == sorted(src.collect())
+    assert back.schema == src.schema
+    # columnar scan: filter pushes into the ORC reader like parquet
+    plan = back.filter(back.n_regionkey == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_regionkey" in plan.split("PushedFilters")[1][:120]
+
+
+def test_text_roundtrip(spark, tmp_path):
+    from pipeflow_spark import read
+    from pipeflow_spark.sinks import write
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame([("line one",), ("line two",), ("line three",)], "value string")
+    path = str(tmp_path / "txt")
+    write.text(src, path)
+    back = read.text(spark, path).df
+    assert sorted(r.value for r in back.collect()) == ["line one", "line three", "line two"]
+
+
+def test_avro_gated_with_clear_error(spark, tmp_path):
+    import pytest as _pytest
+
+    from pipeflow_spark import read
+    from pipeflow_spark.sinks import write
+
+    df = spark.range(3)
+    with _pytest.raises(RuntimeError, match="spark-avro"):
+        write.avro(df, str(tmp_path / "a"))
+    with _pytest.raises(RuntimeError, match="spark-avro"):
+        read.avro(spark, str(tmp_path / "a"))
