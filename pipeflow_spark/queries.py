@@ -996,6 +996,72 @@ def quality_histogram(spark, sf_dir):
     )
 
 
+_QUALITY_SQL = """
+      0.4 * (length(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / greatest(length(text), 1))
+    + 0.3 * least(length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|you|that|it|for)\\b')) * 1.0
+                  / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 1.0)
+    + 0.2 * least(length(text) / 500.0, 1.0)
+    + 0.1 * (1 - length(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) * 1.0 / greatest(length(text), 1))
+"""
+
+
+@register(
+    "uniform_sample_topk",
+    """
+    SELECT doc_id, source FROM documents
+    ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 25
+    """,
+)
+def uniform_sample_topk(spark, sf_dir):
+    """Deterministic uniform sample: order by id-hash, take k.  Unlike
+    ``sample(fraction)`` the result is exactly k rows and identical on any
+    cluster/partition layout; plans as TakeOrderedAndProject (per-partition
+    top-k then a k-row merge — no global sort at 100 TB)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(25)
+    )
+
+
+@register(
+    "corpus_report",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END), 4) AS avg_tokens,
+           round(avg(round({_QUALITY_SQL}, 6)), 4) AS avg_quality,
+           CAST(count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS BIGINT) AS n_exact_dups
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def corpus_report(spark, sf_dir):
+    """Per-source corpus report card (the dataset-health dashboard a curation
+    pipeline publishes): doc counts, token mass, quality, exact-dup counts —
+    one scan, one hash agg; the dup count is count − distinct-fingerprint
+    inside the same agg (no second shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (
+        d.select(
+            "source",
+            text.token_count(c).alias("__tok"),
+            text.quality_score(c).alias("__q"),
+            text.fingerprint(c).alias("__fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("__tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("__q"), 4).alias("avg_quality"),
+            (F.count("*") - F.countDistinct("__fp")).alias("n_exact_dups"),
+        )
+        .orderBy("source")
+    )
+
+
 # PII oracle pieces are generated from text.PII_RULES so both engines run
 # byte-identical regex strings (RE2-safe: no backreferences/lookaround).
 _PII_ALIASES = ("n_email", "n_ssn", "n_phone", "n_ip")
