@@ -457,3 +457,31 @@ def test_stream_transcript_assembly_matches_batch(spark, clean_dir):
             last = ts
         exp[(conv, start.to_pydatetime())] = "\n".join(texts)
     assert got == exp
+
+
+def test_mixture_filter_execution_mode_invariant(spark, tmp_path):
+    """Deterministic hash sampling must select the SAME rows in a stream as
+    in batch (map-only, layout-independent) — the property that lets one
+    mixture definition serve backfill and live ingestion."""
+    from pipeflow_spark.operators import sampling
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_stream")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    rates = {f"src{i}": (1.0 if i < 5 else 0.3) for i in range(20)}
+    stream = spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sampling.mixture_filter(stream, "source", rates)
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("mix_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM mix_stream").collect())
+    expect = sorted(
+        r.doc_id for r in sampling.mixture_filter(batch, "source", rates).select("doc_id").collect()
+    )
+    assert got == expect and 0 < len(got) < batch.count()
