@@ -228,6 +228,18 @@ class Pipeline:
 
         return self._wrap(self._df.mapInPandas(_op, schema=schema))
 
+    def transform_arrow(self, fn, schema: str) -> "Pipeline":
+        """Arbitrary transform on raw ``pyarrow.RecordBatch`` iterators
+        (``mapInArrow``) — skips the Arrow→pandas conversion entirely, the
+        cheapest Python hop for transforms that operate on Arrow buffers
+        (tokenizer kernels, binary payloads).  ``fn(batch) -> RecordBatch``."""
+
+        def _op(it):
+            for batch in it:
+                yield fn(batch)
+
+        return self._wrap(self._df.mapInArrow(_op, schema=schema))
+
     # -- batching / parallelism (reference: PipeFlow.cs:198-216) ------------
     def batch(self, _batch_size: int) -> "Pipeline":
         """``Batch(n)`` — PipeFlow.cs:206-216 chunks then flattens: a

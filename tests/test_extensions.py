@@ -159,3 +159,24 @@ def test_unpivot_roundtrip(spark):
     assert [(r.k, r.quarter, r.v) for r in out] == [
         ("a", "q1", 1.0), ("a", "q2", 2.0), ("b", "q1", 3.0), ("b", "q2", None),
     ]
+
+
+def test_transform_arrow_roundtrip(spark):
+    """mapInArrow path: compute over raw RecordBatches (no pandas hop) and
+    match the Column-algebra result."""
+    import pyarrow as pa
+
+    from pipeflow_spark import Pipeline
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).selectExpr("id", "cast(id * 2 as double) AS v")
+
+    def double_v(batch: pa.RecordBatch) -> pa.RecordBatch:
+        v = pa.compute.multiply(batch.column("v"), pa.scalar(3.0))
+        return pa.RecordBatch.from_arrays([batch.column("id"), v], ["id", "v3"])
+
+    got = (
+        Pipeline(df).transform_arrow(double_v, "id long, v3 double").df.orderBy("id").collect()
+    )
+    expect = df.select("id", (F.col("v") * 3.0).alias("v3")).orderBy("id").collect()
+    assert got == expect
