@@ -136,12 +136,20 @@ def bench_stream(spark) -> dict[str, float]:
 def main() -> None:
     from pipeflow_spark.session import get_spark
 
+    # host-contention gauge before/after (tools/cpu_gauge.py): ~1.0 = quiet,
+    # ≤0.9 = a hypervisor steal window was open and every number understates
+    # the engine (identical runs have measured 4–10× apart on this host).
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from cpu_gauge import gauge
+
+    gauge_before = gauge()
     spark = get_spark("pipeflow_bench", cpus=CPUS, shuffle_partitions=CPUS)
     # warm the JVM/codegen path so timings measure the engine, not startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
     queries = bench_batch(spark)
     stream = bench_stream(spark)
+    gauge_after = gauge()
     # suite value = sum of per-query bests + stream wall, so the headline is
     # the same statistic as its parts (a raw wall-clock total would double
     # count the best-of-2 re-runs)
@@ -157,6 +165,7 @@ def main() -> None:
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "stream": stream,
+                "host_gauge": {"before": gauge_before, "after": gauge_after},
             }
         )
     )
