@@ -1597,6 +1597,26 @@ def percentiles_by_type(spark, sf_dir):
     )
 
 
+@register(
+    "distinct_users_exact",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def distinct_users_exact(spark, sf_dir):
+    """Exact distinct-count ground-truth twin of ``approx_distinct_users``:
+    two-phase plan (partial distinct per partition, final merge) — the HLL
+    sketch's accuracy bound is asserted against this in
+    ``tests/test_operators.py::test_approx_distinct_within_bound``."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 @register("approx_distinct_users", None)  # sketch (HLL++): rows-only driver check
 def approx_distinct_users(spark, sf_dir):
     """approx_count_distinct — the streaming/scale path where exact
