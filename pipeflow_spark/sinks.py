@@ -160,8 +160,45 @@ def _current_snapshot(table_path: str) -> str | None:
     return None
 
 
-def read_upsert_table(spark: SparkSession, table_path: str) -> DataFrame:
-    """Read the current committed snapshot of an :func:`upsert_parquet` table."""
+def snapshots(table_path: str) -> list[dict]:
+    """Committed-snapshot inventory of a pointer-file table, ascending by
+    version — the Iceberg ``table.snapshots()`` analog.  Only snapshots still
+    retained (``keep_snapshots``) are listed; each entry carries ``version``
+    (the monotonic sequence number), ``dir``, and ``is_current``."""
+    current = _current_snapshot(table_path)
+    out = []
+    if not os.path.isdir(table_path):
+        return out
+    for d in sorted(os.listdir(table_path)):
+        if not d.startswith("snapshot-"):
+            continue
+        full = os.path.join(table_path, d)
+        # a dir without _SUCCESS is an in-flight or crashed write, not a
+        # committed snapshot — never surface it to readers
+        if not os.path.isdir(full) or not os.path.exists(os.path.join(full, "_SUCCESS")):
+            continue
+        out.append(
+            {"version": int(d.split("-")[1]), "dir": full, "is_current": full == current}
+        )
+    return out
+
+
+def read_upsert_table(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
+    """Read a committed snapshot of an :func:`upsert_parquet` table.
+
+    ``version=None`` → the current pointer (default).  ``version=n`` → time
+    travel to snapshot ``n`` (Iceberg ``VERSION AS OF n``), readable as long
+    as it is still retained — raise ``keep_snapshots`` on the writer to keep
+    a deeper history."""
+    if version is not None:
+        for s in snapshots(table_path):
+            if s["version"] == version:
+                return spark.read.parquet(s["dir"])
+        raise FileNotFoundError(
+            f"snapshot version {version} not retained at {table_path} "
+            f"(have {[s['version'] for s in snapshots(table_path)]}); "
+            "increase keep_snapshots on the writer for deeper time travel"
+        )
     snap = _current_snapshot(table_path)
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
@@ -238,12 +275,15 @@ def upsert_parquet(
     with open(tmp, "w") as f:
         f.write(new_snap)
     os.rename(tmp, os.path.join(table_path, _CURRENT))  # the atomic commit
-    # snapshot expiry: keep the new snapshot and (for in-flight readers) the
-    # one the pointer referenced before the flip; everything else — older
-    # snapshots AND orphans from crashed writes — is expired.
-    keep = {new_snap}
-    if keep_snapshots > 1 and snap is not None and snap != table_path:
-        keep.add(os.path.basename(snap))
+    # snapshot expiry: retain the newest ``keep_snapshots`` snapshots (the
+    # new one plus history for in-flight readers and VERSION-AS-OF time
+    # travel); everything older — and orphans from crashed writes — expires.
+    committed = sorted(
+        d for d in os.listdir(table_path)
+        if d.startswith("snapshot-") and os.path.isdir(os.path.join(table_path, d))
+    )
+    keep = set(committed[-max(keep_snapshots, 1):])
+    keep.add(new_snap)
     for d in os.listdir(table_path):
         full = os.path.join(table_path, d)
         if d.startswith("snapshot-") and d not in keep:

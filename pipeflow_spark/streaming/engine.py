@@ -295,6 +295,55 @@ class StreamingPipeline:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def start_upsert(
+        self,
+        table_path: str,
+        keys: Sequence[str],
+        checkpoint_dir: str,
+        order_by: Sequence[str] | None = None,
+        keep_snapshots: int = 2,
+        output_mode: str = "update",
+        available_now: bool = True,
+        query_name: str = "pipeflow_stream_upsert",
+    ) -> StreamingQuery:
+        """CDC-style streaming MERGE: every micro-batch upserts into a
+        snapshot-pointer parquet table (``sinks.upsert_parquet`` — the
+        Iceberg ``MERGE INTO`` stand-in) keyed on ``keys``.
+
+        Exactly-once via idempotence rather than a ledger: re-merging a
+        replayed batch is a no-op — the same keys overwrite with the same
+        values (pass ``order_by`` so within-batch last-wins is deterministic,
+        e.g. the event-time column).  Each batch commit is one atomic pointer
+        flip, so readers always see a complete pre- or post-batch snapshot;
+        ``keep_snapshots`` deepens VERSION-AS-OF history.
+        """
+        from ..sinks import upsert_parquet
+
+        keys = list(keys)
+
+        def _merge(batch_df, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            upsert_parquet(
+                batch_df.sparkSession,
+                batch_df,
+                table_path,
+                keys,
+                do_update=True,
+                order_by=order_by,
+                keep_snapshots=keep_snapshots,
+            )
+
+        writer = (
+            self._df.writeStream.outputMode(output_mode)
+            .foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def start_memory(self, name: str, output_mode: str = "append") -> StreamingQuery:
         """Memory sink for tests."""
         return (

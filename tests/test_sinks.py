@@ -257,3 +257,72 @@ def test_jdbc_partition_options():
         jdbc_partition_options("ts", "2024-02-01", "2024-01-01")
     with pytest.raises(ValueError):
         jdbc_partition_options("id", 0, 1, num_partitions=0)
+
+
+# -- snapshot time travel + streaming upsert ---------------------------------
+
+def test_upsert_time_travel(spark, tmp_path):
+    from pipeflow_spark.sinks import read_upsert_table, snapshots, upsert_parquet
+
+    t = str(tmp_path / "tt")
+    for ver, val in enumerate(["a", "b", "c"], start=1):
+        df = spark.createDataFrame([(1, val), (ver, f"row{ver}")], "id long, v string")
+        upsert_parquet(spark, df, t, keys=["id"], keep_snapshots=3)
+    snaps = snapshots(t)
+    assert [s["version"] for s in snaps] == [1, 2, 3]
+    assert [s["is_current"] for s in snaps] == [False, False, True]
+    # VERSION AS OF: key 1 held 'a' at v1, 'b' at v2, 'c' now
+    assert {r.id: r.v for r in read_upsert_table(spark, t, version=1).collect()} == {1: "a"}
+    v2 = {r.id: r.v for r in read_upsert_table(spark, t, version=2).collect()}
+    assert v2 == {1: "b", 2: "row2"}
+    now = {r.id: r.v for r in read_upsert_table(spark, t).collect()}
+    assert now == {1: "c", 2: "row2", 3: "row3"}
+    # expiry honors keep_snapshots: a 4th commit drops v1
+    upsert_parquet(spark, spark.createDataFrame([(9, "z")], "id long, v string"),
+                   t, keys=["id"], keep_snapshots=3)
+    assert [s["version"] for s in snapshots(t)] == [2, 3, 4]
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        read_upsert_table(spark, t, version=1)
+
+
+def test_streaming_upsert_merges_and_replays_idempotently(spark, tmp_path):
+    """CDC stream → keyed MERGE table: batch-sequential upserts converge to
+    last-wins by event time, and a full replay from a fresh checkpoint is a
+    no-op (exactly-once via idempotent merge, no ledger)."""
+    import datetime as dt
+
+    from pipeflow_spark.sinks import read_upsert_table
+    from pipeflow_spark.streaming import StreamingPipeline
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    t0 = dt.datetime(2025, 1, 1)
+    f1 = spark.createDataFrame(
+        [(1, "one@v1", t0), (2, "two@v1", t0)], "id long, v string, ts timestamp"
+    )
+    f2 = spark.createDataFrame(
+        [(2, "two@v2", t0 + dt.timedelta(hours=1)), (3, "three@v1", t0 + dt.timedelta(hours=1))],
+        "id long, v string, ts timestamp",
+    )
+    f1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    f2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    table = str(tmp_path / "cdc_table")
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(f1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = StreamingPipeline(stream).start_upsert(
+            table, keys=["id"], checkpoint_dir=ckpt, order_by=["ts"], keep_snapshots=5
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    expect = {1: "one@v1", 2: "two@v2", 3: "three@v1"}
+    assert {r.id: r.v for r in read_upsert_table(spark, table).collect()} == expect
+    # full replay from scratch: merge is idempotent, table unchanged
+    run(str(tmp_path / "ckpt2"))
+    assert {r.id: r.v for r in read_upsert_table(spark, table).collect()} == expect
