@@ -13,7 +13,10 @@ is a config flip".  Both formats give readers an atomic snapshot view:
   tables are ``<warehouse>/<name>`` dirs using the snapshot-pointer commit
   protocol of :func:`..sinks.upsert_parquet`: write a fresh ``snapshot-*``
   dir, atomically rename the ``_CURRENT`` pointer.  Same reader guarantee
-  (exactly one complete snapshot, never a mix), minus time travel.
+  (exactly one complete snapshot, never a mix); keyed tables written through
+  :meth:`TableCatalog.upsert` also support VERSION-AS-OF time travel
+  (:meth:`TableCatalog.read` with ``version=``), retention bounded by the
+  writer's ``keep_snapshots``.
 
 The streaming exactly-once sink (:mod:`..streaming.exactly_once`) rides the
 same protocol; on a real cluster flipping ``format="iceberg"`` upgrades every
@@ -153,10 +156,28 @@ class TableCatalog:
         if prev and os.path.basename(prev).startswith("snapshot-"):
             shutil.rmtree(prev, ignore_errors=True)
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Current snapshot, or ``VERSION AS OF version`` when given (iceberg:
+        real snapshot-id time travel; parquet: retained ``snapshot-<n>`` dirs
+        of the pointer protocol)."""
         if self.format == "iceberg":
+            if version is not None:
+                return self.spark.sql(
+                    f"SELECT * FROM {self.ident(table)} VERSION AS OF {version}"
+                )
             return self.spark.read.table(self.ident(table))
-        return sinks.read_upsert_table(self.spark, self.ident(table))
+        return sinks.read_upsert_table(self.spark, self.ident(table), version=version)
+
+    def snapshots(self, table: str) -> list[dict]:
+        """Snapshot inventory (``version`` / ``is_current`` per entry)."""
+        if self.format == "iceberg":
+            rows = self.spark.sql(f"SELECT * FROM {self.ident(table)}.snapshots").collect()
+            cur = rows[-1].snapshot_id if rows else None
+            return [
+                {"version": r.snapshot_id, "dir": None, "is_current": r.snapshot_id == cur}
+                for r in rows
+            ]
+        return sinks.snapshots(self.ident(table))
 
     def upsert(
         self,
@@ -165,6 +186,7 @@ class TableCatalog:
         keys: Sequence[str],
         do_update: bool = True,
         order_by: Sequence[str] | None = None,
+        keep_snapshots: int = 2,
     ) -> None:
         """Keyed MERGE (ON CONFLICT DO UPDATE / DO NOTHING)."""
         if self.format == "iceberg":
@@ -179,7 +201,13 @@ class TableCatalog:
             self.spark.catalog.dropTempView(src)
             return
         sinks.upsert_parquet(
-            self.spark, df, self.ident(table), keys, do_update=do_update, order_by=order_by
+            self.spark,
+            df,
+            self.ident(table),
+            keys,
+            do_update=do_update,
+            order_by=order_by,
+            keep_snapshots=keep_snapshots,
         )
 
     def drop(self, table: str) -> None:

@@ -100,3 +100,19 @@ def test_iceberg_roundtrip(spark, tmp_path):  # pragma: no cover - gated
     cat = TableCatalog(spark, str(tmp_path / "wh"), format="iceberg")
     cat.write(spark.range(3), "t")
     assert cat.read("t").count() == 3
+
+
+def test_catalog_time_travel_parquet(spark, tmp_path):
+    from pipeflow_spark.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path), format="parquet")
+    for val in ("a", "b", "c"):
+        cat.upsert(
+            spark.createDataFrame([(1, val)], "id long, v string"),
+            "tt", keys=["id"], keep_snapshots=3,
+        )
+    versions = [s["version"] for s in cat.snapshots("tt")]
+    assert versions == [1, 2, 3]
+    assert cat.read("tt", version=1).first().v == "a"
+    assert cat.read("tt", version=2).first().v == "b"
+    assert cat.read("tt").first().v == "c"
