@@ -126,6 +126,33 @@ class write:  # noqa: N801 — fluent exit, mirrors reference `.ToCsv/.ToJson/..
         df.write.mode(mode).text(path)
 
     @staticmethod
+    def bucketed(
+        df: DataFrame,
+        table: str,
+        bucket_cols: Sequence[str],
+        num_buckets: int = 32,
+        sort_cols: Sequence[str] | None = None,
+        path: str | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Bucketed (hash-clustered) parquet table — THE co-located-join
+        layout at 100 TB: two tables bucketed on the same keys with the same
+        bucket count join with **zero shuffle exchanges** (and zero sorts
+        when ``sort_cols`` matches), because the on-disk layout already
+        satisfies the join's required distribution.  Write once, join many.
+
+        ``path`` makes it an external table (data at ``path``, only metadata
+        in the session catalog); bucket counts should be sized once for the
+        largest planned cluster — they are fixed at write time.
+        """
+        w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        if path:
+            w = w.option("path", path)
+        w.saveAsTable(table)
+
+    @staticmethod
     def avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         """Gated like :meth:`read.avro` — external module since Spark 2.4."""
         try:

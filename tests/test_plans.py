@@ -152,3 +152,28 @@ def test_pii_redaction_jvm_only_map_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "regexp_replace" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the same key and count must sort-merge join
+    with ZERO exchanges — the co-located-join layout that makes repeated
+    100 TB fact-to-fact joins affordable (one write-time shuffle amortized
+    over every future join)."""
+    from pipeflow_spark.sinks import write
+
+    a = spark.range(5000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(5000).selectExpr("id AS k", "id * 3 AS vb")
+    write.bucketed(a, "bkt_a", ["k"], num_buckets=8, sort_cols=["k"], path=str(tmp_path / "a"))
+    write.bucketed(b, "bkt_b", ["k"], num_buckets=8, sort_cols=["k"], path=str(tmp_path / "b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan}"
+        assert j.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
