@@ -187,6 +187,17 @@ def _current_snapshot(table_path: str) -> str | None:
     return None
 
 
+def _snapshot_seqs(names) -> list[int]:
+    """Numeric version ids among snapshot dir names (ignores the unversioned
+    ``snapshot-<uuid>`` names the catalog's overwrite path writes)."""
+    out = []
+    for d in names:
+        parts = d.split("-")
+        if len(parts) >= 2 and parts[1].isdigit():
+            out.append(int(parts[1]))
+    return out
+
+
 def snapshots(table_path: str) -> list[dict]:
     """Committed-snapshot inventory of a pointer-file table, ascending by
     version — the Iceberg ``table.snapshots()`` analog.  Only snapshots still
@@ -201,12 +212,14 @@ def snapshots(table_path: str) -> list[dict]:
             continue
         full = os.path.join(table_path, d)
         # a dir without _SUCCESS is an in-flight or crashed write, not a
-        # committed snapshot — never surface it to readers
+        # committed snapshot — never surface it to readers; unversioned
+        # snapshot-<uuid> names (catalog overwrite path) have no travel id
         if not os.path.isdir(full) or not os.path.exists(os.path.join(full, "_SUCCESS")):
             continue
-        out.append(
-            {"version": int(d.split("-")[1]), "dir": full, "is_current": full == current}
-        )
+        seqs = _snapshot_seqs([d])
+        if not seqs:
+            continue
+        out.append({"version": seqs[0], "dir": full, "is_current": full == current})
     return out
 
 
@@ -295,7 +308,12 @@ def upsert_parquet(
         merged = incoming
 
     existing = sorted(d for d in os.listdir(table_path) if d.startswith("snapshot-"))
-    seq = len(existing) + 1
+    # next version = max existing + 1, NOT count + 1: after expiry the count
+    # is smaller than the highest retained version, and count-based numbering
+    # would mint a duplicate (or out-of-order) version id.  Unversioned
+    # snapshot names (catalog overwrite-writes use snapshot-<uuid>) count
+    # toward the sequence so versions stay unique past them.
+    seq = max(_snapshot_seqs(existing), default=len(existing)) + 1
     new_snap = f"snapshot-{seq:06d}-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(os.path.join(table_path, new_snap))
     tmp = os.path.join(table_path, f".{_CURRENT}.{uuid.uuid4().hex}.tmp")
@@ -317,6 +335,59 @@ def upsert_parquet(
             shutil.rmtree(full, ignore_errors=True)
         elif d.endswith(".tmp") and os.path.isfile(full):
             os.remove(full)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    target_files: int = 8,
+    sort_by: Sequence[str] | None = None,
+    keep_snapshots: int = 2,
+) -> int:
+    """Small-file compaction for a pointer table (the Iceberg
+    ``rewrite_data_files`` analog): read the current snapshot, rewrite it as
+    ``target_files`` files (optionally sorted by ``sort_by`` for scan
+    clustering / better min-max pruning), and commit via the same atomic
+    pointer flip.  Data is bit-identical; only the layout changes.
+
+    Streaming upserts commit one snapshot per micro-batch, each a full
+    rewrite here at sandbox scale but an incremental commit on Iceberg — at
+    either scale periodic compaction bounds file counts so reader listing
+    and task planning stay O(target_files).  Returns the new file count.
+    """
+    import uuid as _uuid
+
+    snap = _current_snapshot(table_path)
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    df = spark.read.parquet(snap)
+    if sort_by:
+        df = df.repartitionByRange(target_files, *[F.col(c) for c in sort_by]).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        df = df.coalesce(target_files)
+
+    committed_before = sorted(
+        d for d in os.listdir(table_path)
+        if d.startswith("snapshot-") and os.path.isdir(os.path.join(table_path, d))
+    )
+    seq = max(_snapshot_seqs(committed_before), default=len(committed_before)) + 1
+    new_snap = f"snapshot-{seq:06d}-{_uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(os.path.join(table_path, new_snap))
+    tmp = os.path.join(table_path, f".{_CURRENT}.{_uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        f.write(new_snap)
+    os.rename(tmp, os.path.join(table_path, _CURRENT))
+    committed = committed_before + [new_snap]
+    keep = set(committed[-max(keep_snapshots, 1):]) | {new_snap}
+    for d in os.listdir(table_path):
+        full = os.path.join(table_path, d)
+        if d.startswith("snapshot-") and d not in keep:
+            shutil.rmtree(full, ignore_errors=True)
+        elif d.endswith(".tmp") and os.path.isfile(full):
+            os.remove(full)
+    return sum(1 for f in os.listdir(os.path.join(table_path, new_snap)) if f.endswith(".parquet"))
 
 
 # -- JDBC sinks (ToSql / ToSqlBulk / ToPostgreSql) ----------------------------

@@ -326,3 +326,34 @@ def test_streaming_upsert_merges_and_replays_idempotently(spark, tmp_path):
     # full replay from scratch: merge is idempotent, table unchanged
     run(str(tmp_path / "ckpt2"))
     assert {r.id: r.v for r in read_upsert_table(spark, table).collect()} == expect
+
+
+def test_snapshot_versions_monotonic_past_expiry(spark, tmp_path):
+    """Version ids must keep increasing after old snapshots expire — a
+    count-based sequence would mint duplicate/regressing versions once
+    retention trims the directory list."""
+    from pipeflow_spark.sinks import snapshots, upsert_parquet
+
+    t = str(tmp_path / "mono")
+    for i in range(6):
+        upsert_parquet(
+            spark, spark.createDataFrame([(1, f"v{i}")], "id long, v string"),
+            t, keys=["id"], keep_snapshots=2,
+        )
+    vers = [s["version"] for s in snapshots(t)]
+    assert vers == [5, 6]  # six commits, last two retained, ids never reused
+
+
+def test_compact_snapshot_preserves_data(spark, tmp_path):
+    from pipeflow_spark.sinks import compact_snapshot, read_upsert_table, snapshots, upsert_parquet
+
+    t = str(tmp_path / "cmp")
+    df = spark.range(1000).selectExpr("id", "cast(id % 7 as string) AS grp")
+    upsert_parquet(spark, df.repartition(16), t, keys=["id"])
+    before = sorted(r.id for r in read_upsert_table(spark, t).collect())
+    n_files = compact_snapshot(spark, t, target_files=2, sort_by=["grp"])
+    assert n_files <= 2
+    after = sorted(r.id for r in read_upsert_table(spark, t).collect())
+    assert after == before  # bit-identical content, new layout
+    # compaction is a real commit: version advanced, old snapshot retained
+    assert [s["is_current"] for s in snapshots(t)] == [False, True]
