@@ -171,8 +171,21 @@ class TableCatalog:
     def snapshots(self, table: str) -> list[dict]:
         """Snapshot inventory (``version`` / ``is_current`` per entry)."""
         if self.format == "iceberg":
-            rows = self.spark.sql(f"SELECT * FROM {self.ident(table)}.snapshots").collect()
-            cur = rows[-1].snapshot_id if rows else None
+            rows = self.spark.sql(
+                f"SELECT * FROM {self.ident(table)}.snapshots ORDER BY committed_at"
+            ).collect()
+            # current = the main branch ref, not the last row: .snapshots row
+            # order is unspecified, and after a rollback the current snapshot
+            # is not the latest-committed one.
+            try:
+                ref = self.spark.sql(
+                    f"SELECT snapshot_id FROM {self.ident(table)}.refs WHERE name = 'main'"
+                ).collect()
+                cur = ref[0].snapshot_id if ref else None
+            except Exception:
+                cur = None
+            if cur is None and rows:
+                cur = rows[-1].snapshot_id
             return [
                 {"version": r.snapshot_id, "dir": None, "is_current": r.snapshot_id == cur}
                 for r in rows

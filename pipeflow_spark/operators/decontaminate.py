@@ -80,6 +80,12 @@ def decontaminate(
     n: int = 8,
 ) -> DataFrame:
     """The filtering form: training docs with ZERO eval overlap (left-anti
-    broadcast join on the contaminated id set)."""
+    join on the contaminated id set).
+
+    Unlike the eval-gram set — tiny by construction — the contaminated-id
+    set scales with how dirty the corpus is (millions of ids are possible at
+    100 TB), so it is NOT force-broadcast: AQE sizes the anti join at
+    runtime and broadcasts only when the set actually fits the threshold,
+    falling back to a shuffled anti join keyed on ``id_col`` otherwise."""
     bad = contaminated_docs(train_df, eval_df, text_col, id_col, n=n).select(id_col)
-    return train_df.join(F.broadcast(bad), id_col, "left_anti")
+    return train_df.join(bad, id_col, "left_anti")

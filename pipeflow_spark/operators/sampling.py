@@ -87,8 +87,23 @@ def pack_sequences(
     Two-level parallelism: the window sort runs per shard (no global sort);
     ``seq_id`` is globally unique via ``shard * ceil(shard_tokens/budget)``
     name-spacing — here simply ``(shard, seq_in_shard)`` kept as columns.
+
+    Sharding is type-aware: numeric ids take ``pmod(id, shards)`` (cheap,
+    oracle-friendly); string ids take ``pmod(xxhash64(id), shards)`` — a
+    plain ``%`` on a string casts to NULL row-by-row, silently collapsing
+    the whole corpus into one NULL shard (a serialized sort AND wrong
+    layout).  Any other id type raises at build time.
     """
-    shard = (F.col(id_col) % shards).cast("int")
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type in ("string",):
+        shard = F.pmod(F.xxhash64(id_col), F.lit(shards)).cast("int")
+    elif id_type in ("tinyint", "smallint", "int", "bigint"):
+        shard = F.pmod(F.col(id_col), F.lit(shards)).cast("int")
+    else:
+        raise TypeError(
+            f"pack_sequences id column {id_col!r} has type {id_type!r}; "
+            "need an integer or string id to shard deterministically"
+        )
     w = Window.partitionBy("shard").orderBy(id_col)
     cum_excl = F.sum(token_col).over(w) - F.col(token_col)
     return (

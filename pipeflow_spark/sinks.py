@@ -198,6 +198,45 @@ def _snapshot_seqs(names) -> list[int]:
     return out
 
 
+def _expire_snapshots(
+    table_path: str, new_snap: str, keep_snapshots: int, prev_snap: str | None = None
+) -> None:
+    """Snapshot expiry for a pointer table, ranked by commit order.
+
+    Retention quota counts only *committed* snapshots (``_SUCCESS`` present)
+    — an in-flight or crashed write dir must not displace a real snapshot
+    from the ``keep_snapshots`` window.  Rank is commit order: version id
+    when the name carries one, with filesystem mtime as the arbiter so the
+    catalog's unversioned ``snapshot-<uuid>`` overwrite dirs sort where they
+    were actually committed instead of lexicographically after every
+    versioned name (which silently ate a keep slot and expired the
+    immediately-previous snapshot).  The new snapshot and the pre-flip
+    current one are retained unconditionally for in-flight readers.
+    Uncommitted ``snapshot-*`` dirs and stray ``.tmp`` pointer files are
+    removed as orphans of crashed writes (single-writer protocol).
+    """
+    committed = []
+    for d in os.listdir(table_path):
+        full = os.path.join(table_path, d)
+        if not d.startswith("snapshot-") or not os.path.isdir(full):
+            continue
+        if not os.path.exists(os.path.join(full, "_SUCCESS")):
+            continue
+        seqs = _snapshot_seqs([d])
+        committed.append((os.path.getmtime(full), seqs[0] if seqs else -1, d))
+    committed.sort()
+    keep = {d for _, _, d in committed[-max(keep_snapshots, 1):]}
+    keep.add(new_snap)
+    if prev_snap:
+        keep.add(os.path.basename(prev_snap))
+    for d in os.listdir(table_path):
+        full = os.path.join(table_path, d)
+        if d.startswith("snapshot-") and d not in keep and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        elif d.endswith(".tmp") and os.path.isfile(full):
+            os.remove(full)
+
+
 def snapshots(table_path: str) -> list[dict]:
     """Committed-snapshot inventory of a pointer-file table, ascending by
     version — the Iceberg ``table.snapshots()`` analog.  Only snapshots still
@@ -320,21 +359,11 @@ def upsert_parquet(
     with open(tmp, "w") as f:
         f.write(new_snap)
     os.rename(tmp, os.path.join(table_path, _CURRENT))  # the atomic commit
-    # snapshot expiry: retain the newest ``keep_snapshots`` snapshots (the
-    # new one plus history for in-flight readers and VERSION-AS-OF time
-    # travel); everything older — and orphans from crashed writes — expires.
-    committed = sorted(
-        d for d in os.listdir(table_path)
-        if d.startswith("snapshot-") and os.path.isdir(os.path.join(table_path, d))
-    )
-    keep = set(committed[-max(keep_snapshots, 1):])
-    keep.add(new_snap)
-    for d in os.listdir(table_path):
-        full = os.path.join(table_path, d)
-        if d.startswith("snapshot-") and d not in keep:
-            shutil.rmtree(full, ignore_errors=True)
-        elif d.endswith(".tmp") and os.path.isfile(full):
-            os.remove(full)
+    # snapshot expiry: retain the newest ``keep_snapshots`` committed
+    # snapshots (the new one plus history for in-flight readers and
+    # VERSION-AS-OF time travel); everything older — and orphans from
+    # crashed writes — expires.
+    _expire_snapshots(table_path, new_snap, keep_snapshots, prev_snap=snap)
 
 
 def compact_snapshot(
@@ -379,14 +408,7 @@ def compact_snapshot(
     with open(tmp, "w") as f:
         f.write(new_snap)
     os.rename(tmp, os.path.join(table_path, _CURRENT))
-    committed = committed_before + [new_snap]
-    keep = set(committed[-max(keep_snapshots, 1):]) | {new_snap}
-    for d in os.listdir(table_path):
-        full = os.path.join(table_path, d)
-        if d.startswith("snapshot-") and d not in keep:
-            shutil.rmtree(full, ignore_errors=True)
-        elif d.endswith(".tmp") and os.path.isfile(full):
-            os.remove(full)
+    _expire_snapshots(table_path, new_snap, keep_snapshots, prev_snap=snap)
     return sum(1 for f in os.listdir(os.path.join(table_path, new_snap)) if f.endswith(".parquet"))
 
 

@@ -507,6 +507,30 @@ def test_mixture_filter_rates(spark, sf_dir):
     assert sampling.mixture_filter(docs, "source", {"src0": 0.0}).count() == 0
 
 
+def test_pack_sequences_string_ids_hash_shard(spark):
+    # A plain `id % shards` on a string id casts to NULL per row — every doc
+    # lands in one NULL shard (serialized sort, wrong layout).  String ids
+    # must hash-shard across multiple shards and keep per-shard layout exact.
+    rows = [(f"doc-{i:04d}", 100 + i) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok bigint")
+    out = sampling.pack_sequences(df, "n_tok", budget=512, shards=4).collect()
+    shards = {r.shard for r in out}
+    assert None not in shards and len(shards) > 1
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        expect_start = 0
+        for r in rs:
+            assert r.start_tok == expect_start
+            assert r.offset == expect_start % 512
+            expect_start += r.n_tok
+    with pytest.raises(TypeError):
+        sampling.pack_sequences(
+            spark.createDataFrame([(1.5, 10)], "doc_id double, n_tok bigint"), "n_tok"
+        )
+
+
 def test_pack_sequences_layout_invariants(spark):
     rows = [(i, 1000 + (i * 37) % 500) for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")

@@ -286,6 +286,52 @@ def test_upsert_time_travel(spark, tmp_path):
         read_upsert_table(spark, t, version=1)
 
 
+def test_expiry_ranks_by_commit_order_not_name(spark, tmp_path):
+    """ADVICE r2 (medium): catalog.write() leaves an unversioned
+    snapshot-<uuid12> dir that lexicographically sorts after versioned
+    snapshot-NNNNNN-<hex> names.  Name-sorted expiry let that stale dir eat a
+    keep slot and rmtree'd the immediately-previous versioned snapshot —
+    breaking in-flight readers and VERSION AS OF right after the commit.
+    Expiry must rank by commit order (version/mtime), keep the pre-flip
+    current, and never count uncommitted dirs toward the quota."""
+    from pipeflow_spark.catalog import TableCatalog
+    from pipeflow_spark.sinks import read_upsert_table, snapshots, upsert_parquet
+
+    cat = TableCatalog(spark, str(tmp_path), format="parquet")
+    cat.write(spark.createDataFrame([(1, "seed")], "id long, v string"), "t")
+    t = str(tmp_path / "t")
+    # the catalog overwrite dir is unversioned (snapshot-<uuid>) and sorts last
+    assert any(
+        d.startswith("snapshot-") and not d.split("-")[1].isdigit() for d in os.listdir(t)
+    )
+    for ver, val in enumerate(["a", "b"], start=1):
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([(1, val)], "id long, v string"),
+            t,
+            keys=["id"],
+            keep_snapshots=2,
+        )
+    vers = sorted(s["version"] for s in snapshots(t))
+    # both versioned snapshots survive; the stale uuid dir is the one expired
+    assert len(vers) == 2, vers
+    assert {r.v for r in read_upsert_table(spark, t, version=vers[0]).collect()} == {"a"}
+    assert {r.v for r in read_upsert_table(spark, t, version=vers[1]).collect()} == {"b"}
+    prev_latest = vers[1]
+    # an uncommitted (crashed) write dir must not displace a real snapshot
+    os.makedirs(os.path.join(t, "snapshot-999999-deadbeef"))  # no _SUCCESS
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, "c")], "id long, v string"),
+        t,
+        keys=["id"],
+        keep_snapshots=2,
+    )
+    assert not os.path.isdir(os.path.join(t, "snapshot-999999-deadbeef"))  # orphan swept
+    vers = [s["version"] for s in snapshots(t)]
+    assert prev_latest in vers and max(vers) > prev_latest, vers  # previous snapshot retained
+
+
 def test_streaming_upsert_merges_and_replays_idempotently(spark, tmp_path):
     """CDC stream → keyed MERGE table: batch-sequential upserts converge to
     last-wins by event time, and a full replay from a fresh checkpoint is a
