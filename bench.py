@@ -33,8 +33,8 @@ HEADLINE = [
     "broadcast_join_brand_revenue",
     "group_agg_events",
     "window_topn_per_group",
-    "remove_duplicates_first",
-    "tumbling_window_counts",
+    "transform_dedupe_first",
+    "time_window_counts",
     "sessionize_events",
     "salted_agg_events",
     "asof_join_prev_event",

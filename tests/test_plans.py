@@ -21,12 +21,12 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
 
 
 def test_column_pruning(spark, sf_dir):
-    df = QUERIES["filter_project"][0](spark, sf_dir)
+    df = QUERIES["relational_core"][0](spark, sf_dir)
     plan = _plan(df)
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
-    # only the 4 referenced columns are read, not all 6 of events
-    assert "event_id" in read_schema and "value" in read_schema
-    assert "props" not in read_schema and "ts" not in read_schema
+    # only the 3 referenced columns are read, not all 6 of events
+    assert "user_id" in read_schema and "value" in read_schema
+    assert "props" not in read_schema and "ts" not in read_schema and "event_id" not in read_schema
 
 
 def test_broadcast_join_used(spark, sf_dir):
