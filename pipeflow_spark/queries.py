@@ -1758,22 +1758,56 @@ def validate_with_results(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_features", None)  # stubbed decode kernel: rows-only
+@register(
+    "multimodal_features",
+    # algorithm twin: the media payloads are REAL encoded BMP/WAV files built
+    # from closed-form integer formulas (multimodal.synthesize_media), so the
+    # decoded features are reproducible in pure SQL via generate_series — any
+    # bug in header math, row padding, or PCM parsing breaks this equality.
+    """
+    WITH ids AS (SELECT i FROM generate_series(0, 63) s(i)),
+    ks AS (SELECT k FROM generate_series(0, 5999) t(k)),
+    img AS (SELECT i AS media_id, 17 + (i % 4) * 8 AS w, 16 + (i % 5) * 4 AS h
+            FROM ids WHERE i % 3 = 0),
+    img_feat AS (
+      SELECT media_id, 'image' AS kind,
+             CAST(54 + h * (w*3 + (4 - (w*3) % 4) % 4) AS INT) AS n_bytes,
+             CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             CAST(NULL AS INT) AS n_samples, CAST(NULL AS INT) AS duration_ms,
+             round(avg(CAST((media_id*7 + k*13) % 256 AS DOUBLE)), 6) AS mean_feature
+      FROM img JOIN ks ON k < w*h*3
+      GROUP BY media_id, w, h
+    ),
+    aud AS (SELECT i AS media_id, 800*(1 + (i % 7)) AS n FROM ids WHERE i % 3 = 1),
+    aud_feat AS (
+      SELECT media_id, 'audio' AS kind, CAST(44 + 2*n AS INT) AS n_bytes,
+             CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+             CAST(n AS INT) AS n_samples, CAST(n * 1000 // 8000 AS INT) AS duration_ms,
+             round(avg(CAST(abs((media_id*11 + k*17) % 2048 - 1024) AS DOUBLE)), 6) AS mean_feature
+      FROM aud JOIN ks ON k < n GROUP BY media_id, n
+    ),
+    vid_feat AS (
+      SELECT i AS media_id, 'video' AS kind, CAST(256 + (i % 5)*128 AS INT) AS n_bytes,
+             CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+             CAST(NULL AS INT) AS n_samples, CAST(NULL AS INT) AS duration_ms,
+             CAST(NULL AS DOUBLE) AS mean_feature
+      FROM ids WHERE i % 3 = 2
+    )
+    SELECT * FROM img_feat
+    UNION ALL SELECT * FROM aud_feat
+    UNION ALL SELECT * FROM vid_feat
+    ORDER BY media_id
+    """,
+)
 def multimodal_features(spark, sf_dir):
-    """Binary media columns → mapInPandas decode/feature stage → per-kind agg.
-    The decode kernel is a deterministic stub (no codecs in container); the
-    Spark plumbing (pruned scan → Arrow batches → typed schema) is real."""
+    """Binary media columns → mapInPandas decode/feature stage, per-media
+    features.  The BMP/WAV decode kernels are REAL stdlib codecs over real
+    encoded payloads (r2's stub closed); video content decode remains
+    honestly stubbed (metadata-only row).  Oracle: SQL twin of the
+    generation formulas — the decode path is differentially verified."""
     media = multimodal.synthesize_media(spark, n=64, seed=42)
     feats = multimodal.extract_features(media)
-    return (
-        feats.groupBy("kind")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
-            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
-        )
-        .orderBy("kind")
-    )
+    return feats.withColumn("mean_feature", F.round("mean_feature", 6)).orderBy("media_id")
 
 
 @register("multimodal_frame_sample", None)  # synthesized media: rows-only

@@ -328,17 +328,56 @@ def test_detect_hot_keys(spark, sf_dir):
 
 # -- multimodal -------------------------------------------------------------------------
 
+def test_bmp_roundtrip_with_padding():
+    # w=2 → row = 6 bytes + 2 padding bytes: padding handling is exercised
+    px = np.array(
+        [[[255, 0, 10], [1, 2, 3]], [[9, 8, 7], [100, 200, 50]]], dtype=np.uint8
+    )
+    payload = multimodal.encode_bmp(px)
+    # golden header facts: BM magic, 54-byte offset, stride = 6+2
+    assert payload[:2] == b"BM" and len(payload) == 54 + 2 * 8
+    assert np.array_equal(multimodal.decode_bmp(payload), px)
+
+
+def test_wav_roundtrip():
+    samples = (np.arange(500) * 37 % 2048 - 1024).astype(np.int16)
+    payload = multimodal.encode_wav(samples, 8000)
+    back, rate = multimodal.decode_wav(payload)
+    assert rate == 8000 and np.array_equal(back, samples)
+    assert len(payload) == 44 + 2 * 500  # canonical PCM header size
+
+
 def test_multimodal_features(spark):
     media = multimodal.synthesize_media(spark, n=12)
-    feats = multimodal.extract_features(media, feat_dim=8).orderBy("media_id").collect()
+    feats = multimodal.extract_features(media).orderBy("media_id").collect()
     assert len(feats) == 12
     for r in feats:
-        assert len(r.feat) == 8
-        assert abs(sum(r.feat) - 1.0) < 1e-9
-        assert 0 <= r.mean_intensity <= 255
+        if r.kind == "image":
+            # hand-computed twin of the generation formula
+            w, h = 17 + (r.media_id % 4) * 8, 16 + (r.media_id % 5) * 4
+            k = np.arange(h * w * 3)
+            expect = ((r.media_id * 7 + k * 13) % 256).mean()
+            assert (r.width, r.height) == (w, h)
+            assert abs(r.mean_feature - expect) < 1e-9
+            assert r.n_bytes == 54 + h * (w * 3 + (4 - (w * 3) % 4) % 4)
+        elif r.kind == "audio":
+            n = 800 * (1 + (r.media_id % 7))
+            j = np.arange(n)
+            expect = np.abs((r.media_id * 11 + j * 17) % 2048 - 1024).mean()
+            assert r.n_samples == n and r.duration_ms == n * 1000 // 8000
+            assert abs(r.mean_feature - expect) < 1e-9
+        else:
+            assert r.mean_feature is None and r.n_bytes == len(
+                [m for m in media.collect() if m.media_id == r.media_id][0].payload
+            )
     # deterministic across runs
-    again = multimodal.extract_features(multimodal.synthesize_media(spark, n=12), feat_dim=8).orderBy("media_id").collect()
-    assert [r.feat for r in again] == [r.feat for r in feats]
+    again = multimodal.extract_features(multimodal.synthesize_media(spark, n=12)).orderBy("media_id").collect()
+    assert [r.mean_feature for r in again] == [r.mean_feature for r in feats]
+
+
+def test_video_decode_is_honestly_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_video_stub(b"\x00\x01")
 
 
 def test_frame_sample(spark):
