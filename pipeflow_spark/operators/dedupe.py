@@ -369,11 +369,94 @@ def simhash_pairs(
 # -- 5. pairs → clusters → keep-list -----------------------------------------
 
 
+def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
+    """Per-round lineage truncation for iterative algorithms.
+
+    ``reliable=False`` → ``localCheckpoint`` (executor-local blocks — fine on
+    local mode / short loops, but an executor loss mid-loop kills the job
+    because the recompute path is gone).  ``reliable=True`` →
+    ``checkpoint()`` to the configured checkpoint dir (HDFS/S3 on a real
+    cluster): each round's state survives executor loss, the right setting
+    for long loops on a 1000-executor cluster."""
+    if not reliable:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable=True needs a checkpoint dir: call "
+            "spark.sparkContext.setCheckpointDir('<hdfs/s3 path>') first "
+            "(or pass checkpoint_dir= to connected_components)"
+        )
+    return df.checkpoint(eager=True)
+
+
+def _alternating_star(edges: DataFrame, reliable: bool, max_rounds: int = 50) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in O(log² n)
+    rounds regardless of component diameter — the scale path for
+    social-graph-shaped pair lists where min-label propagation's
+    rounds-=-diameter bound blows up.
+
+    Per round: two neighborhood-min aggregations + one set-equality check,
+    all hash-partitioned on node id (no broadcast, no driver state beyond
+    one boolean per round).
+
+    * large-star: every node ``u`` links its *larger* neighbors to
+      ``m = min(Γ(u) ∪ {u})`` — grows stars downward without breaking
+      connectivity;
+    * small-star: every node ``u`` links its *smaller-or-equal* neighbors
+      (and itself) to ``m = min(Γ⁻(u) ∪ {u})`` — flattens chains.
+
+    At the fixed point the edge set is exactly ``{(v, c(v))}`` with ``c(v)``
+    the component minimum."""
+    all_nodes = edges.select(F.col("s").alias("node")).distinct()
+    E = (
+        edges.filter(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v"))
+        .distinct()
+    )
+    E = _ckpt(E, reliable)
+    for _ in range(max_rounds):
+        # large-star over the symmetric neighborhood
+        sym = E.select("u", "v").union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient max→min, relink small neighbors and self to min
+        o = large.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mn = o.groupBy("u").agg(F.min("v").alias("m"))
+        joined = o.join(mn, "u")
+        small = (
+            joined.select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+        new_E = _ckpt(small, reliable)
+        if new_E.exceptAll(E).unionAll(E.exceptAll(new_E)).limit(1).count() == 0:
+            E = new_E
+            break
+        E = new_E
+    labels = E.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = all_nodes.join(labels, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return labels.union(roots)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster near-dup pairs: ``(node, component)`` for every node in the
     edge list, where ``component`` is the smallest node id reachable from it.
@@ -392,21 +475,28 @@ def connected_components(
 
     Rounds to converge = cluster diameter in hops.  Near-dup clusters are
     shallow template families (diameter ≲ 5), so the loop is a handful of
-    bounded shuffles; ``localCheckpoint`` truncates lineage each round so the
-    plan stays flat instead of doubling per iteration.  If diameters ever grow
-    (social-graph-shaped inputs), the drop-in upgrade is alternating
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce"), which converges in O(log² n) rounds with the same
-    per-round primitives.
+    bounded shuffles.  If propagation has NOT converged after ``max_iter``
+    rounds (deep chains / social-graph-shaped inputs), it falls back to
+    alternating large-star/small-star (:func:`_alternating_star`), which
+    converges in O(log² n) rounds regardless of diameter — so the result is
+    always the true transitive closure, never a truncated one.
+
+    Durability: ``reliable=False`` truncates lineage with ``localCheckpoint``
+    (right for local mode); on a real cluster pass ``reliable=True`` (+
+    ``checkpoint_dir`` if not already configured) so per-round state uses
+    reliable ``checkpoint()`` storage and survives executor loss.
     """
-    edges = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    edges = _ckpt(
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn("comp", F.col("node"))
 
+    converged = False
     for _ in range(max_iter):
         # min label among each node's neighbors (one shuffle join + one agg)
         neighbor_min = (
@@ -414,20 +504,23 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
             .select(
                 "node",
                 F.least("comp", F.coalesce("ncomp", F.col("comp"))).alias("comp"),
                 (F.col("ncomp").isNotNull() & (F.col("ncomp") < F.col("comp"))).alias("_chg"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
         changed = new_labels.filter("_chg").count()
         labels = new_labels.drop("_chg")
         if changed == 0:
+            converged = True
             break
 
+    if not converged:
+        return _alternating_star(edges, reliable)
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 

@@ -469,6 +469,31 @@ def test_connected_components_order_invariant(spark):
     assert comp == {5: 5, 7: 5, 8: 5, 9: 5}
 
 
+def test_connected_components_deep_chain_star_fallback(spark):
+    """A 60-node path (diameter 59 > max_iter 25): min-label propagation
+    alone can't finish, so the large-star/small-star fallback must kick in
+    and still return the exact transitive closure."""
+    edges = [(i, i + 1) for i in range(59)] + [(100, 101)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    comp = {r.node: r.component for r in dedupe.connected_components(pairs).collect()}
+    assert comp == {**{i: 0 for i in range(60)}, 100: 100, 101: 100}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable=True uses checkpoint() storage (survives executor loss on a
+    real cluster): files land in the checkpoint dir and results are equal."""
+    import os
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint")
+    ck = str(tmp_path / "ck")
+    comp = {
+        r.node: r.component
+        for r in dedupe.connected_components(pairs, reliable=True, checkpoint_dir=ck).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    assert any(os.scandir(ck)), "no reliable checkpoint data written"
+
+
 # -- PII redaction / repetition / decontamination ---------------------------
 
 
