@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 
 from .validation import ValidationError, ValidationStrategy, Validator
 
+# Marker embedded in the THROW strategy's in-pass raise_error message so
+# Pipeline terminals can translate the JVM task failure back into
+# ValidationError for callers.
+_THROW_MARKER = "PIPEFLOW_VALIDATION_FAILED"
+
 ColumnOrName = Column | str
 
 
@@ -311,10 +316,24 @@ class Pipeline:
             out.validation_observation = obs
             return out
         if strategy is ValidationStrategy.THROW:
-            bad = self._df.filter(~valid).limit(1).count()
-            if bad:
-                raise ValidationError("validation failed: at least one invalid row")
-            return self._wrap(self._df)
+            # Fail-fast INSIDE the single pass: a JVM-side raise_error guard
+            # evaluated per row during the one real scan, instead of an eager
+            # extra `filter(~valid).limit(1).count()` job that doubled the
+            # 100 TB read before the action even started.  The first invalid
+            # row fails its task; Pipeline terminals translate the marker
+            # back into ValidationError (so the error surfaces at the
+            # terminal action — the single-pass semantics).
+            guard = (
+                F.when(
+                    ~valid,
+                    F.raise_error(
+                        F.lit(f"{_THROW_MARKER}: validation failed: at least one invalid row")
+                    ),
+                )
+                .otherwise(F.lit(True))
+                .cast("boolean")
+            )
+            return self._wrap(self._df.filter(guard))
         raise ValueError(f"unknown strategy {strategy!r}")
 
     def validate_with_results(self, validator: Validator) -> "Pipeline":
@@ -323,34 +342,48 @@ class Pipeline:
         return self._wrap(self._df.withColumn("errors", validator.errors_expr()))
 
     # -- terminals (reference: Pipeline.cs:104-183) ---------------------------
+    def _run(self, action):
+        """Run a terminal action, translating an in-pass THROW-guard failure
+        (the JVM raise_error marker) back into :class:`ValidationError`."""
+        try:
+            return action()
+        except ValidationError:
+            raise
+        except Exception as e:  # noqa: BLE001 — marker check, then re-raise
+            if _THROW_MARKER in str(e):
+                raise ValidationError(
+                    "validation failed: at least one invalid row"
+                ) from None
+            raise
+
     def count(self) -> int:
-        return self._df.count()
+        return self._run(self._df.count)
 
     def first(self):
-        rows = self._df.take(1)
+        rows = self._run(lambda: self._df.take(1))
         if not rows:
             raise ValueError("empty pipeline")
         return rows[0]
 
     def first_or_default(self):
-        rows = self._df.take(1)
+        rows = self._run(lambda: self._df.take(1))
         return rows[0] if rows else None
 
     def to_list(self) -> list:
-        return self._df.collect()
+        return self._run(self._df.collect)
 
     def to_pandas(self) -> pd.DataFrame:
-        return self._df.toPandas()
+        return self._run(self._df.toPandas)
 
     def for_each_partition(self, fn) -> None:
-        self._df.foreachPartition(fn)
+        self._run(lambda: self._df.foreachPartition(fn))
 
     def execute(self) -> PipelineResult:
         """Materialize with metrics — the reference's
         ``ExecutablePipeline.Execute`` (``PipelineBuilder.cs:163-197``)."""
         t0 = time.monotonic()
         try:
-            data = self._df.collect()
+            data = self._run(self._df.collect)
             return PipelineResult(True, data, len(data), time.monotonic() - t0)
         except Exception as e:  # noqa: BLE001 — reference wraps all failures
             return PipelineResult(False, None, 0, time.monotonic() - t0, error=str(e))

@@ -90,7 +90,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def spread(df, min_partitions: int | None = None):
+def _file_split_estimate(df) -> int | None:
+    """Estimate the scan partition count of a file-backed DataFrame from its
+    file index — WITHOUT converting the plan to an RDD (``df.rdd`` forces
+    full analysis + physical planning per call and bypasses AQE's view; on a
+    wide multi-stage plan that's real driver latency for a number the file
+    listing already knows).  Returns None when the estimate can't be made
+    safely (non-file source, or remote files we can't stat cheaply)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    digits = "".join(ch for ch in str(raw) if ch.isdigit())
+    mpb = int(digits) if digits else 134217728
+    splits = 0
+    for uri in files:
+        if not uri.startswith("file:"):
+            # remote store (s3a/abfs/…): per-file stats aren't free here;
+            # callers on a real cluster pass current_partitions instead
+            return None
+        path = uri[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return None
+        splits += max(1, -(-size // mpb))
+    return splits
+
+
+def spread(df, min_partitions: int | None = None, current_partitions: int | None = None):
     """Round-robin repartition a DataFrame **only if** its scan has fewer
     partitions than the cluster's parallelism.
 
@@ -100,11 +133,25 @@ def spread(df, min_partitions: int | None = None):
     partitions and this is a no-op — the guard keeps it from *shrinking* a
     large scan, so it is safe to apply unconditionally in operators that fan
     out work per row.
+
+    The current width comes from (in order): the caller's
+    ``current_partitions`` hint; the file index (#files, split by
+    ``maxPartitionBytes``) for local file scans; and only as a last resort
+    ``df.rdd.getNumPartitions()`` — the r2 hot-path version used ``.rdd``
+    unconditionally, which forces physical planning per call.
     """
     want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
+    cur = current_partitions
+    if cur is None:
+        try:
+            if len(df.inputFiles()) >= want:
+                return df  # ≥1 scan task per file: already wide enough
+        except Exception:
+            pass
+        cur = _file_split_estimate(df)
+    if cur is None:
+        cur = df.rdd.getNumPartitions()  # guarded fallback: non-file sources
+    return df.repartition(want) if cur < want else df
 
 
 _SHIPPED: set[int] = set()

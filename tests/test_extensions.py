@@ -122,8 +122,30 @@ def test_validate_null_passes_non_required(spark):
 def test_validate_throw(spark):
     v = Validator()
     v.column("age").range(0, 120)
+    # the guard is in-pass: the error surfaces at the terminal action
     with pytest.raises(ValidationError):
-        Pipeline(_people_df(spark)).validate(v, ValidationStrategy.THROW)
+        Pipeline(_people_df(spark)).validate(v, ValidationStrategy.THROW).to_list()
+    # all other terminals translate too
+    with pytest.raises(ValidationError):
+        Pipeline(_people_df(spark)).validate(v, ValidationStrategy.THROW).count()
+    res = Pipeline(_people_df(spark)).validate(v, ValidationStrategy.THROW).execute()
+    assert not res.success and "invalid row" in res.error
+
+
+def test_validate_throw_single_pass(spark):
+    """THROW must not run an eager extra scan: building the pipeline launches
+    ZERO jobs (r2 ran filter(~valid).limit(1).count() up front — a second
+    full read at 100 TB), and a valid dataset passes through unchanged in
+    the one real action."""
+    sc = spark.sparkContext
+    v = Validator()
+    v.column("age").range(0, 200)  # everyone valid
+    sc.setJobGroup("throw_build", "build only")
+    p = Pipeline(_people_df(spark)).validate(v, ValidationStrategy.THROW)
+    build_jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("throw_build")
+    assert list(build_jobs) == [], "validate(THROW) launched an eager job"
+    sc.setJobGroup("throw_action", "the single pass")
+    assert p.count() == _people_df(spark).count()
 
 
 def test_validate_with_results(spark):

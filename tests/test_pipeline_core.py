@@ -93,3 +93,25 @@ def test_set_ops(persons, spark):
     b = Pipeline(persons).filter("age <= 30")
     assert a.intersect(b).count() == 2  # Bob(30), Diana(28)
     assert a.except_all(b).count() == 1  # Charlie(35)
+
+
+def test_spread_file_scan_avoids_rdd(spark, sf_dir, monkeypatch):
+    """spread() on a file-backed scan must size itself from the file index,
+    never from df.rdd (which forces full physical planning per call)."""
+    from pyspark.sql import DataFrame
+
+    from pipeflow_spark import session
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def _boom(self):
+        raise AssertionError("spread touched df.rdd for a file-backed scan")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    out = session.spread(df)  # small file → repartition expected, no .rdd
+    assert "Repartition" in out._jdf.queryExecution().logical().toString()
+    # explicit caller hint short-circuits everything
+    wide = session.spread(df, current_partitions=10_000)
+    assert wide is df
+    monkeypatch.undo()
+    assert session.spread(df).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
