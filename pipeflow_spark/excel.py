@@ -260,33 +260,81 @@ _WB_RELS = (
 )
 
 
-def _cell_xml(ref: str, value) -> str:
+# Minimal stylesheet: font 0 = default, font 1 = bold; cell xf 1 applies the
+# bold font (header styling — ExcelWriter.cs:97 ``Style.Font.Bold = true``).
+_STYLES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+    '<fonts count="2"><font><sz val="11"/><name val="Calibri"/></font>'
+    '<font><b/><sz val="11"/><name val="Calibri"/></font></fonts>'
+    '<fills count="2"><fill><patternFill patternType="none"/></fill>'
+    '<fill><patternFill patternType="gray125"/></fill></fills>'
+    '<borders count="1"><border><left/><right/><top/><bottom/><diagonal/></border></borders>'
+    '<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>'
+    '<cellXfs count="2"><xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>'
+    '<xf numFmtId="0" fontId="1" fillId="0" borderId="0" xfId="0" applyFont="1"/></cellXfs>'
+    "</styleSheet>"
+)
+
+
+def _display_len(value) -> int:
+    """Rendered width of a cell in characters — the autofit metric
+    (ExcelWriter.cs:123 ``Columns().AdjustToContents()``)."""
+    if value is None:
+        return 0
+    if isinstance(value, _dt.datetime):
+        return 19  # canonical "%Y-%m-%d %H:%M:%S"
+    return len(str(value))
+
+
+def _cell_xml(ref: str, value, style: int | None = None) -> str:
     """One <c> element per ExcelWriter.SetCellValue (ExcelWriter.cs:155-197):
     numbers as numbers, bools as bools, datetimes canonical-formatted text,
     everything else inline string."""
     if value is None:
         return ""
+    s = f' s="{style}"' if style else ""
     if isinstance(value, bool):
-        return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+        return f'<c r="{ref}"{s} t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
-        return f'<c r="{ref}"><v>{value!r}</v></c>'
+        return f'<c r="{ref}"{s}><v>{value!r}</v></c>'
     if isinstance(value, _dt.datetime):
         value = value.strftime("%Y-%m-%d %H:%M:%S")
-    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+    return (
+        f'<c r="{ref}"{s} t="inlineStr"><is>'
+        f'<t xml:space="preserve">{escape(str(value))}</t></is></c>'
+    )
 
 
 def write_excel(
-    df: DataFrame, path: str, sheet: str = "Sheet1", headers: bool = True, append: bool = False
+    df: DataFrame,
+    path: str,
+    sheet: str = "Sheet1",
+    headers: bool = True,
+    append: bool = False,
+    bold_headers: bool = True,
+    autofit: bool = True,
+    create_table: bool = False,
+    table_style: str = "TableStyleMedium2",
 ) -> None:
-    """Write a DataFrame to a single xlsx file (ExcelWriter.cs:58-125).
+    """Write a DataFrame to a single xlsx file (ExcelWriter.cs:58-127).
 
     Driver-side by necessity — xlsx is one zip, not a partitioned format;
     like :func:`~pipeflow_spark.sinks.collect_json_document` this is for
     small result sets (reports), never a data-plane sink.  Rows are fetched
     via ``toLocalIterator`` so only one partition is resident at a time.
 
-    ``append=True`` continues after the last used row of an existing file
-    without re-writing the header (ExcelWriter.cs:75-90, ``WithAppend``).
+    Writer-fidelity features mirroring the reference:
+
+    * ``append=True`` continues after the last used row of an existing file
+      without re-writing the header (ExcelWriter.cs:75-90, ``WithAppend``);
+    * ``bold_headers`` — header row uses the bold cell style
+      (ExcelWriter.cs:97);
+    * ``autofit`` — per-column ``<col width>`` sized to the longest rendered
+      value (ExcelWriter.cs:121-124 ``AdjustToContents``);
+    * ``create_table`` — a real OOXML table part over the data range with
+      ``table_style`` (ExcelWriter.cs:113-118 ``CreateTable``; like the
+      reference, skipped in append mode).
     """
     import os
 
@@ -299,29 +347,62 @@ def write_excel(
         cols = [f"Column{i + 1}" for i in range(width)]
         prefix = [[row.get(c) for c in cols] for row in existing]
         headers = False  # reference only writes headers into a fresh sheet
+        create_table = False  # ExcelWriter.cs:113 `_createTable && !_append`
+    widths: dict[int, int] = {}
+
+    def _row_xml(r: int, vals, style: int | None = None) -> str:
+        cells = []
+        for i, v in enumerate(vals):
+            widths[i] = max(widths.get(i, 0), _display_len(v))
+            cells.append(_cell_xml(f"{_idx_to_col(i + 1)}{r}", v, style))
+        return f'<row r="{r}">{"".join(cells)}</row>'
+
+    rows_xml = io.StringIO()
+    r = 1
+    for vals in prefix:
+        rows_xml.write(_row_xml(r, vals))
+        r += 1
+    header_row = r if headers else None
+    if headers:
+        rows_xml.write(_row_xml(r, names, style=1 if bold_headers else None))
+        r += 1
+    for row in df.toLocalIterator():
+        rows_xml.write(_row_xml(r, [row[n] for n in names]))
+        r += 1
+    last_row = r - 1
+
     body = io.StringIO()
     body.write(
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
     )
-    r = 1
-    for vals in prefix:
-        cells = "".join(
-            _cell_xml(f"{_idx_to_col(i + 1)}{r}", v) for i, v in enumerate(vals)
+    if autofit and widths:
+        body.write("<cols>")
+        for i in sorted(widths):
+            w = min(widths[i] + 2, 80)  # margin, capped like AdjustToContents
+            body.write(f'<col min="{i + 1}" max="{i + 1}" width="{w}" customWidth="1"/>')
+        body.write("</cols>")
+    body.write("<sheetData>")
+    body.write(rows_xml.getvalue())
+    body.write("</sheetData>")
+    table_xml = None
+    if create_table and headers and last_row > header_row:
+        ref = f"A{header_row}:{_idx_to_col(len(names))}{last_row}"
+        tcols = "".join(
+            f'<tableColumn id="{i + 1}" name="{escape(n)}"/>' for i, n in enumerate(names)
         )
-        body.write(f'<row r="{r}">{cells}</row>')
-        r += 1
-    if headers:
-        cells = "".join(_cell_xml(f"{_idx_to_col(i + 1)}{r}", n) for i, n in enumerate(names))
-        body.write(f'<row r="{r}">{cells}</row>')
-        r += 1
-    for row in df.toLocalIterator():
-        cells = "".join(
-            _cell_xml(f"{_idx_to_col(i + 1)}{r}", row[n]) for i, n in enumerate(names)
+        table_xml = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<table xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            f'id="1" name="Table1" displayName="Table1" ref="{ref}" headerRowCount="1">'
+            f'<autoFilter ref="{ref}"/>'
+            f'<tableColumns count="{len(names)}">{tcols}</tableColumns>'
+            f'<tableStyleInfo name="{escape(table_style)}" showFirstColumn="0" '
+            'showLastColumn="0" showRowStripes="1" showColumnStripes="0"/></table>'
         )
-        body.write(f'<row r="{r}">{cells}</row>')
-        r += 1
-    body.write("</sheetData></worksheet>")
+        body.write('<tableParts count="1"><tablePart r:id="rId1"/></tableParts>')
+    body.write("</worksheet>")
 
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -329,9 +410,37 @@ def write_excel(
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
         f'<sheets><sheet name="{escape(sheet)}" sheetId="1" r:id="rId1"/></sheets></workbook>'
     )
+    content_types = _CONTENT_TYPES.replace(
+        "</Types>",
+        '<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-'
+        'officedocument.spreadsheetml.styles+xml"/>'
+        + (
+            '<Override PartName="/xl/tables/table1.xml" ContentType="application/vnd.'
+            'openxmlformats-officedocument.spreadsheetml.table+xml"/>'
+            if table_xml
+            else ""
+        )
+        + "</Types>",
+    )
+    wb_rels = _WB_RELS.replace(
+        "</Relationships>",
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/'
+        '2006/relationships/styles" Target="styles.xml"/></Relationships>',
+    )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("[Content_Types].xml", content_types)
         zf.writestr("_rels/.rels", _ROOT_RELS)
         zf.writestr("xl/workbook.xml", workbook)
-        zf.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/styles.xml", _STYLES)
         zf.writestr("xl/worksheets/sheet1.xml", body.getvalue())
+        if table_xml:
+            zf.writestr(
+                "xl/worksheets/_rels/sheet1.xml.rels",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+                'officeDocument/2006/relationships/table" Target="../tables/table1.xml"/>'
+                "</Relationships>",
+            )
+            zf.writestr("xl/tables/table1.xml", table_xml)

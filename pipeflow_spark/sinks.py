@@ -519,14 +519,27 @@ class jdbc:  # noqa: N801 — fluent exit, mirrors reference `.ToSql/.ToPostgreS
         return stmt
 
 
-def collect_json_document(df: DataFrame, path: str, order_by: Sequence[str] = ()) -> None:
+def collect_json_document(
+    df: DataFrame, path: str, order_by: Sequence[str] = (), append: bool = False
+) -> None:
     """The reference's whole-array JSON *document* shape (JsonWriter.cs:47-75)
-    — driver-side, for small results only (it materializes)."""
+    — driver-side, for small results only (it materializes).
+
+    ``append=True`` is the reference's read-merge-rewrite append
+    (JsonWriter.cs:62-71): the existing array document is parsed, the new
+    rows are appended, and the whole document is atomically rewritten —
+    array documents have no valid tail-append."""
     import json as _json
 
     if order_by:
         df = df.orderBy(*order_by)
     rows = [r.asDict(recursive=True) for r in df.collect()]
+    if append and os.path.exists(path):
+        with open(path) as f:
+            existing = _json.load(f)
+        if not isinstance(existing, list):
+            raise ValueError(f"{path} is not a JSON array document; cannot append")
+        rows = existing + rows
     tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         _json.dump(rows, f, indent=2, default=str)

@@ -114,6 +114,59 @@ def test_excel_append_mode(spark, tmp_path):
     assert out[0]["name"] == "alpha"
 
 
+def test_excel_styled_header_autofit_and_table(spark, tmp_path):
+    """Writer fidelity (ExcelWriter.cs:97,113-124): bold header style,
+    autofit column widths, and a real OOXML table part over the data range —
+    and the styled file still round-trips through the reader."""
+    import zipfile as _zf
+
+    path = str(tmp_path / "styled.xlsx")
+    df = _mixed_df(spark).select("id", "name")
+    write_excel(df, path, create_table=True)
+    with _zf.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert "xl/styles.xml" in names and "xl/tables/table1.xml" in names
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+        table = z.read("xl/tables/table1.xml").decode()
+        ct = z.read("[Content_Types].xml").decode()
+    assert '<c r="A1" s="1"' in sheet  # header cell carries the bold style
+    assert "<cols>" in sheet and 'customWidth="1"' in sheet  # autofit widths
+    # widest name value is 'beta <&> "q"' (12 chars) + 2 margin
+    assert '<col min="2" max="2" width="14"' in sheet
+    assert 'ref="A1:B3"' in table and 'name="TableStyleMedium2"' in table
+    assert "spreadsheetml.table+xml" in ct
+    out = read_excel(spark, path).orderBy("id").collect()
+    assert [r.id for r in out] == [1, 2]
+    # append mode skips table creation like the reference (_createTable && !_append)
+    write_excel(df, path, append=True, create_table=True)
+    with _zf.ZipFile(path) as z:
+        assert "xl/tables/table1.xml" not in set(z.namelist())
+    assert read_excel(spark, path).count() == 4
+
+
+def test_json_document_append_merges(spark, tmp_path):
+    """JsonWriter.cs:62-71 read-merge-rewrite: appending to an array document
+    parses the old array and rewrites the whole file."""
+    import json as _json
+
+    from pipeflow_spark.sinks import collect_json_document
+
+    path = str(tmp_path / "doc.json")
+    a = spark.createDataFrame([(1, "a")], "id long, v string")
+    b = spark.createDataFrame([(2, "b")], "id long, v string")
+    collect_json_document(a, path)
+    collect_json_document(b, path, append=True)
+    doc = _json.load(open(path))
+    assert doc == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    # non-array document refuses rather than corrupting
+    bad = str(tmp_path / "obj.json")
+    open(bad, "w").write('{"not": "an array"}')
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a JSON array"):
+        collect_json_document(b, bad, append=True)
+
+
 def test_excel_directory_distributed_read(spark, tmp_path):
     """Glob of xlsx → binaryFile + mapInPandas: executors parse in parallel."""
     for i in range(3):
