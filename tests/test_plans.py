@@ -177,3 +177,25 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_registry_plan_totals(spark, sf_dir):
+    """CI gate over the whole registry: zero row-at-a-time Python eval nodes
+    and zero cartesian products in ANY batch query's physical plan — a
+    future per-row F.udf or accidental cross join cannot land silently.
+    Regenerates PLANS.md in the same run so the audit artifact never drifts
+    from the code."""
+    import importlib.util
+    import os
+
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools", "plan_report.py")
+    spec = importlib.util.spec_from_file_location("plan_report", tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rows, totals = mod.build_report(spark, sf_dir)
+    audited = [name for name, m in rows if m is not None]
+    assert len(audited) >= 45, "registry shrank unexpectedly"
+    offenders = [name for name, m in rows if m and (m["row_py"] or m["cartesian"])]
+    assert totals == {"row_py": 0, "cartesian": 0}, f"plan regressions in: {offenders}"
+    mod.write_md(rows, totals, sf_dir)
