@@ -77,9 +77,16 @@ def bench_batch(spark, trials: int = 2) -> dict[str, float]:
     return timings
 
 
-def bench_stream(spark) -> dict[str, float]:
+def bench_stream(spark, trials: int | None = None) -> dict[str, float]:
     """North-rule metric: turns/sec through watermark → tumbling agg →
-    exactly-once sink, from file-source arrival replay."""
+    exactly-once sink, from file-source arrival replay.
+
+    Best-of-``trials`` (default 2, env ``SPARK_GRAFT_STREAM_TRIALS``) for the
+    same reason as :func:`bench_batch`: the stream is the longest single
+    measurement in the suite (~30-40 s), so it is the likeliest to straddle
+    one of the host's multi-minute steal windows.  The arrival files are
+    synthesized once; each trial replays them through a FRESH checkpoint and
+    sink, so no trial rides another's state."""
     from pyspark.sql import functions as F
 
     from pipeflow_spark.streaming import ExactlyOnceSink, StreamingPipeline
@@ -90,8 +97,9 @@ def bench_stream(spark) -> dict[str, float]:
     )
     import datetime as dt
 
+    trials = trials or int(os.environ.get("SPARK_GRAFT_STREAM_TRIALS", "2"))
     work = tempfile.mkdtemp(prefix="pipeflow_bench_")
-    src, root, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
+    src = os.path.join(work, "src")
     pdf = synthesize_transcripts(n_convs=30000, n_files=8, seed=42, late_frac=0.02)
     write_arrival_files(pdf, src)
     write_sentinel_file(src, dt.datetime(2026, 1, 1))
@@ -102,35 +110,48 @@ def bench_stream(spark) -> dict[str, float]:
     # overhead low while still saturating the cores in waves
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
+    best: dict[str, float] | None = None
     try:
-        sp = (
-            StreamingPipeline.read_transcripts(spark, src, max_files_per_trigger=2)
-            .with_watermark("ts", "10 minutes")
-            # prune to the aggregated columns before the stateful shuffle
-            .select("conv_id", "turn_idx", "ts")
-            .dedupe_within_watermark(["conv_id", "turn_idx"])
-            .tumbling_agg(
-                "ts", "5 minutes", ["conv_id"], F.count("*").alias("n"), F.max("turn_idx").alias("max_turn")
+        for trial in range(trials):
+            root = os.path.join(work, f"sink{trial}")
+            ckpt = os.path.join(work, f"ckpt{trial}")
+            sp = (
+                StreamingPipeline.read_transcripts(spark, src, max_files_per_trigger=2)
+                .with_watermark("ts", "10 minutes")
+                # prune to the aggregated columns before the stateful shuffle
+                .select("conv_id", "turn_idx", "ts")
+                .dedupe_within_watermark(["conv_id", "turn_idx"])
+                .tumbling_agg(
+                    "ts",
+                    "5 minutes",
+                    ["conv_id"],
+                    F.count("*").alias("n"),
+                    F.max("turn_idx").alias("max_turn"),
+                )
+                .select(F.col("w.start").alias("ws"), "conv_id", "n", "max_turn")
             )
-            .select(F.col("w.start").alias("ws"), "conv_id", "n", "max_turn")
-        )
-        sink = ExactlyOnceSink(root)
-        t0 = time.monotonic()
-        q = sp.start_exactly_once(sink, ckpt, output_mode="append")
-        q.awaitTermination()
-        wall = time.monotonic() - t0
+            sink = ExactlyOnceSink(root)
+            t0 = time.monotonic()
+            q = sp.start_exactly_once(sink, ckpt, output_mode="append")
+            q.awaitTermination()
+            wall = time.monotonic() - t0
+            durations = sorted(
+                p["durationMs"]["triggerExecution"] / 1000.0 for p in q.recentProgress
+            )
+            median_batch = durations[len(durations) // 2] if durations else float("nan")
+            result = {
+                "turns": n_turns,
+                "wall_sec": round(wall, 3),
+                "turns_per_sec": round(n_turns / wall, 1),
+                "batches": len(durations),
+                "window_close_latency_sec_p50": round(median_batch, 3),
+            }
+            if best is None or result["wall_sec"] < best["wall_sec"]:
+                best = result
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    durations = sorted(p["durationMs"]["triggerExecution"] / 1000.0 for p in q.recentProgress)
-    median_batch = durations[len(durations) // 2] if durations else float("nan")
     shutil.rmtree(work, ignore_errors=True)
-    return {
-        "turns": n_turns,
-        "wall_sec": round(wall, 3),
-        "turns_per_sec": round(n_turns / wall, 1),
-        "batches": len(durations),
-        "window_close_latency_sec_p50": round(median_batch, 3),
-    }
+    return best
 
 
 def main() -> None:
