@@ -112,3 +112,59 @@ def pack_sequences(
         .withColumn("seq_in_shard", (F.col("start_tok") / budget).cast("bigint"))
         .withColumn("offset", (F.col("start_tok") % budget).cast("bigint"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard pretraining prep for documents longer than the model context.
+
+    Chunk ``i`` covers whitespace tokens ``[i*step, i*step + max_tokens)``
+    with ``step = max_tokens - overlap``; the number of chunks is
+    ``1 if n <= max_tokens else 1 + ceil((n - max_tokens) / step)`` so the
+    final (possibly shorter) chunk always reaches the end of the document.
+    Tokenization is ``split(trim(text), '\\s+')`` — the same deterministic
+    rule as :mod:`..operators.text`, bit-identical in the SQL oracle.
+
+    Scale: map-only modulo the row fan-out — tokenize → ``explode(sequence)``
+    → ``slice`` are all JVM Column algebra pipelined into the scan; no
+    shuffle, no Python, output partitioning inherits the scan (a 100 TB
+    corpus chunks embarrassingly parallel).  The token array is materialized
+    ONCE per row before the explode (higher-order re-evaluation trap — see
+    ``dedupe.gram_table``).
+
+    Output: one row per chunk with ``(id_col, chunk_idx, chunk_text,
+    n_tokens)``.
+
+    Reference analog: PipeFlow's ``SelectMany`` row fan-out
+    (``PipeFlow/PipeFlow.cs:283-300``), specialized to token windows.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap=} {max_tokens=}")
+    step = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(F.col("_toks"))
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((n - F.lit(max_tokens)).cast("double") / F.lit(step))).cast("int")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * step + 1, max_tokens)
+    return (
+        df.withColumn("_toks", toks)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+            "_toks",
+        )
+        .withColumn("_chunk", chunk)
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(F.col("_chunk"), " ").alias("chunk_text"),
+            F.size(F.col("_chunk")).alias("n_tokens"),
+        )
+    )

@@ -11,7 +11,7 @@ Reference analog: PipeFlow's per-row ``Map``/``AddColumn`` lambdas
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword regexes per language (tiny deterministic n-gram-ish heuristic;
@@ -185,4 +185,70 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fp"),
+    )
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus token table: one row per (id, token), lower-cased whitespace
+    tokenization (``split(trim(lower(text)), '\\s+')``) — the deterministic
+    rule shared with the SQL oracles.  Map-only fan-out, no shuffle."""
+    return df.select(
+        id_col,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), WHITESPACE)).alias("token"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent tokens with counts —
+    vocabulary building / tokenizer-training input.
+
+    One hash shuffle (token groupBy with map-side partial aggregation over the
+    exploded stream — partial counts shrink each task's output to its distinct
+    tokens before the exchange) and a ``TakeOrderedAndProject`` top-k (no
+    global sort materialization).  Ties pin on the token string so the result
+    is a total order at any cluster size.
+    """
+    return (
+        tokens(df, text_col, id_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(k)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ndigits: int = 5
+) -> DataFrame:
+    """Per-document mean unigram log-probability under a unigram LM trained
+    on the corpus itself — the classic cheap quality-filter proxy (docs of
+    rare/garbled tokens score low, fluent boilerplate scores high); threshold
+    or bucket downstream.
+
+    Shape: ``avg(ln(cnt(token)/N)) = avg(ln cnt) - ln N``, so the per-token
+    count comes from a ``count(*) OVER (PARTITION BY token)`` window — ONE
+    shuffle on token, ONE scan — instead of a self-join against a separate
+    unigram aggregate (which would scan twice and shuffle three times).  The
+    corpus-total ``N`` is a 1-row aggregate cross-joined back (broadcast).
+    The vocabulary is never collected or broadcast — it scales with the
+    corpus, unlike an eval-set gram table (see ``decontaminate``).
+    """
+    tok = tokens(df, text_col, id_col)
+    w = Window.partitionBy("token")
+    scored = tok.withColumn("cnt", F.count("*").over(w).cast("double"))
+    total = tok.agg(F.count("*").cast("double").alias("_n"))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.avg(F.log("cnt")).alias("_avg_ln_cnt"),
+            F.count("*").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.round(F.col("_avg_ln_cnt") - F.log("_n"), ndigits).alias("logprob"),
+            "n_tokens",
+        )
     )

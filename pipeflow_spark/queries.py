@@ -1289,6 +1289,78 @@ def pack_sequences(spark, sf_dir):
 
 
 @register(
+    "chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ), k AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS INT) END AS n_chunks
+      FROM t
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(toks[CAST(i AS INT)*48+1 : CAST(i AS INT)*48+64], ' ') AS chunk_text,
+           CAST(len(toks[CAST(i AS INT)*48+1 : CAST(i AS INT)*48+64]) AS INT) AS n_tokens
+    FROM k, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """Context-window chunking: split every document into ≤64-token chunks
+    overlapping by 16 (step 48), final chunk reaching the document end —
+    the pretraining prep for docs longer than the model context.  Map-only
+    JVM fan-out (tokenize once → explode(sequence) → slice); no shuffle,
+    no Python — a 100 TB corpus chunks embarrassingly parallel."""
+    out = sampling.chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    )
+    return out.orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "vocab_topk",
+    """
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+          FROM documents)
+    GROUP BY token ORDER BY freq DESC, token LIMIT 50
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k (tokenizer-training input): explode → one
+    token groupBy with map-side partial counts → TakeOrderedAndProject.
+    Ties pinned on the token string — a total order at any cluster size."""
+    return text.vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+@register(
+    "unigram_quality",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ), c AS (
+      SELECT doc_id, CAST(count(*) OVER (PARTITION BY token) AS DOUBLE) AS cnt FROM tok
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM tok
+    )
+    SELECT doc_id,
+           round(avg(ln(cnt)) - (SELECT ln(n) FROM tot), 5) AS logprob,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def unigram_quality(spark, sf_dir):
+    """Per-doc mean unigram log-probability under a corpus-trained unigram
+    LM — the classic cheap quality-filter proxy (KenLM-style scoring's
+    unigram floor).  One scan, one token-window shuffle, one doc groupBy;
+    the vocabulary is never collected or broadcast (it scales with the
+    corpus)."""
+    return text.unigram_logprob(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
     "user_event_paths",
     """
     SELECT user_id,
@@ -2577,9 +2649,7 @@ _ORDER = [
     "json_path_props",
     # window functions / pivot / grouping
     "window_topn_per_group",
-    "window_lag_running",
     "window_ntile_quartiles",
-    "pivot_status_priority",
     "unpivot_lineitem_measures",
     "rollup_lineitem",
     "grouping_multi",
@@ -2590,9 +2660,18 @@ _ORDER = [
     "sessionize_events",
     "session_transcripts",
     "salted_agg_events",
-    "text_profile",
     "multimodal_features",
+    # training-data prep (new in r3: chunking, vocab, unigram-LM quality)
+    "chunk_documents",
+    "vocab_topk",
+    "unigram_quality",
     # ---- driver window boundary (first 50 above) ----
+    # (window_lag_running / pivot_status_priority / text_profile moved past
+    #  the boundary in r3 — each has a green CORRECTNESS_r02 row under the
+    #  same name; the slots fund the three new training-data ops above)
+    "window_lag_running",
+    "pivot_status_priority",
+    "text_profile",
     "embed_ann_lsh",
     "embed_knn_blocked",
     "embed_ivf_topk",

@@ -611,3 +611,69 @@ def test_pack_sequences_layout_invariants(spark):
             assert r.seq_in_shard == expect_start // 2048
             assert r.offset == expect_start % 2048 and 0 <= r.offset < 2048
             expect_start += r.n_tok
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    # 10 tokens, max 4, overlap 1 (step 3): chunks start 0,3,6 -> last covers 6..9
+    txt = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, txt)], "doc_id bigint, text string")
+    out = sorted(
+        sampling.chunk_documents(df, max_tokens=4, overlap=1).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.chunk_text for r in out] == ["t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert [r.n_tokens for r in out] == [4, 4, 4]
+    # every adjacent pair overlaps by exactly `overlap` tokens
+    for a, b in zip(out, out[1:]):
+        assert a.chunk_text.split()[-1:] == b.chunk_text.split()[:1]
+
+
+def test_chunk_documents_short_doc_single_chunk_and_ragged_tail(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"x{i}" for i in range(9)))],
+        "doc_id bigint, text string",
+    )
+    out = sampling.chunk_documents(df, max_tokens=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    assert rows[(1, 0)].chunk_text == "a b c" and rows[(1, 0)].n_tokens == 3
+    assert len([k for k in rows if k[0] == 1]) == 1
+    # 9 tokens, step 3: chunks at 0,3,6 — final chunk is the ragged 3-token tail
+    tail = rows[(2, 2)]
+    assert tail.chunk_text == "x6 x7 x8" and tail.n_tokens == 3
+    # reassembly: dropping each chunk's leading `overlap` tokens (except the
+    # first chunk) reconstructs the document exactly
+    chunks = [rows[(2, i)].chunk_text.split() for i in range(3)]
+    rebuilt = chunks[0] + [t for c in chunks[1:] for t in c[1:]]
+    assert rebuilt == [f"x{i}" for i in range(9)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b a b"), (2, "A c a  B")], "doc_id bigint, text string"
+    )
+    out = text.vocab_topk(df, k=10).collect()
+    # a:3 (case-folded), b:3, c:1 — tie a/b breaks on token asc
+    assert [(r.token, r.freq) for r in out] == [("a", 3), ("b", 3), ("c", 1)]
+
+
+def test_unigram_logprob_matches_hand_math(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in text.unigram_logprob(df).collect()}
+    # corpus: a=2, b=2, c=1, N=5
+    exp1 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert out[1].logprob == pytest.approx(exp1, abs=1e-5)
+    assert out[2].logprob == pytest.approx(exp2, abs=1e-5)
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    # the rare-token doc scores strictly lower: the quality-filter signal
+    assert out[2].logprob < out[1].logprob
