@@ -1361,6 +1361,85 @@ def unigram_quality(spark, sf_dir):
 
 
 @register(
+    "pretraining_batches",
+    """
+    WITH ded AS (
+      SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ), tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM ded
+    ), c AS (
+      SELECT doc_id, CAST(count(*) OVER (PARTITION BY token) AS DOUBLE) AS cnt FROM tok
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM tok
+    ), lp AS (
+      SELECT doc_id, round(avg(ln(cnt)) - (SELECT ln(n) FROM tot), 5) AS logprob
+      FROM c GROUP BY doc_id
+    ), kept AS (
+      SELECT d.doc_id, d.text FROM ded d JOIN lp USING (doc_id)
+      WHERE lp.logprob >= -3.45
+    ), t2 AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM kept
+    ), k AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS INT) END AS n_chunks
+      FROM t2
+    ), ch AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             CAST(len(toks[CAST(i AS INT)*48+1 : CAST(i AS INT)*48+64]) AS INT) AS n_tokens,
+             doc_id * 1000 + CAST(i AS INT) AS chunk_id
+      FROM k, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+    ), packed AS (
+      SELECT doc_id, chunk_idx, n_tokens, CAST(chunk_id % 8 AS INT) AS shard,
+             CAST(sum(n_tokens) OVER (PARTITION BY chunk_id % 8 ORDER BY chunk_id)
+                  - n_tokens AS BIGINT) AS start_tok
+      FROM ch
+    )
+    SELECT doc_id, chunk_idx, n_tokens, shard,
+           CAST(start_tok // 256 AS BIGINT) AS seq_in_shard,
+           CAST(start_tok % 256 AS BIGINT) AS "offset"
+    FROM packed ORDER BY doc_id, chunk_idx
+    """,
+)
+def pretraining_batches(spark, sf_dir):
+    """Second composite flagship: the full pretraining batch-prep chain —
+    exact dedupe (keep-first by normalized fingerprint) → unigram-LM quality
+    filter (score ≥ −3.45, LM trained on the deduped corpus itself) →
+    context-window chunking (≤64 tokens, overlap 16) → GPT-style sequence
+    packing (budget 256, 8 shards).  One DuckDB oracle pins the whole
+    composition, not just the stages.
+
+    Scale shape: dedupe is one fp shuffle; the LM is one token-window shuffle
+    + one doc_id join back (never collected/broadcast); chunking is map-only
+    fan-out; packing sorts per shard, no global sort.  ``chunk_id =
+    doc_id*1000 + chunk_idx`` keys packing (docs here are far under 1000
+    chunks; a general corpus would widen the factor or hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    ded = docs.groupBy(text.fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", F.col("doc_id")).alias("text"),
+    )
+    lp = text.unigram_logprob(ded)
+    kept = (
+        ded.join(lp.select("doc_id", "logprob"), "doc_id")
+        .filter(F.col("logprob") >= -3.45)
+        .select("doc_id", "text")
+    )
+    chunks = sampling.chunk_documents(kept, max_tokens=64, overlap=16).withColumn(
+        "chunk_id", F.col("doc_id") * 1000 + F.col("chunk_idx")
+    )
+    packed = sampling.pack_sequences(
+        chunks, token_col="n_tokens", id_col="chunk_id", budget=256, shards=8
+    )
+    return packed.select(
+        "doc_id", "chunk_idx", "n_tokens", "shard", "seq_in_shard", "offset"
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
     "user_event_paths",
     """
     SELECT user_id,
@@ -2651,7 +2730,6 @@ _ORDER = [
     "window_topn_per_group",
     "window_ntile_quartiles",
     "unpivot_lineitem_measures",
-    "rollup_lineitem",
     "grouping_multi",
     "set_ops_multi",
     "percentiles_by_type",
@@ -2661,17 +2739,21 @@ _ORDER = [
     "session_transcripts",
     "salted_agg_events",
     "multimodal_features",
-    # training-data prep (new in r3: chunking, vocab, unigram-LM quality)
+    # training-data prep (new in r3: chunking, vocab, unigram-LM quality,
+    # and the dedupe→quality→chunk→pack composite flagship)
     "chunk_documents",
     "vocab_topk",
     "unigram_quality",
+    "pretraining_batches",
     # ---- driver window boundary (first 50 above) ----
-    # (window_lag_running / pivot_status_priority / text_profile moved past
-    #  the boundary in r3 — each has a green CORRECTNESS_r02 row under the
-    #  same name; the slots fund the three new training-data ops above)
+    # (window_lag_running / pivot_status_priority / text_profile /
+    #  rollup_lineitem moved past the boundary in r3 — each has a green
+    #  CORRECTNESS_r02 row under the same name; the slots fund the four new
+    #  training-data entries above)
     "window_lag_running",
     "pivot_status_priority",
     "text_profile",
+    "rollup_lineitem",
     "embed_ann_lsh",
     "embed_knn_blocked",
     "embed_ivf_topk",

@@ -677,3 +677,24 @@ def test_unigram_logprob_matches_hand_math(spark):
     assert out[1].n_tokens == 3 and out[2].n_tokens == 2
     # the rare-token doc scores strictly lower: the quality-filter signal
     assert out[2].logprob < out[1].logprob
+
+
+def test_pretraining_batches_composition_invariants(spark, sf_dir):
+    from pipeflow_spark.queries import QUERIES
+
+    fn, _ = QUERIES["pretraining_batches"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_tokens <= 64
+        assert 0 <= r.shard < 8
+        assert 0 <= r.offset < 256
+    # packing layout is gapless per shard in chunk_id order
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: r.doc_id * 1000 + r.chunk_idx):
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        expect = 0
+        for r in rs:
+            assert r.seq_in_shard * 256 + r.offset == expect
+            expect += r.n_tokens
