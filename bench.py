@@ -49,6 +49,9 @@ HEADLINE = [
     "decontaminate_ngram",
     "pack_sequences",
     "session_transcripts",
+    "chunk_documents",
+    "unigram_quality",
+    "pretraining_batches",
 ]
 
 

@@ -144,8 +144,11 @@ def chunk_documents(
     Reference analog: PipeFlow's ``SelectMany`` row fan-out
     (``PipeFlow/PipeFlow.cs:283-300``), specialized to token windows.
     """
+    from ..session import spread
+
     if not 0 <= overlap < max_tokens:
         raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap=} {max_tokens=}")
+    df = spread(df)  # a small file scans as ONE partition; no-op at scale
     step = max_tokens - overlap
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(F.col("_toks"))

@@ -192,6 +192,9 @@ def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     """Corpus token table: one row per (id, token), lower-cased whitespace
     tokenization (``split(trim(lower(text)), '\\s+')``) — the deterministic
     rule shared with the SQL oracles.  Map-only fan-out, no shuffle."""
+    from ..session import spread
+
+    df = spread(df)  # a small file scans as ONE partition; no-op at scale
     return df.select(
         id_col,
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), WHITESPACE)).alias("token"),
