@@ -35,9 +35,10 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB ANSI-SQL oracles.  minhash (recall-1 LSH config vs the exact
     Jaccard pair set), simhash (brute-force sketch twin), the sign-LSH
     ANN/kNN/embedding-dedup family (algorithm twins: same seed-42 planes as
-    SQL literals), and one full streaming chain over the events table
-    (stream_events_tumbling_oracle — committed exactly-once output ≡ batch
-    SQL aggregate) are oracle-checked; only genuinely non-SQL-expressible ops
-    (HLL sketch values, synthetic-transcript streaming e2e, stubbed
-    multimodal decode) remain rows-only."""
+    SQL literals), five full streaming chains over the events table
+    (committed exactly-once output ≡ batch SQL), and both multimodal decode
+    queries (real stdlib BMP/WAV/AVI codecs vs closed-form generate_series
+    twins) are oracle-checked; only genuinely non-SQL-expressible ops
+    (HLL sketch values, synthetic-transcript streaming e2e ×2) remain
+    rows-only."""
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

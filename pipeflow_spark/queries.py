@@ -331,6 +331,357 @@ def q19_disjunctive_predicates(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# 1-bis. TPC-H subquery / decorrelation shapes (r3): correlated EXISTS and
+# NOT EXISTS, null-aware NOT IN, dim self-join aliases, groupwise-min
+# join-back, global-scalar HAVING — the plan features the first seven
+# TPC-H-shape queries don't reach.  (The testdata lacks partsupp /
+# commitdate / c_phone, so each classic query keeps its *shape* on the
+# columns that exist.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_exists_late_orders",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_exists_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape (correlated EXISTS): decorrelates to a LEFT SEMI join
+    whose equi-key (l_orderkey = o_orderkey) drives a hash join and whose
+    correlated inequality (l_shipdate > o_orderdate + 60d) rides along as the
+    join filter — one shuffle, no per-row subquery re-execution at any
+    scale."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+        OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+    GROUP BY cust_nation, supp_nation, l_year
+    ORDER BY cust_nation, supp_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): the same dim
+    table joined twice under different aliases (customer-nation and
+    supplier-nation), both broadcast; supplier (which scales with SF, unlike
+    the fixed 25-nation dim) is left to AQE's runtime size decision rather
+    than force-broadcast; the cross-pair predicate is applied after both
+    joins, and the year() projection groups the big side."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2") | (
+        F.col("cust_nation") == "NATION_2"
+    ) & (F.col("supp_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .filter(pair)
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): numerator-as-CASE inside the
+    same aggregate pass as the denominator — one scan, one shuffle, the
+    share division happens on two already-reduced columns.  Nation (fixed 25
+    rows) is force-broadcast; supplier scales with SF, so its join strategy
+    is left to AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(national) / F.sum(rev), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority matrix): two complementary
+    conditional counts in one aggregate over the join — the classic
+    pivot-without-pivot."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q15_top_revenue_supplier",
+    """
+    WITH rev AS (SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate <  TIMESTAMP '1997-04-01'
+                 GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total_rev, 4) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier vs a derived view): the revenue CTE is
+    built once and reused for both the scalar max and the equality probe —
+    in Spark the tiny aggregated side broadcasts, so the "subquery in WHERE"
+    costs one extra reduce, not a second lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(rev, supp.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 4).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_notin_supplier_cnt",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    LIMIT 20
+    """,
+)
+def q16_notin_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (distinct-count with NOT IN exclusion), expressed
+    through the engine's SQL entry point: Catalyst plans the NOT IN subquery
+    as a null-aware anti join (broadcast — the exclusion list is tiny) and
+    the count(DISTINCT) as a two-phase partial-distinct aggregate."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q16_part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("q16_supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM q16_part JOIN q16_lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (rich-but-dormant customers): an uncorrelated scalar
+    AVG subquery (broadcast single row) gates the scan, then a correlated
+    NOT EXISTS decorrelates to a LEFT ANTI join against the date-pruned
+    orders side."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q2_groupwise_min_price",
+    """
+    WITH mn AS (SELECT l_partkey AS mk, min(l_extendedprice) AS min_price
+                FROM lineitem GROUP BY l_partkey)
+    SELECT p_partkey, p_name, round(min_price, 4) AS min_price, count(*) AS n_at_min
+    FROM part JOIN mn ON p_partkey = mk
+         JOIN lineitem ON l_partkey = p_partkey AND l_extendedprice = min_price
+    WHERE p_size <= 5
+    GROUP BY p_partkey, p_name, min_price
+    ORDER BY p_partkey LIMIT 25
+    """,
+)
+def q2_groupwise_min_price(spark, sf_dir):
+    """TPC-H Q2 shape (groupwise minimum): the correlated min subquery
+    decorrelates to aggregate-then-join-back.  The min table has one row per
+    part — it SCALES with the fact table, so it is deliberately NOT
+    broadcast (a shuffle join on l_partkey co-partitions it with the
+    re-join; AQE may still broadcast at small SF).  The double equality is
+    exact (stored value vs min of stored values, no arithmetic).  The part
+    dim is filtered before its join and small enough to broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    mn = li.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    return (
+        li.join(
+            mn,
+            (li.l_partkey == F.col("mk")) & (li.l_extendedprice == F.col("min_price")),
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "min_price")
+        .agg(F.count("*").alias("n_at_min"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round("min_price", 4).alias("min_price"),
+            "n_at_min",
+        )
+        .orderBy("p_partkey")
+        .limit(25)
+    )
+
+
+@register(
+    "q11_value_concentration",
+    """
+    SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 4) AS part_value
+    FROM lineitem GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity) >
+           (SELECT sum(l_extendedprice * l_quantity) * 0.00065 FROM lineitem)
+    ORDER BY part_value DESC, l_partkey LIMIT 30
+    """,
+)
+def q11_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape (HAVING vs a global scalar): per-key aggregate
+    filtered against a fraction of the grand total — the scalar is a
+    broadcast single row over the already-aggregated (small) side, so the
+    fact table is scanned once per aggregate, never per comparison.  The
+    0.00065 threshold sits ≥2e-4 relative distance from the nearest part at
+    sf0.01, far beyond cross-engine float-sum noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("__v"))
+    total = li.agg((F.sum(val) * 0.00065).alias("__thr"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__v") > F.col("__thr"))
+        .select("l_partkey", F.round("__v", 4).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+        .limit(30)
+    )
+
+
 @register(
     "relational_core",
     """
@@ -1035,7 +1386,7 @@ def uniform_sample_topk(spark, sf_dir):
            count(*) AS n_docs,
            round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(string_split_regex(trim(text), '\\s+')) END), 4) AS avg_tokens,
-           round(avg(round({_QUALITY_SQL}, 6)), 4) AS avg_quality,
+           round(avg(CAST(round(round({_QUALITY_SQL}, 6) * 1000000) AS BIGINT)) / 1000000, 4) AS avg_quality,
            CAST(count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS BIGINT) AS n_exact_dups
     FROM documents GROUP BY source ORDER BY source
     """,
@@ -1058,7 +1409,11 @@ def corpus_report(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("__tok"), 4).alias("avg_tokens"),
-            F.round(F.avg("__q"), 4).alias("avg_quality"),
+            # same grid-boundary hardening as curate_training_corpus: average
+            # the exact 1e-6-scaled integers, not the grid-valued doubles
+            F.round(
+                F.avg(F.round(F.col("__q") * 1e6, 0).cast("long")) / 1e6, 4
+            ).alias("avg_quality"),
             (F.count("*") - F.countDistinct("__fp")).alias("n_exact_dups"),
         )
         .orderBy("source")
@@ -1905,16 +2260,18 @@ def validate_with_results(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# 7. Multimodal plumbing + streaming e2e (rows-only: no SQL twin possible)
+# 7. Multimodal decode (real stdlib codecs, algorithm-twin oracles) +
+#    streaming e2e (rows-only: no SQL twin possible)
 # ---------------------------------------------------------------------------
 
 
 @register(
     "multimodal_features",
-    # algorithm twin: the media payloads are REAL encoded BMP/WAV files built
-    # from closed-form integer formulas (multimodal.synthesize_media), so the
-    # decoded features are reproducible in pure SQL via generate_series — any
-    # bug in header math, row padding, or PCM parsing breaks this equality.
+    # algorithm twin: the media payloads are REAL encoded BMP/WAV/AVI files
+    # built from closed-form integer formulas (multimodal.synthesize_media),
+    # so the decoded features are reproducible in pure SQL via
+    # generate_series — any bug in header math, row padding, RIFF chunk
+    # walking, or PCM parsing breaks this equality.
     """
     WITH ids AS (SELECT i FROM generate_series(0, 63) s(i)),
     ks AS (SELECT k FROM generate_series(0, 5999) t(k)),
@@ -1937,12 +2294,20 @@ def validate_with_results(spark, sf_dir):
              round(avg(CAST(abs((media_id*11 + k*17) % 2048 - 1024) AS DOUBLE)), 6) AS mean_feature
       FROM aud JOIN ks ON k < n GROUP BY media_id, n
     ),
+    vid AS (SELECT i AS media_id, 18 + (i % 5) AS w, 12 + (i % 4) * 4 AS h,
+                   2 + (i % 9) AS n
+            FROM ids WHERE i % 3 = 2),
+    fr AS (SELECT f FROM generate_series(0, 10) u(f)),
     vid_feat AS (
-      SELECT i AS media_id, 'video' AS kind, CAST(256 + (i % 5)*128 AS INT) AS n_bytes,
-             CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
-             CAST(NULL AS INT) AS n_samples, CAST(NULL AS INT) AS duration_ms,
-             CAST(NULL AS DOUBLE) AS mean_feature
-      FROM ids WHERE i % 3 = 2
+      -- AVI size closed form: 12-byte RIFF prelude + 200-byte hdrl +
+      -- movi/idx1 overhead + n frames of (8-byte chunk header + padded DIB)
+      SELECT media_id, 'video' AS kind,
+             CAST(232 + n * (24 + h * (w*3 + (4 - (w*3) % 4) % 4)) AS INT) AS n_bytes,
+             CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             CAST(n AS INT) AS n_samples, CAST(n * 250 AS INT) AS duration_ms,
+             round(avg(CAST((media_id*7 + f*31 + k*13) % 256 AS DOUBLE)), 6) AS mean_feature
+      FROM vid JOIN fr ON f < n JOIN ks ON k < w*h*3
+      GROUP BY media_id, w, h, n
     )
     SELECT * FROM img_feat
     UNION ALL SELECT * FROM aud_feat
@@ -1952,20 +2317,43 @@ def validate_with_results(spark, sf_dir):
 )
 def multimodal_features(spark, sf_dir):
     """Binary media columns → mapInPandas decode/feature stage, per-media
-    features.  The BMP/WAV decode kernels are REAL stdlib codecs over real
-    encoded payloads (r2's stub closed); video content decode remains
-    honestly stubbed (metadata-only row).  Oracle: SQL twin of the
-    generation formulas — the decode path is differentially verified."""
+    features.  All three decode kernels are REAL stdlib codecs over real
+    encoded payloads — BMP/WAV (r2) and uncompressed RGB24 AVI (r3, closing
+    the last multimodal stub).  Oracle: SQL twin of the generation formulas —
+    the decode path is differentially verified."""
     media = multimodal.synthesize_media(spark, n=64, seed=42)
     feats = multimodal.extract_features(media)
     return feats.withColumn("mean_feature", F.round("mean_feature", 6)).orderBy("media_id")
 
 
-@register("multimodal_frame_sample", None)  # synthesized media: rows-only
+@register(
+    "multimodal_frame_sample",
+    # every_ms=1000 at 4 fps ⇒ every 4th frame (0, 4, 8); the per-frame mean
+    # replays the generation formula per sampled frame.
+    """
+    WITH ids AS (SELECT i FROM generate_series(0, 63) s(i)),
+    vid AS (SELECT i AS media_id, 18 + (i % 5) AS w, 12 + (i % 4) * 4 AS h,
+                   2 + (i % 9) AS n
+            FROM ids WHERE i % 3 = 2),
+    fr AS (SELECT f FROM generate_series(0, 10) u(f) WHERE f % 4 = 0),
+    ks AS (SELECT k FROM generate_series(0, 5999) t(k))
+    SELECT media_id, CAST(f AS INT) AS frame_idx, CAST(f * 250 AS INT) AS frame_ts_ms,
+           round(avg(CAST((media_id*7 + f*31 + k*13) % 256 AS DOUBLE)), 6) AS frame_mean
+    FROM vid JOIN fr ON f < n JOIN ks ON k < w*h*3
+    GROUP BY media_id, f
+    ORDER BY media_id, f
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling with real AVI content decode (r3 — was rows-only
+    when video bytes were opaque): one row per sampled frame with its decoded
+    mean pixel value, differentially verified against the closed-form
+    generation formula."""
     media = multimodal.synthesize_media(spark, n=64, seed=42)
     frames = multimodal.frame_sample(media, every_ms=1000)
-    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames")).orderBy("media_id")
+    return frames.withColumn("frame_mean", F.round("frame_mean", 6)).orderBy(
+        "media_id", "frame_idx"
+    )
 
 
 @register("stream_join_replies_e2e", None)  # streaming: rows-only driver check
@@ -2618,8 +3006,12 @@ _QUALITY_SQL = """
       SELECT e.s, r.lab FROM edges e JOIN r ON r.node = e.d
     ),
     comps AS (SELECT node, min(lab) AS component FROM r GROUP BY node)
+    -- q sits on the 1e-6 grid (rounded per doc), so avg(q) lands exactly on
+    -- round-to-6 boundaries where float summation order flips the digit;
+    -- averaging the exact scaled integers makes both engines compute the
+    -- identical double before the final round.
     SELECT source, count(*) AS n_kept, sum(n_tokens) AS total_tokens,
-           round(avg(q), 6) AS avg_quality
+           round(avg(CAST(round(q * 1000000) AS BIGINT)) / 1000000, 6) AS avg_quality
     FROM survivors s LEFT JOIN comps c ON s.doc_id = c.node
     WHERE c.node IS NULL OR c.component = s.doc_id
     GROUP BY source ORDER BY source
@@ -2669,7 +3061,13 @@ def curate_training_corpus(spark, sf_dir):
         .agg(
             F.count("*").alias("n_kept"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
+            # avg over exact scaled integers, not grid-valued doubles: q is
+            # rounded to 1e-6 per doc, so avg(q) sits ON round-to-6 boundaries
+            # where engine summation order flips the last digit (observed at
+            # sf0.01/src13); the integer sum is exact and order-free.
+            F.round(
+                F.avg(F.round(F.col("q") * 1e6, 0).cast("long")) / 1e6, 6
+            ).alias("avg_quality"),
         )
         .orderBy("source")
     )
@@ -2754,6 +3152,18 @@ _ORDER = [
     "pivot_status_priority",
     "text_profile",
     "rollup_lineitem",
+    # TPC-H subquery/decorrelation shapes (r3): correlated EXISTS/NOT EXISTS,
+    # null-aware NOT IN, dim self-join aliases, groupwise-min join-back,
+    # global-scalar HAVING — oracle-checked via tools/check_oracles.py
+    "q4_exists_late_orders",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q12_priority_by_linestatus",
+    "q15_top_revenue_supplier",
+    "q16_notin_supplier_cnt",
+    "q22_dormant_customers",
+    "q2_groupwise_min_price",
+    "q11_value_concentration",
     "embed_ann_lsh",
     "embed_knn_blocked",
     "embed_ivf_topk",
@@ -2769,7 +3179,7 @@ _ORDER = [
     "user_event_paths",
     "distinct_users_exact",
     "approx_distinct_users",
-    "multimodal_frame_sample",
+    "multimodal_frame_sample",  # oracled in r3 (real AVI decode)
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",
 ]

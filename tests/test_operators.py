@@ -367,25 +367,45 @@ def test_multimodal_features(spark):
             assert r.n_samples == n and r.duration_ms == n * 1000 // 8000
             assert abs(r.mean_feature - expect) < 1e-9
         else:
-            assert r.mean_feature is None and r.n_bytes == len(
-                [m for m in media.collect() if m.media_id == r.media_id][0].payload
-            )
+            w, h, n = 18 + (r.media_id % 5), 12 + (r.media_id % 4) * 4, 2 + (r.media_id % 9)
+            f = np.arange(n)[:, None]
+            k = np.arange(h * w * 3)[None, :]
+            expect = ((r.media_id * 7 + f * 31 + k * 13) % 256).mean()
+            assert (r.width, r.height, r.n_samples) == (w, h, n)
+            assert r.duration_ms == n * 250
+            assert abs(r.mean_feature - expect) < 1e-9
+            fs = h * (w * 3 + (4 - (w * 3) % 4) % 4)
+            assert r.n_bytes == 232 + n * (24 + fs)
     # deterministic across runs
     again = multimodal.extract_features(multimodal.synthesize_media(spark, n=12)).orderBy("media_id").collect()
     assert [r.mean_feature for r in again] == [r.mean_feature for r in feats]
 
 
-def test_video_decode_is_honestly_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_video_stub(b"\x00\x01")
+def test_avi_roundtrip_with_padding():
+    # w=19 → row = 57 bytes + 3 padding bytes: worst-case padding exercised
+    rng_free = (np.arange(3 * 8 * 19 * 3, dtype=np.int64) * 29 % 256).astype(np.uint8)
+    frames = rng_free.reshape(3, 8, 19, 3)
+    payload = multimodal.encode_avi(frames, fps=4)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    back, fps = multimodal.decode_avi(payload)
+    assert fps == 4 and np.array_equal(back, frames)
+    fs = 8 * (19 * 3 + 3)
+    assert len(payload) == 232 + 3 * (24 + fs)  # closed-form size (oracle twin)
 
 
-def test_frame_sample(spark):
+def test_frame_sample_decodes_real_frames(spark):
     media = multimodal.synthesize_media(spark, n=12)
-    frames = multimodal.frame_sample(media, every_ms=1000)
-    vids = media.filter(F.col("kind") == "video").collect()
-    expect = sum(((v.duration_ms - 1) // 1000) + 1 for v in vids)
-    assert frames.count() == expect
+    rows = multimodal.frame_sample(media, every_ms=1000).orderBy("media_id", "frame_idx").collect()
+    # 4 fps, every 1000 ms ⇒ frames 0, 4, 8 where they exist
+    for r in rows:
+        assert r.frame_idx % 4 == 0 and r.frame_ts_ms == r.frame_idx * 250
+        w, h = 18 + (r.media_id % 5), 12 + (r.media_id % 4) * 4
+        k = np.arange(h * w * 3)
+        expect = ((r.media_id * 7 + r.frame_idx * 31 + k * 13) % 256).mean()
+        assert abs(r.frame_mean - expect) < 1e-9
+    vids = {m.media_id: 2 + (m.media_id % 9) for m in media.collect() if m.kind == "video"}
+    expect_rows = sum(len(range(0, n, 4)) for n in vids.values())
+    assert len(rows) == expect_rows
 
 
 # -- approx aggregates -----------------------------------------------------------
