@@ -157,6 +157,40 @@ def bench_stream(spark, trials: int | None = None) -> dict[str, float]:
     return best
 
 
+def wait_for_quiet(gauge, lo: float, hi: float, budget_sec: int, sleep_sec: int):
+    """Bounded wait for a quiet host window before measuring anything.
+
+    The r2 verdict's one process failure was capturing the official bench
+    under a 0.58 gauge (≈25 % CPU steal), which made two apparent
+    regressions unusable as evidence.  This gate makes the per-round capture
+    self-verifying: double-probe (two consecutive probes 30 s apart must both
+    land in [lo, hi] — a single probe passes sub-minute oscillations, and
+    readings above ``hi`` mean the probe's own solo phase was throttled),
+    with ≥``sleep_sec`` refill sleeps between failed attempts because the
+    16-core probe itself drains the host's burst credits
+    (tools/quiet_capture.py documents the protocol).  If no window opens
+    within ``budget_sec`` the bench runs anyway — the embedded before/after
+    gauges then flag the numbers as captured-under-steal rather than
+    silently understating the engine.
+
+    Returns the list of probe readings (the last 1–2 are the passing pair).
+    """
+    probes: list[float] = []
+    deadline = time.monotonic() + budget_sec
+    while True:
+        g1 = gauge()
+        probes.append(g1)
+        if lo <= g1 <= hi:
+            time.sleep(30)
+            g2 = gauge()
+            probes.append(g2)
+            if lo <= g2 <= hi:
+                return probes
+        if time.monotonic() + sleep_sec >= deadline:
+            return probes
+        time.sleep(sleep_sec)
+
+
 def main() -> None:
     from pipeflow_spark.session import get_spark
 
@@ -166,6 +200,13 @@ def main() -> None:
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     from cpu_gauge import gauge
 
+    wait_probes = wait_for_quiet(
+        gauge,
+        lo=float(os.environ.get("SPARK_GRAFT_QUIET_LO", "0.93")),
+        hi=float(os.environ.get("SPARK_GRAFT_QUIET_HI", "1.10")),
+        budget_sec=int(os.environ.get("SPARK_GRAFT_QUIET_BUDGET", "1500")),
+        sleep_sec=int(os.environ.get("SPARK_GRAFT_QUIET_SLEEP", "240")),
+    )
     gauge_before = gauge()
     spark = get_spark("pipeflow_bench", cpus=CPUS, shuffle_partitions=CPUS)
     # warm the JVM/codegen path so timings measure the engine, not startup
@@ -173,6 +214,10 @@ def main() -> None:
 
     queries = bench_batch(spark)
     stream = bench_stream(spark)
+    # settle before the after-probe: probing immediately after a full-CPU
+    # Spark run reads the bench's own burst-credit exhaust (measured 0.94
+    # before → 0.78 after on an otherwise-quiet host), not hypervisor steal
+    time.sleep(int(os.environ.get("SPARK_GRAFT_SETTLE", "60")))
     gauge_after = gauge()
     # suite value = sum of per-query bests + stream wall, so the headline is
     # the same statistic as its parts (a raw wall-clock total would double
@@ -189,7 +234,11 @@ def main() -> None:
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "stream": stream,
-                "host_gauge": {"before": gauge_before, "after": gauge_after},
+                "host_gauge": {
+                    "before": gauge_before,
+                    "after": gauge_after,
+                    "wait_probes": wait_probes,
+                },
             }
         )
     )
