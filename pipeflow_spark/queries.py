@@ -683,6 +683,195 @@ def q11_value_concentration(spark, sf_dir):
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    pushdown-or-nothing query — three conjunctive range predicates on one
+    table reduced to a single row.  All three predicates reach the parquet
+    scan as PushedFilters, the ReadSchema is 4 columns of 11, and the whole
+    thing is one map-side partial agg + a 1-row exchange; at 100 TB this is
+    the query whose cost IS the scan, so pushdown/pruning is the entire
+    optimization (plan-gated via PLANS.md scan audit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): a LIKE-filtered part dim fans
+    into a 4-way join grouped by supplier nation × order year.  The part
+    filter cannot be pushed into parquet as a range, but it IS applied
+    before the join, so the broadcast build side carries only matching
+    partkeys and lineitem is pre-pruned by the broadcast hash join's runtime
+    filter; nation (25 rows) broadcasts; orders joins on the shuffle key it
+    shares with q3/q5 (testdata has no partsupp, so profit omits the
+    ps_supplycost term — the join/plan shape is the point)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "profit"
+            )
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q20_promo_heavy_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > (
+        SELECT avg(q) FROM (
+          SELECT sum(l_quantity) AS q FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+          GROUP BY l_suppkey))
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_promo_heavy_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (nested IN chains): suppliers whose shipped quantity
+    of PROMO parts beats the average PROMO supplier.  Decorrelation: the
+    inner IN is a broadcast semi-join on the filtered part dim; the per-
+    supplier aggregate is computed ONCE and compared against its own global
+    average via a 1-row broadcast (not a re-scan per candidate); the outer
+    IN becomes a left-semi join into supplier.  One lineitem scan total —
+    the naive nested form scans it three times."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    per_supp = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    thr = per_supp.agg(F.avg("q").alias("__thr"))
+    heavy = per_supp.crossJoin(F.broadcast(thr)).filter(F.col("q") > F.col("__thr"))
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_lone_late_supplier",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_lone_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the lone late
+    supplier on a multi-supplier order — a correlated EXISTS plus a
+    correlated NOT EXISTS over the same fact.  Decorrelation: both
+    subqueries collapse into ONE per-order aggregate (distinct supplier
+    count, distinct late-supplier count) joined back to the late rows —
+    two scans and one join-back instead of two per-row subquery probes;
+    the `<> l_suppkey` correlation becomes `n_supps > 1` / `n_late = 1`
+    because the probing row is itself a late row of its order.  (Testdata
+    has no commitdate/receiptdate; 'late' = shipped >90 days after the
+    order date.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select("l_orderkey", "l_suppkey")
+    )
+    per_order = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            late.groupBy("l_orderkey").agg(
+                F.countDistinct("l_suppkey").alias("n_late")
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_orderkey", "n_late")
+        .agg(F.countDistinct("l_suppkey").alias("n_supps"))
+    )
+    lone = (
+        late.join(
+            per_order.filter((F.col("n_supps") > 1) & (F.col("n_late") == 1)).select(
+                "l_orderkey"
+            ),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        lone.join(supp, lone.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
     "relational_core",
     """
     SELECT DISTINCT user_id, round(value * 100.0, 4) AS value_pct
@@ -2712,6 +2901,57 @@ def stream_events_join_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "stream_enrich_static_oracle",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, c_mktsegment AS segment,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_enrich_static_oracle(spark, sf_dir):
+    """Stream-static dimension enrichment with a SQL oracle: events stream →
+    watermark → stateful dedupe → broadcast join to the static customer dim
+    (map-only per micro-batch, NO join state — the only join shape whose
+    per-batch cost is flat in stream history) → tumbling window agg per
+    market segment → exactly-once sink.  Committed snapshot ≡ the batch
+    join+aggregate.  The sentinel row (user_id −1) advances the watermark at
+    the source and is then dropped by the inner dim join, so no read-back
+    filter is needed."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_enr_")
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    sp = (
+        StreamingPipeline(_events_stream_source(spark, sf_dir, work))
+        .with_watermark("ts", "10 minutes")
+        .dedupe_within_watermark(["event_id"])
+        .enrich_static(dim, on=F.col("user_id") == F.col("c_custkey"))
+        .tumbling_agg(
+            "ts",
+            "1 hour",
+            ["c_mktsegment"],
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("ws"), F.col("c_mktsegment").alias("segment"), "n", "total"
+        )
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .select("ws", "segment", "n", "total")
+        .orderBy("ws", "segment")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 @register("stream_tumbling_e2e", None)  # streaming: rows-only driver check
 def stream_tumbling_e2e(spark, sf_dir):
     """Full micro-batch CEP chain end-to-end: deterministic transcript stream →
@@ -3164,6 +3404,10 @@ _ORDER = [
     "q22_dormant_customers",
     "q2_groupwise_min_price",
     "q11_value_concentration",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q20_promo_heavy_suppliers",
+    "q21_lone_late_supplier",
     "embed_ann_lsh",
     "embed_knn_blocked",
     "embed_ivf_topk",
@@ -3180,6 +3424,7 @@ _ORDER = [
     "distinct_users_exact",
     "approx_distinct_users",
     "multimodal_frame_sample",  # oracled in r3 (real AVI decode)
+    "stream_enrich_static_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",
 ]

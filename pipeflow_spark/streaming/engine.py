@@ -228,6 +228,33 @@ class StreamingPipeline:
         )
         return self._wrap(l.join(r, cond, "inner"))
 
+    # -- stream-static enrichment -------------------------------------------------------------
+    def enrich_static(
+        self,
+        dim: DataFrame,
+        on,
+        how: str = "inner",
+        broadcast: bool = True,
+    ) -> "StreamingPipeline":
+        """Enrich the stream with a static dimension table (the streaming twin
+        of the reference's lookup-style Transform, PipeFlow.cs:196-216).
+
+        Spark re-plans the static side into every micro-batch;
+        ``broadcast=True`` pins the dim to the build side so each batch is a
+        map-only broadcast hash join — no stream-side shuffle and, unlike a
+        stream-stream join, NO state store: nothing is buffered, so the cost
+        is flat in stream history.  This is the only join shape whose
+        per-batch cost doesn't grow at 10^12-turn scale, which is why dim
+        lookups should come here rather than through :meth:`join_replies`.
+        A dim read from slow storage should be ``.cache()``-ed by the caller
+        (it is re-scanned per batch otherwise); dims too big to broadcast
+        should pass ``broadcast=False`` and accept the per-batch shuffle.
+        """
+        if dim.isStreaming:
+            raise ValueError("enrich_static: dimension side must be a batch DataFrame")
+        right = F.broadcast(dim) if broadcast else dim
+        return self._wrap(self._df.join(right, on, how))
+
     # -- arbitrary stateful CEP ---------------------------------------------------------------
     def stateful_per_key(
         self,

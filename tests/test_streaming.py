@@ -89,6 +89,41 @@ def test_tumbling_window_matches_batch(spark, clean_dir):
     assert got == expect
 
 
+def test_enrich_static_matches_batch_join(spark, clean_dir):
+    """Stream-static broadcast enrichment: committed output must equal the
+    batch join+agg, the dim side must be batch (streaming dim raises), and
+    no join state store is created (the join is stateless per micro-batch)."""
+    d, pdf = clean_dir
+    dim = spark.createDataFrame(
+        [("user", 1.0), ("assistant", 2.5), ("tool", 4.0)], "role string, weight double"
+    )
+    sp = (
+        StreamingPipeline.read_transcripts(spark, d, max_files_per_trigger=2)
+        .with_watermark("ts", "0 seconds")
+        .enrich_static(dim, on="role")
+        .tumbling_agg(
+            "ts", "5 minutes", ["role"], F.round(F.sum("weight"), 4).alias("w_total")
+        )
+        .select(F.col("w.start").alias("ws"), "role", "w_total")
+    )
+    _run_to_memory(sp, "enriched", expected_input_rows=len(pdf) + 1)
+    got = {(r.ws, r.role): r.w_total for r in spark.sql("SELECT * FROM enriched").collect()}
+    expect = {
+        (r.ws, r.role): r.w_total
+        for r in _to_spark(spark, pdf)
+        .join(dim, "role")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "role")
+        .agg(F.round(F.sum("weight"), 4).alias("w_total"))
+        .select(F.col("w.start").alias("ws"), "role", "w_total")
+        .collect()
+    }
+    assert got == expect
+
+    stream_dim = StreamingPipeline.read_transcripts(spark, d).df
+    with pytest.raises(ValueError, match="must be a batch DataFrame"):
+        StreamingPipeline.read_transcripts(spark, d).enrich_static(stream_dim, on="role")
+
+
 def test_salted_tumbling_counts_match_plain(spark, clean_dir):
     """Skew-salted two-phase windowed count (chained stateful aggs) must be
     value-identical to the single-phase groupBy(window, conv_id) — salting
