@@ -204,7 +204,9 @@ def main() -> None:
         gauge,
         lo=float(os.environ.get("SPARK_GRAFT_QUIET_LO", "0.93")),
         hi=float(os.environ.get("SPARK_GRAFT_QUIET_HI", "1.10")),
-        budget_sec=int(os.environ.get("SPARK_GRAFT_QUIET_BUDGET", "1500")),
+        # bounded at 15 min: long enough that a steal window usually passes,
+        # short enough that a driver-side timeout can't swallow the capture
+        budget_sec=int(os.environ.get("SPARK_GRAFT_QUIET_BUDGET", "900")),
         sleep_sec=int(os.environ.get("SPARK_GRAFT_QUIET_SLEEP", "240")),
     )
     gauge_before = gauge()

@@ -114,6 +114,66 @@ def pack_sequences(
     )
 
 
+def hash_uniform(col: Column) -> Column:
+    """Deterministic uniform in ``(0, 1]`` from ``md5(string(col))``: first 8
+    hex chars → 32-bit int → ``(h + 1) / 2^32``.  Pure Column algebra with an
+    exact DuckDB twin (same digits, same arithmetic)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("double")
+    return (h + F.lit(1.0)) / F.lit(4294967296.0)
+
+
+def hash_uniform_sql(expr: str) -> str:
+    """DuckDB twin of :func:`hash_uniform`, as a SQL fragment."""
+    return f"((('0x' || substr(md5(({expr})::VARCHAR), 1, 8))::BIGINT + 1.0) / 4294967296.0)"
+
+
+def stratified_sample_topk(
+    df: DataFrame, strata_cols: list[str], k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exactly ``k`` rows per stratum, hash-deterministic: rank rows inside
+    each stratum by ``md5(id)`` (a fixed pseudo-random order independent of
+    partitioning/cluster size) and keep ``row_number <= k``.
+
+    Scale: ONE shuffle on the strata columns; per-stratum sort is local to
+    its hash partition.  Hot strata are bounded by ``k`` on output, and the
+    rank is a streaming window (no buffering beyond the sort).  This is the
+    per-group twin of ``uniform_sample_topk`` — use it to cap any one
+    source/language/domain's contribution to a corpus."""
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(order, id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame, weight_col: str | Column, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic (Efraimidis &
+    Spirakis 2006): each row draws ``u = hash_uniform(id)`` and gets key
+    ``-ln(u) / w``; the ``k`` smallest keys are exactly a weight-proportional
+    sample without replacement.  Because ``u`` is hash-derived, the sample
+    is reproducible across runs, partitionings, and cluster sizes — and has
+    an exact SQL twin (same formula on the same md5 digits).
+
+    Scale: map-side key computation + ``TakeOrderedAndProject`` top-k — no
+    global sort, no shuffle beyond the k-row reduction.  Use it to sample a
+    corpus proportional to a quality score without materializing epochs.
+
+    Rows with weight <= 0 are dropped (zero mass), mirroring the math."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key = -F.log(hash_uniform(F.col(id_col))) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("_es_key", key)
+        .orderBy(F.col("_es_key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_es_key")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -1569,6 +1569,57 @@ def uniform_sample_topk(spark, sf_dir):
 
 
 @register(
+    "stratified_sample_sources",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    ORDER BY source, doc_id
+    """,
+)
+def stratified_sample_sources(spark, sf_dir):
+    """Exactly-k-per-stratum sample (cap any one source's contribution):
+    hash-ranked row_number inside each stratum — one shuffle on the strata
+    key, output bounded at k per stratum regardless of skew, identical
+    selection on any cluster size (operators/sampling.py
+    stratified_sample_topk)."""
+    from .operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample_topk(d, ["source"], k=3)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "weighted_sample_topk",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars > 0
+    ORDER BY -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1.0)
+                 / 4294967296.0) / n_chars ASC,
+             doc_id ASC
+    LIMIT 25
+    """,
+)
+def weighted_sample_topk(spark, sf_dir):
+    """Weight-proportional sampling without replacement (Efraimidis-Spirakis):
+    key = -ln(hash_uniform(id)) / weight, take the k smallest — deterministic
+    (the uniform is md5-derived, so the same sample on any cluster size) and
+    plan-cheap (map-side keys + TakeOrderedAndProject; no global sort).  The
+    oracle runs the identical formula on the identical md5 digits."""
+    from .operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.weighted_sample_topk(d, "n_chars", k=25).select("doc_id", "n_chars")
+
+
+@register(
     "corpus_report",
     f"""
     SELECT source,
@@ -3414,6 +3465,8 @@ _ORDER = [
     "lang_distribution",
     "quality_histogram",
     "uniform_sample_topk",
+    "stratified_sample_sources",
+    "weighted_sample_topk",
     "corpus_report",
     "pii_redaction",
     "repetition_profile",

@@ -19,6 +19,7 @@ from pipeflow_spark.operators import (
     similarity,
     skew,
     text,
+    zorder,
 )
 
 
@@ -631,6 +632,80 @@ def test_pack_sequences_layout_invariants(spark):
             assert r.seq_in_shard == expect_start // 2048
             assert r.offset == expect_start % 2048 and 0 <= r.offset < 2048
             expect_start += r.n_tok
+
+
+def test_stratified_sample_exact_k_and_stable(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.stratified_sample_topk(docs, ["source"], k=5)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    expect = {
+        r.source: min(r.n, 5)
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == expect
+    # identical selection under a different partition layout (hash order, not
+    # partition order, decides membership)
+    again = sampling.stratified_sample_topk(docs.repartition(13), ["source"], k=5)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    # two weight classes, 10:1 — the heavy class must dominate the sample
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    out = sampling.weighted_sample_topk(df, "w", k=200).collect()
+    assert len(out) == 200
+    heavy = sum(1 for r in out if r.w == 10.0)
+    assert heavy > 150  # E[heavy] ≈ 183 under ES sampling; >150 is 5σ-safe
+    # deterministic across partitionings
+    again = sampling.weighted_sample_topk(df.repartition(7), "w", k=200).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+    # zero/negative weights carry no mass
+    z = sampling.weighted_sample_topk(
+        spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 2.0)], "doc_id bigint, w double"),
+        "w",
+        k=3,
+    ).collect()
+    assert [r.doc_id for r in z] == [3]
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    # 64×64 grid: plain insertion order is row-major (y scattered); the
+    # Z-order layout must give tight per-file spans on BOTH dims
+    rows = [(x, float(y)) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x bigint, y double")
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    df.repartition(8).write.parquet(plain)
+    zorder.write_zordered(df, zed, ["x", "y"], files=8, bits=6)
+    back = spark.read.parquet(zed)
+    assert back.count() == 64 * 64
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+    def mean_span(path, col):
+        st = zorder.file_stats(spark, path, ["x", "y"]).collect()
+        return sum(r[f"max_{col}"] - r[f"min_{col}"] for r in st) / len(st)
+
+    # each of the 8 z-files covers a contiguous curve segment → per-file span
+    # well under the global 63 on both dims; round-robin plain files span ~all
+    assert mean_span(zed, "x") < 0.6 * mean_span(plain, "x")
+    assert mean_span(zed, "y") < 0.6 * mean_span(plain, "y")
+    # and a two-sided range predicate actually prunes files on read-back
+    touched = (
+        spark.read.parquet(zed)
+        .filter((F.col("x").between(0, 7)) & (F.col("y").between(0.0, 7.0)))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert touched <= 4  # of 8 files
+
+
+def test_zorder_key_guards(spark):
+    df = spark.createDataFrame([(1, 2.0)], "a bigint, b double")
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder.zorder_key(df, [])
+    with pytest.raises(ValueError, match="overflows"):
+        zorder.zorder_key(df, ["a", "b"], bits=32)
 
 
 def test_chunk_documents_boundaries_and_overlap(spark):
