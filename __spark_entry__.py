@@ -35,7 +35,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB ANSI-SQL oracles.  minhash (recall-1 LSH config vs the exact
     Jaccard pair set), simhash (brute-force sketch twin), the sign-LSH
     ANN/kNN/embedding-dedup family (algorithm twins: same seed-42 planes as
-    SQL literals), six full streaming chains over the events table
+    SQL literals), seven full streaming chains over the events table
     (committed exactly-once output ≡ batch SQL), and both multimodal decode
     queries (real stdlib BMP/WAV/AVI codecs vs closed-form generate_series
     twins) are oracle-checked; only genuinely non-SQL-expressible ops

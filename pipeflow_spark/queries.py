@@ -2953,6 +2953,72 @@ def stream_events_join_oracle(spark, sf_dir):
 
 
 @register(
+    "stream_left_join_unanswered_oracle",
+    """
+    WITH c AS (SELECT user_id AS cu, ts AS cts, event_id AS cid
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id AS pu, ts AS pts, value AS pv
+               FROM events WHERE event_type = 'purchase')
+    SELECT cid AS click_id, count(pv) AS n_purch,
+           round(coalesce(sum(pv), 0), 4) AS purchase_total
+    FROM c LEFT JOIN p
+      ON cu = pu AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+    GROUP BY cid ORDER BY cid
+    """,
+)
+def stream_left_join_unanswered_oracle(spark, sf_dir):
+    """LEFT OUTER stream-stream join with a SQL oracle: clicks left-joined to
+    purchases within 1 h.  Matched rows emit on match; unmatched clicks emit
+    once with NULL purchase columns when the watermark passes their join
+    window (Spark's no-data batches drive the final state eviction), so the
+    committed set ≡ the batch LEFT JOIN.  The far-future sentinel must REACH
+    the watermark nodes to force that eviction, so both side filters keep
+    ``__sentinel__`` rows; the two sentinel rows then match each other
+    (same user −1, same ts) and are dropped on read-back."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_loj_")
+    src = _events_stream_source(spark, sf_dir, work)
+    clicks = (
+        src.filter(F.col("event_type").isin("click", "__sentinel__"))
+        .select(
+            F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+        )
+        .withWatermark("cts", "10 minutes")
+    )
+    purchases = (
+        src.filter(F.col("event_type").isin("purchase", "__sentinel__"))
+        .select(
+            F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("value").alias("pv")
+        )
+        .withWatermark("pts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("cid", "pv")
+    out = (
+        _committed(spark, StreamingPipeline(joined), f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("cid") >= 0)  # drop the sentinel-sentinel pair
+        .groupBy(F.col("cid").alias("click_id"))
+        .agg(
+            F.count("pv").alias("n_purch"),
+            F.round(F.coalesce(F.sum("pv"), F.lit(0.0)), 4).alias("purchase_total"),
+        )
+        .orderBy("click_id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "stream_enrich_static_oracle",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, c_mktsegment AS segment,
@@ -3478,6 +3544,7 @@ _ORDER = [
     "approx_distinct_users",
     "multimodal_frame_sample",  # oracled in r3 (real AVI decode)
     "stream_enrich_static_oracle",
+    "stream_left_join_unanswered_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",
 ]

@@ -208,15 +208,26 @@ class StreamingPipeline:
         max_reply_delay: str = "10 minutes",
         left_prefix: str = "u",
         right_prefix: str = "a",
+        how: str = "inner",
     ) -> "StreamingPipeline":
-        """Stateful stream-stream inner join: each left turn (user) matched to
+        """Stateful stream-stream join: each left turn (user) matched to
         the right turn (assistant/tool) with ``turn_idx = left.turn_idx + 1``
         in the same conversation, arriving within ``max_reply_delay``.
 
         Both sides MUST carry watermarks; the time-range predicate bounds join
         state (without it state grows forever — SURVEY.md §7.3.4).  Keyed on
         conv_id → hash-partitioned; salting must NOT be applied to join keys.
+
+        ``how='left_outer'`` is the unanswered-turn detector: a left turn
+        with no reply emits once — with NULL right columns — when the
+        watermark passes its join window and its state is evicted (Spark's
+        no-data batches drive that final flush, so a bounded replay still
+        emits every unmatched row).  Inner rows emit on match immediately;
+        only the NULL rows wait for the watermark, exactly the semantics a
+        batch LEFT JOIN reproduces once the stream is drained.
         """
+        if how not in ("inner", "left_outer"):
+            raise ValueError(f"join_replies supports inner/left_outer, got {how!r}")
         l = self._df.select([F.col(c).alias(f"{left_prefix}_{c}") for c in self._df.columns])
         r = other._df.select([F.col(c).alias(f"{right_prefix}_{c}") for c in other._df.columns])
         lc, rc = f"{left_prefix}_", f"{right_prefix}_"
@@ -226,7 +237,7 @@ class StreamingPipeline:
             & (F.col(f"{rc}ts") >= F.col(f"{lc}ts"))
             & (F.col(f"{rc}ts") <= F.col(f"{lc}ts") + F.expr(f"INTERVAL {max_reply_delay}"))
         )
-        return self._wrap(l.join(r, cond, "inner"))
+        return self._wrap(l.join(r, cond, how))
 
     # -- stream-static enrichment -------------------------------------------------------------
     def enrich_static(

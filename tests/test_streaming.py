@@ -277,6 +277,49 @@ def test_stream_stream_join_replies(spark, clean_dir):
     assert len(got) == len(m)
 
 
+def test_stream_stream_left_outer_join_unanswered(spark, clean_dir):
+    """Left-outer stream-stream join: user turns with no reply inside the
+    delay window must emit exactly once with NULL right columns after the
+    watermark passes (no-data batches flush the eviction) — the committed
+    set must equal the batch LEFT JOIN."""
+    d, pdf = clean_dir
+    users = StreamingPipeline.read_transcripts(spark, d, 3).with_watermark("ts", "1 hour").filter(
+        "role = 'user'"
+    )
+    replies = StreamingPipeline.read_transcripts(spark, d, 3).with_watermark("ts", "1 hour").filter(
+        "role IN ('assistant','tool')"
+    )
+    joined = users.join_replies(
+        replies, max_reply_delay="10 minutes", how="left_outer"
+    ).select("u_conv_id", "u_turn_idx", "a_turn_idx")
+    _run_to_memory(joined, "unanswered", expected_input_rows=2 * (len(pdf) + 1))
+    got = [
+        r
+        for r in spark.sql("SELECT * FROM unanswered").collect()
+        if r.u_conv_id != SENTINEL_CONV  # the heartbeat row has no reply by design
+    ]
+    # batch oracle: pandas left merge with the same interval predicate
+    base = pdf.drop(columns=["arrival_file", "is_late_arrival"])
+    u = base[base.role == "user"]
+    a = base[base.role != "user"]
+    m = u.merge(a, on="conv_id", suffixes=("_u", "_a"), how="left")
+    hit = (
+        (m.turn_idx_a == m.turn_idx_u + 1)
+        & (m.ts_a >= m.ts_u)
+        & (m.ts_a <= m.ts_u + pd.Timedelta(minutes=10))
+    )
+    matched = m[hit]
+    all_u = u[["conv_id", "turn_idx"]].itertuples(index=False)
+    matched_u = {(r.conv_id, r.turn_idx_u) for r in matched.itertuples(index=False)}
+    expect_null = {(c, t) for c, t in all_u if (c, t) not in matched_u}
+    got_null = {(r.u_conv_id, r.u_turn_idx) for r in got if r.a_turn_idx is None}
+    got_hit = [(r.u_conv_id, r.u_turn_idx) for r in got if r.a_turn_idx is not None]
+    assert got_null == expect_null and expect_null  # NULLs present and exact
+    assert len(got_hit) == len(matched)
+    with pytest.raises(ValueError, match="inner/left_outer"):
+        users.join_replies(replies, how="full_outer")
+
+
 def test_stateful_per_key_running_count(spark, clean_dir):
     d, pdf = clean_dir
 
