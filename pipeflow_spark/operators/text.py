@@ -255,3 +255,50 @@ def unigram_logprob(
             "n_tokens",
         )
     )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF — keyword extraction /
+    cheap topic signature for corpus triage and retrieval indexing.
+
+    ``score = tf × (ln((N+1)/(df+1)) + 1)`` (sklearn-style smooth IDF; never
+    negative, so single-doc corpora still rank).  Shape: token explode → ONE
+    hash shuffle computing tf (groupBy doc,term) → term-partitioned window
+    for df (second shuffle, on the already-aggregated (doc,term) table — far
+    smaller than the token stream) → per-doc row_number top-k.  The doc
+    count ``N`` is a 1-row broadcast.  No vocabulary ever reaches the driver.
+
+    Ranking is on ``round(score, ndigits)`` with a term tie-break: rounding
+    kills cross-engine last-ulp ``ln`` drift so the selection (and the SQL
+    oracle twin) is a total order on any cluster size.
+    """
+    tf = (
+        tokens(df, text_col, id_col)
+        .groupBy(id_col, "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("_n_docs"))
+    dfreq = F.count("*").over(Window.partitionBy("token")).cast("double")
+    scored = (
+        tf.withColumn("df", dfreq)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * (F.log((F.col("_n_docs") + 1) / (F.col("df") + 1)) + 1),
+                ndigits,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "token", F.col("_rn").alias("rank"), "score")
+    )

@@ -1569,6 +1569,41 @@ def uniform_sample_topk(spark, sf_dir):
 
 
 @register(
+    "tfidf_keywords",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+    n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             round(tf * (ln((n_docs + 1)
+                            / (count(*) OVER (PARTITION BY token) + 1)) + 1), 6) AS score
+      FROM tf, n
+    )
+    SELECT doc_id, token, rank, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (operators/text.py
+    tfidf_topk_terms): token explode → tf groupBy (one shuffle) → df via a
+    term-partitioned window over the already-aggregated (doc, term) table →
+    per-doc row_number top-k.  Scores are rounded before ranking so the
+    selection is a cross-engine total order."""
+    from .operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.tfidf_topk_terms(d, k=3).orderBy("doc_id", "rank")
+
+
+@register(
     "stratified_sample_sources",
     """
     SELECT doc_id, source FROM (
@@ -3531,6 +3566,7 @@ _ORDER = [
     "lang_distribution",
     "quality_histogram",
     "uniform_sample_topk",
+    "tfidf_keywords",
     "stratified_sample_sources",
     "weighted_sample_topk",
     "corpus_report",

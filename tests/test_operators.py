@@ -774,6 +774,25 @@ def test_unigram_logprob_matches_hand_math(spark):
     assert out[2].logprob < out[1].logprob
 
 
+def test_tfidf_topk_terms_hand_math(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "x x common"), (2, "y common"), (3, "common common")],
+        "doc_id bigint, text string",
+    )
+    out = {(r.doc_id, r.rank): r for r in text.tfidf_topk_terms(df, k=2).collect()}
+    # N=3; df: x=1, y=1, common=3 → idf_x = ln(4/2)+1, idf_common = ln(4/4)+1 = 1
+    assert out[(1, 1)].token == "x"
+    assert out[(1, 1)].score == pytest.approx(round(2 * (math.log(2) + 1), 6))
+    assert out[(1, 2)].token == "common" and out[(1, 2)].score == pytest.approx(1.0)
+    # doc 3: only 'common', tf 2 → score 2.0, and no rank-2 row exists
+    assert out[(3, 1)].token == "common" and out[(3, 1)].score == pytest.approx(2.0)
+    assert (3, 2) not in out
+    # the rare term outranks the frequent one everywhere it appears
+    assert out[(2, 1)].token == "y"
+
+
 def test_pretraining_batches_composition_invariants(spark, sf_dir):
     from pipeflow_spark.queries import QUERIES
 
