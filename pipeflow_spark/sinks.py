@@ -371,13 +371,17 @@ def compact_snapshot(
     table_path: str,
     target_files: int = 8,
     sort_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
     keep_snapshots: int = 2,
 ) -> int:
     """Small-file compaction for a pointer table (the Iceberg
     ``rewrite_data_files`` analog): read the current snapshot, rewrite it as
-    ``target_files`` files (optionally sorted by ``sort_by`` for scan
-    clustering / better min-max pruning), and commit via the same atomic
-    pointer flip.  Data is bit-identical; only the layout changes.
+    ``target_files`` files (optionally sorted by ``sort_by`` for
+    single-column clustering, or Morton-clustered by ``zorder_by`` — the
+    ``rewrite_data_files(strategy=>'sort', sort_order=>'zorder(...)')`` /
+    Delta ``OPTIMIZE ZORDER BY`` analog — for multi-column min-max pruning),
+    and commit via the same atomic pointer flip.  Data is bit-identical;
+    only the layout changes.
 
     Streaming upserts commit one snapshot per micro-batch, each a full
     rewrite here at sandbox scale but an incremental commit on Iceberg — at
@@ -386,11 +390,23 @@ def compact_snapshot(
     """
     import uuid as _uuid
 
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by or zorder_by, not both")
     snap = _current_snapshot(table_path)
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     df = spark.read.parquet(snap)
-    if sort_by:
+    if zorder_by:
+        from .operators.zorder import zorder_key
+
+        clustered, key = zorder_key(df, list(zorder_by))
+        df = (
+            clustered.withColumn("_zkey", key)
+            .repartitionByRange(target_files, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    elif sort_by:
         df = df.repartitionByRange(target_files, *[F.col(c) for c in sort_by]).sortWithinPartitions(
             *sort_by
         )

@@ -403,3 +403,30 @@ def test_compact_snapshot_preserves_data(spark, tmp_path):
     assert after == before  # bit-identical content, new layout
     # compaction is a real commit: version advanced, old snapshot retained
     assert [s["is_current"] for s in snapshots(t)] == [False, True]
+
+
+def test_compact_snapshot_zorder_clusters(spark, tmp_path):
+    import pytest as _pytest
+
+    from pipeflow_spark.operators.zorder import file_stats
+    from pipeflow_spark.sinks import compact_snapshot, read_upsert_table, upsert_parquet
+
+    t = str(tmp_path / "zcmp")
+    df = spark.createDataFrame(
+        [(x * 32 + y, x, float(y)) for x in range(32) for y in range(32)],
+        "id long, x long, y double",
+    )
+    upsert_parquet(spark, df.repartition(16), t, keys=["id"])
+    before = sorted(r.id for r in read_upsert_table(spark, t).collect())
+    n_files = compact_snapshot(spark, t, target_files=4, zorder_by=["x", "y"])
+    assert n_files <= 4
+    assert sorted(r.id for r in read_upsert_table(spark, t).collect()) == before
+    # Morton layout: per-file spans on BOTH dims well under the global 31
+    from pipeflow_spark.sinks import _current_snapshot
+
+    st = file_stats(spark, _current_snapshot(t), ["x", "y"]).collect()
+    for c in ("x", "y"):
+        mean = sum(r[f"max_{c}"] - r[f"min_{c}"] for r in st) / len(st)
+        assert mean < 0.7 * 31
+    with _pytest.raises(ValueError, match="not both"):
+        compact_snapshot(spark, t, sort_by=["x"], zorder_by=["y"])
