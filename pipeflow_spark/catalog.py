@@ -223,6 +223,19 @@ class TableCatalog:
             keep_snapshots=keep_snapshots,
         )
 
+    def rollback(self, table: str, version: int) -> None:
+        """Roll the table's main ref back to an older snapshot — an O(1)
+        ref move, no data rewrite, history stays monotonic (iceberg:
+        ``rollback_to_snapshot`` procedure; parquet: atomic ``_CURRENT``
+        pointer re-point, ``sinks.rollback_snapshot``)."""
+        if self.format == "iceberg":
+            self.spark.sql(
+                f"CALL {self.catalog}.system.rollback_to_snapshot"
+                f"('{self.namespace}.{table}', {version})"
+            )
+            return
+        sinks.rollback_snapshot(self.ident(table), version)
+
     def drop(self, table: str) -> None:
         if self.format == "iceberg":
             self.spark.sql(f"DROP TABLE IF EXISTS {self.ident(table)}")

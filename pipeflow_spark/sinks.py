@@ -428,6 +428,33 @@ def compact_snapshot(
     return sum(1 for f in os.listdir(os.path.join(table_path, new_snap)) if f.endswith(".parquet"))
 
 
+def rollback_snapshot(table_path: str, version: int) -> str:
+    """Roll the table back to a retained snapshot (the Iceberg
+    ``rollback_to_snapshot`` analog): atomically re-point ``_CURRENT`` at the
+    older snapshot's directory.  No data moves and no new version is minted —
+    exactly Iceberg's ref-move semantics — so the rollback is O(1), readers
+    flip at the rename, and a later upsert MERGEs against the rolled-back
+    state and commits the next monotonic version (history never rewinds).
+
+    Only snapshots still inside the ``keep_snapshots`` retention window can
+    be rollback targets; expired versions raise with the retained list.
+    """
+    import uuid as _uuid
+
+    by_version = {s["version"]: s["dir"] for s in snapshots(table_path)}
+    if version not in by_version:
+        raise ValueError(
+            f"version {version} is not retained at {table_path}; "
+            f"retained versions: {sorted(by_version)}"
+        )
+    target = os.path.basename(by_version[version])
+    tmp = os.path.join(table_path, f".{_CURRENT}.{_uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        f.write(target)
+    os.rename(tmp, os.path.join(table_path, _CURRENT))  # the atomic ref move
+    return target
+
+
 # -- JDBC sinks (ToSql / ToSqlBulk / ToPostgreSql) ----------------------------
 
 

@@ -116,3 +116,12 @@ def test_catalog_time_travel_parquet(spark, tmp_path):
     assert cat.read("tt", version=1).first().v == "a"
     assert cat.read("tt", version=2).first().v == "b"
     assert cat.read("tt").first().v == "c"
+    # rollback = O(1) ref move: current flips, history stays monotonic
+    cat.rollback("tt", 1)
+    assert cat.read("tt").first().v == "a"
+    cat.upsert(
+        spark.createDataFrame([(1, "d")], "id long, v string"),
+        "tt", keys=["id"], keep_snapshots=4,
+    )
+    assert cat.read("tt").first().v == "d"
+    assert [s["version"] for s in cat.snapshots("tt")][-1] == 4

@@ -405,6 +405,43 @@ def test_compact_snapshot_preserves_data(spark, tmp_path):
     assert [s["is_current"] for s in snapshots(t)] == [False, True]
 
 
+def test_rollback_snapshot_ref_move(spark, tmp_path):
+    import pytest as _pytest
+
+    from pipeflow_spark.sinks import (
+        read_upsert_table,
+        rollback_snapshot,
+        snapshots,
+        upsert_parquet,
+    )
+
+    t = str(tmp_path / "rb")
+    for i in range(3):
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([(1, f"v{i}")], "id long, v string"),
+            t,
+            keys=["id"],
+            keep_snapshots=3,
+        )
+    assert read_upsert_table(spark, t).collect()[0].v == "v2"
+    v0 = snapshots(t)[0]["version"]
+    rollback_snapshot(t, v0)
+    # current flips to the old snapshot; no new version minted, no data moved
+    assert read_upsert_table(spark, t).collect()[0].v == "v0"
+    assert [s["is_current"] for s in snapshots(t)] == [True, False, False]
+    # the next upsert merges against the rolled-back state and history
+    # stays monotonic (version ids never rewind or get reused)
+    upsert_parquet(
+        spark, spark.createDataFrame([(2, "w")], "id long, v string"), t,
+        keys=["id"], keep_snapshots=4,
+    )
+    assert {(r.id, r.v) for r in read_upsert_table(spark, t).collect()} == {(1, "v0"), (2, "w")}
+    assert snapshots(t)[-1]["version"] > v0 + 1 and snapshots(t)[-1]["is_current"]
+    with _pytest.raises(ValueError, match="not retained"):
+        rollback_snapshot(t, 999)
+
+
 def test_compact_snapshot_zorder_clusters(spark, tmp_path):
     import pytest as _pytest
 
