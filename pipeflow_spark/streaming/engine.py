@@ -437,3 +437,28 @@ def await_drained(
             return
         time.sleep(poll_sec)
         query.processAllAvailable()
+
+
+def state_metrics(query: StreamingQuery) -> list[dict]:
+    """Per-batch state-store metrics from the query's progress history — the
+    operator-side complement of the ExactlyOnceSink per-partition lineage
+    ledger: one dict per (batch, stateful operator) with rows-in-state,
+    update/eviction counts, state memory, and commit wall time.  This is
+    what a 10^12-turn deployment alarms on (state growth ⇒ a missing
+    watermark bound; rising commit time ⇒ snapshot cadence or memtable
+    sizing — see BENCH.md §1 RocksDB findings)."""
+    out = []
+    for p in query.recentProgress:
+        for op in p.get("stateOperators") or []:
+            out.append(
+                {
+                    "batch_id": p.get("batchId"),
+                    "operator": op.get("operatorName"),
+                    "rows_total": op.get("numRowsTotal"),
+                    "rows_updated": op.get("numRowsUpdated"),
+                    "rows_removed": op.get("numRowsRemoved"),
+                    "state_memory_bytes": op.get("memoryUsedBytes"),
+                    "commit_ms": op.get("commitTimeMs"),
+                }
+            )
+    return out

@@ -320,6 +320,33 @@ def test_stream_stream_left_outer_join_unanswered(spark, clean_dir):
         users.join_replies(replies, how="full_outer")
 
 
+def test_state_metrics_surface(spark, clean_dir):
+    """state_metrics must expose per-(batch, stateful-op) rows/memory/commit
+    numbers from the progress history — the operator-side complement of the
+    sink's per-partition lineage ledger."""
+    from pipeflow_spark.streaming.engine import await_drained, state_metrics
+
+    d, pdf = clean_dir
+    sp = (
+        StreamingPipeline.read_transcripts(spark, d, max_files_per_trigger=2)
+        .with_watermark("ts", "0 seconds")
+        .dedupe_within_watermark(["conv_id", "turn_idx"])
+        .tumbling_agg("ts", "5 minutes", ["role"], F.count("*").alias("n"))
+    )
+    q = sp.start_memory("sm", output_mode="append")
+    await_drained(q, expected_input_rows=len(pdf) + 1)
+    m = state_metrics(q)
+    q.stop()
+    assert m, "no state metrics captured"
+    ops = {r["operator"] for r in m}
+    assert "dedupeWithinWatermark" in ops and "stateStoreSave" in ops
+    for r in m:
+        assert r["batch_id"] is not None and r["rows_updated"] is not None
+        assert r["state_memory_bytes"] is None or r["state_memory_bytes"] >= 0
+    # the dedupe operator actually accumulated state across batches
+    assert max(r["rows_total"] for r in m if r["operator"] == "dedupeWithinWatermark") > 0
+
+
 def test_stateful_per_key_running_count(spark, clean_dir):
     d, pdf = clean_dir
 
