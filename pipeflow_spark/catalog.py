@@ -200,9 +200,15 @@ class TableCatalog:
         do_update: bool = True,
         order_by: Sequence[str] | None = None,
         keep_snapshots: int = 2,
+        change_feed: bool = False,
     ) -> None:
         """Keyed MERGE (ON CONFLICT DO UPDATE / DO NOTHING)."""
         if self.format == "iceberg":
+            if change_feed:
+                raise NotImplementedError(
+                    "change_feed on the iceberg backend: use Iceberg's own "
+                    "changelog (CALL system.create_changelog_view) instead"
+                )
             src = f"__merge_src_{table}"
             sinks._dedupe_incoming(df, list(keys), order_by).createOrReplaceTempView(src)
             if not self.exists(table):
@@ -221,6 +227,23 @@ class TableCatalog:
             do_update=do_update,
             order_by=order_by,
             keep_snapshots=keep_snapshots,
+            change_feed=change_feed,
+        )
+
+    def read_changes(
+        self,
+        table: str,
+        starting_version: int | None = None,
+        ending_version: int | None = None,
+    ) -> DataFrame:
+        """CDC rows a keyed upsert recorded (``change_feed=True``) — see
+        :func:`pipeflow_spark.sinks.read_change_feed`."""
+        if self.format == "iceberg":
+            raise NotImplementedError(
+                "iceberg changelog reads: CALL system.create_changelog_view"
+            )
+        return sinks.read_change_feed(
+            self.spark, self.ident(table), starting_version, ending_version
         )
 
     def rollback(self, table: str, version: int) -> None:

@@ -3475,6 +3475,68 @@ def curate_training_corpus(spark, sf_dir):
 # every operator family's representative sit inside the 50-entry window.
 # Entries past the window were driver-certified green in CORRECTNESS_r02 (or
 # are rows-only by nature) and remain verified by ``tools/check_oracles.py``.
+@register(
+    "change_feed_orders",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 5
+    ), b2 AS (
+      SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 BETWEEN 3 AND 7
+    )
+    SELECT o_orderkey, 'insert' AS change_type, 1 AS commit_version,
+           o_totalprice AS price
+    FROM b1
+    UNION ALL
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 < 5 THEN 'update_postimage'
+                ELSE 'insert' END AS change_type,
+           2 AS commit_version, o_totalprice AS price
+    FROM b2
+    ORDER BY commit_version, o_orderkey
+    """,
+)
+def change_feed_orders(spark, sf_dir):
+    """Change Data Feed on the snapshot table (Delta CDF / Iceberg changelog
+    analog): two keyed MERGE commits over overlapping order keys, then the
+    feed read back — every applied row tagged insert / update_postimage and
+    partitioned by ``_commit_version`` (version-range reads are directory
+    prunes, asserted in ``test_change_feed_version_range_is_partition_pruned``).
+    The SQL twin derives the identical feed set-algebraically: commit 1 is
+    all inserts; commit 2 rows update iff their key was in commit 1.
+    Streaming consumption of the same feed (checkpointed exactly-once tail)
+    is pinned by ``test_stream_change_feed_tails_commits_incrementally``.
+    Reference analog: the CDC shape PipeFlow's PostgreSqlWriter upsert
+    (PostgreSqlWriter.cs:220-247) implies but never records."""
+    import shutil
+    import tempfile
+
+    from .sinks import read_change_feed, upsert_parquet
+
+    work = tempfile.mkdtemp(prefix="pipeflow_cdf_")
+    tbl = f"{work}/orders_tbl"
+    orders = _t(spark, sf_dir, "orders")
+    b1 = orders.filter(F.col("o_orderkey") % 10 < 5).select("o_orderkey", "o_totalprice")
+    b2 = orders.filter((F.col("o_orderkey") % 10 >= 3) & (F.col("o_orderkey") % 10 <= 7)).select(
+        "o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice")
+    )
+    upsert_parquet(spark, b1, tbl, ["o_orderkey"], change_feed=True)
+    upsert_parquet(spark, b2, tbl, ["o_orderkey"], change_feed=True)
+    out = (
+        read_change_feed(spark, tbl)
+        .select(
+            "o_orderkey",
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").cast("int").alias("commit_version"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .orderBy("commit_version", "o_orderkey")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _ORDER = [
     # TPC-H shapes (scan/filter/join/agg plan quality)
     "q1_pricing_summary",
@@ -3518,7 +3580,9 @@ _ORDER = [
     "json_path_props",
     # window functions / pivot / grouping
     "window_topn_per_group",
-    "window_ntile_quartiles",
+    # change-data-feed on the snapshot table (new in r3; took ntile's slot —
+    # ntile stays oracle-green past the boundary)
+    "change_feed_orders",
     "unpivot_lineitem_measures",
     "grouping_multi",
     "set_ops_multi",
@@ -3541,6 +3605,7 @@ _ORDER = [
     #  CORRECTNESS_r02 row under the same name; the slots fund the four new
     #  training-data entries above)
     "window_lag_running",
+    "window_ntile_quartiles",
     "pivot_status_priority",
     "text_profile",
     "rollup_lineitem",

@@ -167,6 +167,7 @@ class write:  # noqa: N801 — fluent exit, mirrors reference `.ToCsv/.ToJson/..
 
 
 _CURRENT = "_CURRENT"
+_CHANGES = "_changes"
 
 
 def _current_snapshot(table_path: str) -> str | None:
@@ -284,6 +285,124 @@ def read_upsert_table(spark: SparkSession, table_path: str, version: int | None 
     return spark.read.parquet(snap)
 
 
+def _recover_change_feed(table_path: str) -> None:
+    """Single-writer crash recovery for the change feed (see
+    :func:`upsert_parquet` ``change_feed``).  A ``.staging-<ver>-<uuid>`` dir
+    under ``_changes/`` means the previous writer died between its two
+    commit steps.  If the snapshot for ``ver`` committed (the pointer flip
+    happened), finish the interrupted publish rename so the feed has no gap;
+    otherwise the snapshot never committed and the staged changes are an
+    orphan — remove them so the feed never shows a phantom version."""
+    cdir = os.path.join(table_path, _CHANGES)
+    if not os.path.isdir(cdir):
+        return
+    committed = {s["version"] for s in snapshots(table_path)}
+    for d in os.listdir(cdir):
+        full = os.path.join(cdir, d)
+        if not d.startswith(".staging-") or not os.path.isdir(full):
+            continue
+        parts = d.split("-")
+        ver = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else -1
+        final = os.path.join(cdir, f"_commit_version={ver}")
+        if ver in committed and not os.path.exists(final):
+            os.rename(full, final)
+        else:
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def _classify_changes(
+    incoming: DataFrame, current: DataFrame | None, keys: list[str], do_update: bool
+) -> DataFrame:
+    """The CDC rows a keyed MERGE commit produces: every applied incoming row
+    tagged ``_change_type`` = ``insert`` (key absent from the pre-merge
+    table) or ``update_postimage`` (key present and ``do_update``).  With
+    ``do_update=False`` matched rows are *not applied*, so they emit no
+    change.  Cost shape at scale: one extra keys-only scan + join of the
+    (small) incoming batch against the table keys — the merge itself already
+    scans the table, so the feed adds < 1 table scan per commit."""
+    if current is None:
+        return incoming.withColumn("_change_type", F.lit("insert"))
+    existing = current.select(*keys).distinct().withColumn("_pf_matched", F.lit(True))
+    if not do_update:
+        return incoming.join(existing, keys, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+    return (
+        incoming.join(existing, keys, "left")
+        .withColumn(
+            "_change_type",
+            F.when(F.col("_pf_matched").isNotNull(), F.lit("update_postimage")).otherwise(
+                F.lit("insert")
+            ),
+        )
+        .drop("_pf_matched")
+    )
+
+
+def read_change_feed(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int | None = None,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Batch-read the change feed of an :func:`upsert_parquet` table written
+    with ``change_feed=True`` — the Delta ``table_changes`` / Iceberg
+    ``create_changelog_view`` analog.  Rows carry the table columns plus
+    ``_change_type`` and the ``_commit_version`` partition column; version
+    range filters are partition-pruned directory skips, so reading "changes
+    since version N" never touches older commits' files."""
+    cdir = os.path.join(table_path, _CHANGES)
+    has_parts = os.path.isdir(cdir) and any(
+        d.startswith("_commit_version=") for d in os.listdir(cdir)
+    )
+    if not has_parts:
+        raise FileNotFoundError(
+            f"no change feed at {table_path}; write with "
+            "upsert_parquet(..., change_feed=True) to record one"
+        )
+    df = spark.read.parquet(cdir)
+    if starting_version is not None:
+        df = df.filter(F.col("_commit_version") >= starting_version)
+    if ending_version is not None:
+        df = df.filter(F.col("_commit_version") <= ending_version)
+    return df
+
+
+def stream_change_feed(spark: SparkSession, table_path: str, **options) -> DataFrame:
+    """Tail the change feed as a Structured Streaming source.  Each commit
+    publishes a new ``_commit_version=N`` partition directory by atomic
+    rename, so the file source discovers exactly the committed change files;
+    with a checkpoint the stream resumes from the last processed commit —
+    incremental, exactly-once CDC consumption of the table (the
+    ``readStream.option("readChangeFeed", ...)`` Delta analog).  ``options``
+    pass through to the reader (e.g. ``maxFilesPerTrigger`` for batch
+    sizing)."""
+    schema = read_change_feed(spark, table_path).schema
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(os.path.join(table_path, _CHANGES))
+
+
+def expire_change_feed(table_path: str, keep_versions: int) -> list[int]:
+    """Retention for the change feed: drop all but the newest
+    ``keep_versions`` commit partitions (Iceberg expires changelog data with
+    snapshots; here feed and snapshot retention are decoupled so a CDC
+    consumer can lag further than time travel).  Returns expired versions."""
+    cdir = os.path.join(table_path, _CHANGES)
+    if not os.path.isdir(cdir):
+        return []
+    vers = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(cdir)
+        if d.startswith("_commit_version=") and d.split("=", 1)[1].isdigit()
+    )
+    expired = vers[: -max(keep_versions, 1)] if len(vers) > keep_versions else []
+    for v in expired:
+        shutil.rmtree(os.path.join(cdir, f"_commit_version={v}"), ignore_errors=True)
+    return expired
+
+
 def _dedupe_incoming(incoming: DataFrame, keys: list[str], order_by: Sequence[str] | None) -> DataFrame:
     """One row per key from the incoming side — MERGE/ON CONFLICT forbids a
     source that affects the same target row twice (PG raises 21000).  With
@@ -310,6 +429,7 @@ def upsert_parquet(
     do_update: bool = True,
     order_by: Sequence[str] | None = None,
     keep_snapshots: int = 2,
+    change_feed: bool = False,
 ) -> None:
     """Keyed MERGE into a parquet table with an atomic snapshot-pointer commit.
 
@@ -330,11 +450,25 @@ def upsert_parquet(
     previous ``keep_snapshots - 1`` snapshots are retained for in-flight
     readers; older ones (and orphaned dirs from crashed writes) are expired on
     the next call, like Iceberg snapshot expiry.
+
+    ``change_feed=True`` additionally records the commit's applied rows
+    (tagged ``insert`` / ``update_postimage``) under
+    ``<table>/_changes/_commit_version=<n>/`` — the Delta Change Data Feed
+    analog.  The change partition is staged during the write and published by
+    atomic directory rename immediately after the pointer flip; a crash
+    between the two steps is repaired (or the orphan dropped) by the next
+    writer (:func:`_recover_change_feed`), so the feed shows exactly the
+    committed versions.  Read with :func:`read_change_feed` (batch,
+    partition-pruned version ranges) or :func:`stream_change_feed`
+    (checkpointed incremental tail).
     """
     keys = list(keys)
     os.makedirs(table_path, exist_ok=True)
+    if change_feed:
+        _recover_change_feed(table_path)
     snap = _current_snapshot(table_path)
     incoming = _dedupe_incoming(incoming, keys, order_by)
+    current = None
     if snap is not None:
         current = spark.read.parquet(snap)
         if do_update:
@@ -355,10 +489,18 @@ def upsert_parquet(
     seq = max(_snapshot_seqs(existing), default=len(existing)) + 1
     new_snap = f"snapshot-{seq:06d}-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(os.path.join(table_path, new_snap))
+    staging = None
+    if change_feed:
+        staging = os.path.join(table_path, _CHANGES, f".staging-{seq}-{uuid.uuid4().hex[:8]}")
+        _classify_changes(incoming, current, keys, do_update).write.mode("overwrite").parquet(
+            staging
+        )
     tmp = os.path.join(table_path, f".{_CURRENT}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         f.write(new_snap)
     os.rename(tmp, os.path.join(table_path, _CURRENT))  # the atomic commit
+    if staging is not None:
+        os.rename(staging, os.path.join(table_path, _CHANGES, f"_commit_version={seq}"))
     # snapshot expiry: retain the newest ``keep_snapshots`` committed
     # snapshots (the new one plus history for in-flight readers and
     # VERSION-AS-OF time travel); everything older — and orphans from

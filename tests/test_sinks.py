@@ -467,3 +467,186 @@ def test_compact_snapshot_zorder_clusters(spark, tmp_path):
         assert mean < 0.7 * 31
     with _pytest.raises(ValueError, match="not both"):
         compact_snapshot(spark, t, sort_by=["x"], zorder_by=["y"])
+
+
+# -- change data feed (Delta CDF / Iceberg changelog analog) ------------------
+
+
+def test_change_feed_records_inserts_and_updates(spark, tmp_path):
+    """Every applied MERGE row lands in _changes/ tagged insert /
+    update_postimage, partitioned by the commit version, and version-range
+    reads see exactly the requested commits."""
+    from pipeflow_spark.sinks import read_change_feed
+
+    path = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    upsert_parquet(spark, b1, path, ["k"], change_feed=True)
+    b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    upsert_parquet(spark, b2, path, ["k"], change_feed=True)
+
+    got = sorted(
+        (r.k, r._change_type, r._commit_version)
+        for r in read_change_feed(spark, path).collect()
+    )
+    assert got == [
+        (1, "insert", 1),
+        (2, "insert", 1),
+        (2, "update_postimage", 2),
+        (3, "insert", 2),
+    ]
+    inc = read_change_feed(spark, path, starting_version=2)
+    assert sorted((r.k, r._change_type) for r in inc.collect()) == [
+        (2, "update_postimage"),
+        (3, "insert"),
+    ]
+    # postimage carries the new value, not the old one
+    post = {r.k: r.v for r in inc.collect()}
+    assert post[2] == "B"
+
+
+def test_change_feed_do_nothing_emits_only_applied_rows(spark, tmp_path):
+    """do_update=False: a matched key is NOT applied, so it must emit no
+    change row — the feed records what the commit did, not what it saw."""
+    from pipeflow_spark.sinks import read_change_feed
+
+    path = str(tmp_path / "tbl")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        path,
+        ["k"],
+        change_feed=True,
+    )
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(2, "IGNORED"), (3, "c")], "k int, v string"),
+        path,
+        ["k"],
+        do_update=False,
+        change_feed=True,
+    )
+    v2 = read_change_feed(spark, path, starting_version=2).collect()
+    assert [(r.k, r._change_type, r.v) for r in v2] == [(3, "insert", "c")]
+
+
+def test_change_feed_version_range_is_partition_pruned(spark, tmp_path):
+    """'Changes since version N' must prune whole commit directories at plan
+    time, not scan-and-filter — that is what makes CDC reads O(new data) on
+    a table with a deep feed."""
+    from pipeflow_spark.sinks import read_change_feed
+
+    path = str(tmp_path / "tbl")
+    for i in range(1, 4):
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([(i, f"v{i}")], "k int, v string"),
+            path,
+            ["k"],
+            change_feed=True,
+        )
+    df = read_change_feed(spark, path, starting_version=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_commit_version" in plan.split("PartitionFilters", 1)[1][:200]
+    assert [r.k for r in df.collect()] == [3]
+
+
+def test_change_feed_crash_recovery(spark, tmp_path):
+    """Crash between pointer flip and feed publish: the staged dir is
+    renamed into place by the next writer (no feed gap).  A staged dir for a
+    never-committed version is dropped (no phantom version)."""
+    import shutil as _sh
+
+    from pipeflow_spark.sinks import _CHANGES, read_change_feed
+
+    path = str(tmp_path / "tbl")
+    for i in range(1, 3):
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([(i, f"v{i}")], "k int, v string"),
+            path,
+            ["k"],
+            change_feed=True,
+        )
+    cdir = os.path.join(path, _CHANGES)
+    # simulate the crash: v2's publish rename never happened
+    os.rename(os.path.join(cdir, "_commit_version=2"), os.path.join(cdir, ".staging-2-dead"))
+    # and a phantom staging for a version that never committed
+    os.makedirs(os.path.join(cdir, ".staging-99-dead"))
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(3, "v3")], "k int, v string"),
+        path,
+        ["k"],
+        change_feed=True,
+    )
+    names = sorted(d for d in os.listdir(cdir) if not d.startswith("."))
+    assert names == ["_commit_version=1", "_commit_version=2", "_commit_version=3"]
+    assert not any(d.startswith(".staging") for d in os.listdir(cdir))
+    vers = sorted(
+        r._commit_version for r in read_change_feed(spark, path).select("_commit_version").collect()
+    )
+    assert vers == [1, 2, 3]
+    _sh.rmtree(path, ignore_errors=True)
+
+
+def test_stream_change_feed_tails_commits_incrementally(spark, tmp_path):
+    """A checkpointed stream over the feed consumes each commit exactly once:
+    the first run drains versions 1-2, a later run with the same checkpoint
+    picks up only version 3 — incremental CDC, no reprocessing."""
+    from pipeflow_spark.sinks import stream_change_feed
+
+    path = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def commit(rows):
+        upsert_parquet(
+            spark,
+            spark.createDataFrame(rows, "k int, v string"),
+            path,
+            ["k"],
+            change_feed=True,
+        )
+
+    def drain():
+        q = (
+            stream_change_feed(spark, path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.k, r._change_type, r._commit_version) for r in spark.read.parquet(out).collect()
+        )
+
+    commit([(1, "a"), (2, "b")])
+    commit([(2, "B")])
+    first = drain()
+    assert first == [(1, "insert", 1), (2, "insert", 1), (2, "update_postimage", 2)]
+    commit([(3, "c")])
+    second = drain()
+    assert second == first + [(3, "insert", 3)] or second == sorted(
+        first + [(3, "insert", 3)]
+    )
+
+
+def test_expire_change_feed_keeps_newest(spark, tmp_path):
+    from pipeflow_spark.sinks import expire_change_feed, read_change_feed
+
+    path = str(tmp_path / "tbl")
+    for i in range(1, 5):
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([(i, "x")], "k int, v string"),
+            path,
+            ["k"],
+            change_feed=True,
+        )
+    assert expire_change_feed(path, keep_versions=2) == [1, 2]
+    vers = sorted(
+        r._commit_version for r in read_change_feed(spark, path).select("_commit_version").collect()
+    )
+    assert vers == [3, 4]
