@@ -302,3 +302,70 @@ def tfidf_topk_terms(
         .filter(F.col("_rn") <= k)
         .select(id_col, "token", F.col("_rn").alias("rank"), "score")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` document retrieval for a bag-of-terms query —
+    the lexical-search primitive next to the embedding ANN family
+    (``similarity.py``): RAG retrieval, dedup candidate lookup, corpus triage.
+
+    ``score(D,Q) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))``
+    with Lucene's non-negative idf ``ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Scale shape (the query side never grows with the corpus):
+    token explode → ONE hash shuffle to (doc,term) tf; doc length via a
+    doc-partitioned window over that already-aggregated table (second
+    shuffle, |tf| ≪ token stream); THEN the tiny literal ``IN`` query-term
+    filter collapses it to O(docs containing a query term) — df window,
+    scoring, and the final per-doc sum all run on that sliver.  Corpus stats
+    (N, avgdl) are a 1-row broadcast.  Top-k plans as TakeOrderedAndProject
+    (per-partition heads, no global sort).  No vocabulary, posting list, or
+    doc-length table ever reaches the driver.
+
+    Scores are ``round(·, ndigits)`` with a doc-id tie-break before the
+    top-k cut, so the selection is a cross-engine total order (same trick as
+    :func:`tfidf_topk_terms`).  Returns ``(id_col, matched, score)`` —
+    ``matched`` = how many distinct query terms the doc contains.
+    """
+    terms = sorted(set(query_terms))
+    tf = (
+        tokens(df, text_col, id_col)
+        .groupBy(id_col, "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dl = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    stats = tf.agg(
+        F.countDistinct(id_col).cast("double").alias("_n_docs"),
+        (F.sum("tf") / F.countDistinct(id_col)).alias("_avgdl"),
+    )
+    hits = dl.filter(F.col("token").isin(terms))
+    dfreq = F.count("*").over(Window.partitionBy("token")).cast("double")
+    per_term = (
+        hits.withColumn("df", dfreq)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            F.log(1 + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))),
+        )
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(
+            F.count("*").alias("matched"),
+            F.round(F.sum("_s"), ndigits).alias("score"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

@@ -1604,6 +1604,51 @@ def tfidf_keywords(spark, sf_dir):
 
 
 @register(
+    "bm25_search",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+    stats AS (
+      SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs,
+             sum(tf) / count(DISTINCT doc_id)::DOUBLE AS avgdl
+      FROM tf
+    ),
+    hits AS (
+      SELECT *, count(*) OVER (PARTITION BY token)::DOUBLE AS df
+      FROM dl WHERE token IN ('hash', 'join', 'vector')
+    ),
+    per AS (
+      SELECT doc_id,
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+      FROM hits, stats
+    )
+    SELECT doc_id, count(*) AS matched, round(sum(s), 6) AS score
+    FROM per GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (operators/text.py bm25_topk): the
+    inverted-index scoring twin of the embedding ANN queries.  One shuffle
+    builds (doc,term) tf, a doc window adds lengths on the aggregated table,
+    then the literal query-term IN filter collapses everything before df /
+    scoring / the TakeOrderedAndProject top-k.  Scores rounded before the
+    cut so the selection is a cross-engine total order."""
+    from .operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.bm25_topk(d, ["hash", "join", "vector"], k=10).orderBy(
+        F.desc("score"), "doc_id"
+    )
+
+
+@register(
     "stratified_sample_sources",
     """
     SELECT doc_id, source FROM (
@@ -3632,6 +3677,7 @@ _ORDER = [
     "quality_histogram",
     "uniform_sample_topk",
     "tfidf_keywords",
+    "bm25_search",
     "stratified_sample_sources",
     "weighted_sample_topk",
     "corpus_report",

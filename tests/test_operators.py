@@ -793,6 +793,38 @@ def test_tfidf_topk_terms_hand_math(spark):
     assert out[(2, 1)].token == "y"
 
 
+def test_bm25_topk_hand_math(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "x x y pad"), (2, "x pad pad pad"), (3, "pad pad pad pad")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.bm25_topk(df, ["x", "y"], k=10).collect()}
+    # N=3, avgdl=4, every dl=4 → length norm = 1: score = idf·tf·2.2/(tf+1.2)
+    idf_x = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))  # df(x)=2
+    idf_y = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))  # df(y)=1
+    exp1 = idf_x * 2 * 2.2 / (2 + 1.2) + idf_y * 1 * 2.2 / (1 + 1.2)
+    exp2 = idf_x * 1 * 2.2 / (1 + 1.2)
+    assert out[1].score == pytest.approx(round(exp1, 6))
+    assert out[2].score == pytest.approx(round(exp2, 6))
+    assert out[1].matched == 2 and out[2].matched == 1
+    # doc 3 contains no query term: absent, not zero-scored
+    assert 3 not in out
+    # ranking: the two-term doc with the rarer term on top
+    assert out[1].score > out[2].score
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    # same tf for the query term, but doc 2 is 4x longer → lower score
+    df = spark.createDataFrame(
+        [(1, "x pad"), (2, "x pad pad pad pad pad pad pad")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.score for r in text.bm25_topk(df, ["x"]).collect()}
+    assert out[1] > out[2]
+
+
 def test_pretraining_batches_composition_invariants(spark, sf_dir):
     from pipeflow_spark.queries import QUERIES
 
