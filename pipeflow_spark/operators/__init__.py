@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     dedupe,
     jsonpath,
     multimodal,
+    retrieval,
     sampling,
     sessionize,
     similarity,

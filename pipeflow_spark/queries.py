@@ -1649,6 +1649,68 @@ def bm25_search(spark, sf_dir):
 
 
 @register(
+    "hybrid_rrf_search",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+    stats AS (
+      SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs,
+             sum(tf) / count(DISTINCT doc_id)::DOUBLE AS avgdl
+      FROM tf
+    ),
+    hits AS (
+      SELECT *, count(*) OVER (PARTITION BY token)::DOUBLE AS df
+      FROM dl WHERE token IN ('hash', 'join', 'vector')
+    ),
+    per AS (
+      SELECT doc_id,
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+      FROM hits, stats
+    ),
+    bm AS (SELECT doc_id, round(sum(s), 6) AS score FROM per GROUP BY doc_id),
+    lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id AS doc_id,
+             round(list_dot_product(embedding::DOUBLE[], qv) /
+                   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS sim
+      FROM embeddings, q
+    ),
+    vec AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank FROM cos),
+    u AS (
+      SELECT doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM lex WHERE rank <= 50
+      UNION ALL
+      SELECT doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM vec WHERE rank <= 50
+    )
+    SELECT doc_id, count(*) AS n_lists, round(sum(c), 6) AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid RAG retrieval (operators/retrieval.py): BM25 and exact-cosine
+    legs each produce a top-50 candidate list (corpus-sized work stays inside
+    the legs), then reciprocal-rank fusion scores 1/(60+rank) over the two
+    O(depth) lists.  Rank windows run over already-limited constants; scores
+    rounded before the cut for a cross-engine total order."""
+    from .operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return retrieval.hybrid_rrf_topk(
+        docs, emb, ["hash", "join", "vector"], qv, k=10, depth=50
+    ).orderBy(F.desc("rrf_score"), "doc_id")
+
+
+@register(
     "stratified_sample_sources",
     """
     SELECT doc_id, source FROM (
@@ -3678,6 +3740,7 @@ _ORDER = [
     "uniform_sample_topk",
     "tfidf_keywords",
     "bm25_search",
+    "hybrid_rrf_search",
     "stratified_sample_sources",
     "weighted_sample_topk",
     "corpus_report",

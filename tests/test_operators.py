@@ -14,6 +14,7 @@ from pipeflow_spark.operators import (
     decontaminate,
     dedupe,
     multimodal,
+    retrieval,
     sampling,
     sessionize,
     similarity,
@@ -823,6 +824,42 @@ def test_bm25_length_normalization_prefers_shorter_doc(spark):
     )
     out = {r.doc_id: r.score for r in text.bm25_topk(df, ["x"]).collect()}
     assert out[1] > out[2]
+
+
+def test_rrf_fuse_hand_math(spark):
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id bigint, rank int")
+    vec = spark.createDataFrame([(2, 1), (3, 2)], "doc_id bigint, rank int")
+    rows = retrieval.rrf_fuse([lex, vec], k=10, k_rrf=60).collect()
+    out = {r.doc_id: r for r in rows}
+    assert out[2].rrf_score == pytest.approx(round(1 / 61 + 1 / 62, 6))
+    assert out[1].rrf_score == pytest.approx(round(1 / 61, 6))
+    assert out[3].rrf_score == pytest.approx(round(1 / 62, 6))
+    assert (out[2].n_lists, out[1].n_lists, out[3].n_lists) == (2, 1, 1)
+    # both-lists doc wins; order of the output is the fused ranking
+    assert [r.doc_id for r in rows] == [2, 1, 3]
+
+
+def test_hybrid_rrf_topk_prefers_doc_in_both_legs(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x pad pad"), (3, "pad pad pad")],
+        "doc_id bigint, text string",
+    )
+    # doc 3's vector matches the query exactly, doc 1 is close, doc 2 orthogonal
+    emb = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = retrieval.hybrid_rrf_topk(docs, emb, ["x", "y"], [1.0, 0.0], k=3).collect()
+    out = {r.doc_id: r for r in rows}
+    # lex ranks: doc1=1, doc2=2 (doc3 matches no term); vec ranks: doc3=1,
+    # doc1=2, doc2=3 (the cosine leg ranks every doc within depth, sim 0 incl.)
+    assert rows[0].doc_id == 1 and out[1].n_lists == 2
+    assert out[1].rrf_score == pytest.approx(round(1 / 61 + 1 / 62, 6))
+    assert out[2].n_lists == 2
+    assert out[2].rrf_score == pytest.approx(round(1 / 62 + 1 / 63, 6))
+    # doc3: vector leg only
+    assert out[3].n_lists == 1
+    assert out[3].rrf_score == pytest.approx(round(1 / 61, 6))
 
 
 def test_pretraining_batches_composition_invariants(spark, sf_dir):
