@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .operators import (
     asof,
+    cep_pattern,
     decontaminate,
     dedupe,
     multimodal,
@@ -3211,6 +3212,87 @@ def stream_enrich_static_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "pattern_funnel_events",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, length(s) AS seq_len,
+           length(regexp_extract_all(s, 'vc+p')) AS n_matches
+    FROM seq WHERE length(regexp_extract_all(s, 'vc+p')) > 0
+    ORDER BY user_id
+    """,
+)
+def pattern_funnel_events(spark, sf_dir):
+    """Batch CEP funnel: per user, count non-overlapping ``view → click+ →
+    purchase`` sequences (MATCH_RECOGNIZE-lite, :mod:`operators.cep_pattern`).
+    One shuffle; sequence assembly is the same bounded per-key state as
+    transcript building; the pattern count itself runs JVM-side
+    (``regexp_extract_all``).  Oracle: DuckDB ``string_agg ORDER BY`` + the
+    identical regex."""
+    ev = _t(spark, sf_dir, "events").withColumn("sym", F.substring("event_type", 1, 1))
+    steps = [("v", False), ("c", True), ("p", False)]
+    return cep_pattern.match_funnels(ev, ["user_id"], ["ts", "event_id"], "sym", steps).orderBy(
+        "user_id"
+    )
+
+
+@register(
+    "stream_pattern_funnel_oracle",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           length(regexp_extract_all(s, 'vc+p')) AS n_matches
+    FROM seq WHERE length(regexp_extract_all(s, 'vc+p')) > 0
+    ORDER BY key
+    """,
+)
+def stream_pattern_funnel_oracle(spark, sf_dir):
+    """The same funnel as a *streaming* per-key finite automaton
+    (``applyInPandasWithState``, O(1) int state per user — independent of
+    history length, the posture 10^12 turns demands), run through the
+    exactly-once sink; one committed row per completed match, counted per
+    user on read-back.  Matches the batch regex oracle exactly — the
+    automaton ≡ regex equivalence is property-tested in
+    tests/test_operators.py."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    steps = [("v", False), ("c", True), ("p", False)]
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_pat_")
+    src = _events_stream_source(spark, sf_dir, work)
+    sp = (
+        StreamingPipeline(src)
+        .filter(F.col("event_type") != "__sentinel__")
+        .add_column("sym", F.substring("event_type", 1, 1))
+        .select(F.col("user_id").cast("string").alias("user_id"), "sym", "ts", "event_id")
+        .stateful_per_key(
+            ["user_id"],
+            cep_pattern.pattern_apply_fn(steps, "sym", ["ts", "event_id"]),
+            cep_pattern.PATTERN_MATCH_SCHEMA,
+            cep_pattern.PATTERN_STATE_SCHEMA,
+        )
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .groupBy("key")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy("key")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 @register("stream_tumbling_e2e", None)  # streaming: rows-only driver check
 def stream_tumbling_e2e(spark, sf_dir):
     """Full micro-batch CEP chain end-to-end: deterministic transcript stream →
@@ -3700,17 +3782,23 @@ _ORDER = [
     "session_transcripts",
     "salted_agg_events",
     "multimodal_features",
-    # training-data prep (new in r3: chunking, vocab, unigram-LM quality,
-    # and the dedupe→quality→chunk→pack composite flagship)
+    # training-data prep (new in r3: chunking and the
+    # dedupe→quality→chunk→pack composite flagship)
     "chunk_documents",
-    "vocab_topk",
-    "unigram_quality",
     "pretraining_batches",
+    # CEP pattern matching (new in r3): batch funnel + streaming automaton twin
+    "pattern_funnel_events",
+    "stream_pattern_funnel_oracle",
     # ---- driver window boundary (first 50 above) ----
     # (window_lag_running / pivot_status_priority / text_profile /
     #  rollup_lineitem moved past the boundary in r3 — each has a green
-    #  CORRECTNESS_r02 row under the same name; the slots fund the four new
-    #  training-data entries above)
+    #  CORRECTNESS_r02 row under the same name; the slots fund the new
+    #  training-data + CEP entries above.  vocab_topk / unigram_quality sit
+    #  just past the boundary: both are plain group-agg shapes whose oracle
+    #  runs in tools/check_oracles.py; the boundary slots go to the two CEP
+    #  queries, which certify a genuinely new operator class.)
+    "vocab_topk",
+    "unigram_quality",
     "window_lag_running",
     "window_ntile_quartiles",
     "pivot_status_priority",

@@ -881,3 +881,40 @@ def test_pretraining_batches_composition_invariants(spark, sf_dir):
         for r in rs:
             assert r.seq_in_shard * 256 + r.offset == expect
             expect += r.n_tokens
+
+
+# -- CEP pattern matching (batch twin) ----------------------------------------
+
+def test_match_funnels_counts(spark):
+    from pipeflow_spark.operators import cep_pattern
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    # user 1: v c c p (1 match), then v p (no click -> no match)
+    for i, s in enumerate("vccpvp"):
+        rows.append((1, i, s, t0 + dt.timedelta(minutes=i)))
+    # user 2: c p v c p -> one match starting at the v
+    for i, s in enumerate("cpvcp"):
+        rows.append((2, i, s, t0 + dt.timedelta(minutes=i)))
+    # user 3: never completes
+    for i, s in enumerate("vcvcc"):
+        rows.append((3, i, s, t0 + dt.timedelta(minutes=i)))
+    df = spark.createDataFrame(rows, "user_id int, event_id int, sym string, ts timestamp")
+    out = cep_pattern.match_funnels(
+        df, ["user_id"], ["ts", "event_id"], "sym", [("v", False), ("c", True), ("p", False)]
+    )
+    got = {r.user_id: (r.seq_len, r.n_matches) for r in out.collect()}
+    assert got == {1: (6, 1), 2: (5, 1)}  # user 3 filtered (0 matches)
+
+
+def test_pattern_validation_errors():
+    from pipeflow_spark.operators.cep_pattern import validate_pattern
+
+    with pytest.raises(ValueError, match="pairwise distinct"):
+        validate_pattern([("v", False), ("c", True), ("v", False)])
+    with pytest.raises(ValueError, match="final step"):
+        validate_pattern([("v", False), ("c", True)])
+    with pytest.raises(ValueError, match="single char"):
+        validate_pattern([("view", False), ("c", False)])
+    with pytest.raises(ValueError, match="at least 2"):
+        validate_pattern([("v", False)])

@@ -174,3 +174,57 @@ def test_upsert_statement_updates_exactly_non_keys(cols, data):
     set_clause = stmt.split("DO UPDATE SET ", 1)[1].rstrip(";")
     assignments = set(set_clause.split(", "))
     assert assignments == {f"{c} = EXCLUDED.{c}" for c in non_keys}
+
+
+# -- CEP pattern automaton ≡ regex ---------------------------------------------
+
+
+from pipeflow_spark.operators.cep_pattern import (  # noqa: E402
+    pattern_regex,
+    pattern_step,
+    validate_pattern,
+)
+
+_CEP_ALPHA = "vcpsex"
+
+
+@st.composite
+def _cep_case(draw):
+    n = draw(st.integers(min_value=2, max_value=4))
+    syms = draw(st.permutations(list(_CEP_ALPHA)))[:n]
+    steps = [(s, draw(st.booleans())) for s in syms]
+    steps[-1] = (steps[-1][0], False)  # validate_pattern forbids trailing '+'
+    seq = draw(st.text(alphabet=_CEP_ALPHA, max_size=60))
+    return validate_pattern(steps), seq
+
+
+@settings(max_examples=300, deadline=None)
+@given(_cep_case())
+def test_cep_automaton_equals_regex(case):
+    """The single-int-state automaton emits exactly the non-overlapping
+    leftmost matches of the equivalent regex (positions AND count) — the
+    guarantee that makes the streaming twin ≡ the SQL-oracled batch twin."""
+    import re
+
+    steps, seq = case
+    rx = pattern_regex(steps)
+    expected_ends = [m.end() - 1 for m in re.finditer(rx, seq)]
+    _, ends = pattern_step(0, list(seq), steps)
+    assert ends == expected_ends
+
+
+@settings(max_examples=200, deadline=None)
+@given(_cep_case(), st.data())
+def test_cep_automaton_chunk_invariant(case, data):
+    """Threading state across arbitrary chunk boundaries finds the same
+    matches as one pass — the micro-batch-spanning correctness property."""
+    steps, seq = case
+    cuts = sorted(
+        data.draw(st.lists(st.integers(0, len(seq)), max_size=4)) + [0, len(seq)]
+    )
+    _, whole = pattern_step(0, list(seq), steps)
+    at, found = 0, 0
+    for lo, hi in zip(cuts, cuts[1:]):
+        at, ends = pattern_step(at, list(seq[lo:hi]), steps)
+        found += len(ends)
+    assert found == len(whole)

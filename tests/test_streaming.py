@@ -351,7 +351,8 @@ def test_stateful_per_key_running_count(spark, clean_dir):
     d, pdf = clean_dir
 
     def running(key, pdfs, state):
-        total = state.get()[0] if state.exists else 0
+        # GroupState.get is a property in pyspark 4.x (returns the tuple)
+        total = state.get[0] if state.exists else 0
         for p in pdfs:
             total += len(p)
         state.update((total,))
@@ -590,3 +591,42 @@ def test_mixture_filter_execution_mode_invariant(spark, tmp_path):
         r.doc_id for r in sampling.mixture_filter(batch, "source", rates).select("doc_id").collect()
     )
     assert got == expect and 0 < len(got) < batch.count()
+
+
+def test_pattern_funnel_cep_spans_batches(spark, tmp_path):
+    """The per-key pattern automaton (view → click+ → purchase) must complete
+    matches whose steps arrive in DIFFERENT micro-batches — the O(1)-state
+    CEP guarantee the batch regex can't demonstrate."""
+    from pipeflow_spark.operators import cep_pattern
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def mk(conv, idx, sym):
+        return (conv, idx, sym, f"t{idx}", None, t0 + dt.timedelta(minutes=idx))
+
+    # u1: v c | c p  (split across files -> 1 match); u2: v | p (broken -> 0);
+    # u3: v c p twice, one per file -> 2 matches
+    f1 = [mk("u1", 0, "v"), mk("u1", 1, "c"), mk("u2", 0, "v"),
+          mk("u3", 0, "v"), mk("u3", 1, "c"), mk("u3", 2, "p")]
+    f2 = [mk("u1", 2, "c"), mk("u1", 3, "p"), mk("u2", 1, "p"),
+          mk("u3", 3, "v"), mk("u3", 4, "c"), mk("u3", 5, "p")]
+    src = tmp_path / "funnels"
+    src.mkdir()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    write_transcript_parquet(pd.DataFrame(f1, columns=cols), str(src / "part-00000.parquet"))
+    write_transcript_parquet(pd.DataFrame(f2, columns=cols), str(src / "part-00001.parquet"))
+    steps = [("v", False), ("c", True), ("p", False)]
+    sp = (
+        StreamingPipeline.read_transcripts(spark, str(src), max_files_per_trigger=1)
+        .select("conv_id", F.col("role").alias("sym"), "ts", "turn_idx")
+        .stateful_per_key(
+            ["conv_id"],
+            cep_pattern.pattern_apply_fn(steps, "sym", ["ts", "turn_idx"]),
+            cep_pattern.PATTERN_MATCH_SCHEMA,
+            cep_pattern.PATTERN_STATE_SCHEMA,
+        )
+    )
+    _run_to_memory(sp, "funnel_matches", expected_input_rows=12)
+    got = [(r.key, r.end_order) for r in
+           spark.sql("SELECT * FROM funnel_matches ORDER BY key, end_order").collect()]
+    assert got == [("u1", 3), ("u3", 2), ("u3", 5)]
