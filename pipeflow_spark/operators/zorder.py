@@ -95,3 +95,94 @@ def file_stats(spark, path: str, cols: list[str]) -> DataFrame:
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return df.groupBy("_file").agg(*aggs)
+
+
+# -- manifest-based file skipping (the Iceberg manifest / Delta stats analog) --
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def write_manifest(spark, path: str, cols: list[str]) -> dict:
+    """Write a driver-side file→min/max manifest for ``cols`` next to the
+    parquet files (the Iceberg manifest-entry / Delta per-file-stats analog).
+
+    Spark's parquet scan already skips row groups via footer stats, but at
+    100 TB the scan still has to *list and plan tasks for every file*;
+    manifest pruning (:func:`read_pruned`) selects the file list on the
+    driver from one small JSON before the scan exists, so excluded files cost
+    nothing — no tasks, no footer reads.  Stats are computed with one Spark
+    job (``input_file_name`` groupBy); timestamps/dates are stored ISO (their
+    lexicographic order = chronological order), numerics natively.
+    """
+    import json
+    import os
+
+    rows = file_stats(spark, path, cols).collect()
+
+    def enc(v):
+        return v if v is None or isinstance(v, (int, float, str)) else v.isoformat()
+
+    manifest = {
+        os.path.basename(r["_file"]): {c: [enc(r[f"min_{c}"]), enc(r[f"max_{c}"])] for c in cols}
+        for r in rows
+    }
+    tmp = os.path.join(path, f".{MANIFEST_NAME}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(path, MANIFEST_NAME))  # atomic publish
+    return manifest
+
+
+def prune_files(manifest: dict, predicates: dict[str, tuple]) -> list[str]:
+    """File names whose [min, max] intervals intersect every predicate range.
+
+    ``predicates``: ``{col: (lo, hi)}`` inclusive ranges (point lookup =
+    ``(v, v)``); values must be encoded like the manifest stores them
+    (numerics native, timestamps ISO strings).  A file whose stats are
+    ``[None, None]`` (all-NULL column) is skippable: range/equality
+    predicates never match NULL.  Missing stats for a predicate column keep
+    the file (prune must never be unsound)."""
+    keep = []
+    for fname, stats in manifest.items():
+        ok = True
+        for c, (lo, hi) in predicates.items():
+            if c not in stats:
+                continue  # no stats -> cannot exclude
+            fmin, fmax = stats[c]
+            if fmin is None or fmax is None:
+                ok = False  # all-NULL file: no row can satisfy a range predicate
+                break
+            if fmax < lo or fmin > hi:
+                ok = False
+                break
+        if ok:
+            keep.append(fname)
+    return sorted(keep)
+
+
+def read_pruned(spark, path: str, predicates: dict[str, tuple]):
+    """Scan only the files the manifest can't exclude, then re-apply the
+    predicates as real filters (pruning is an optimization, never the
+    correctness mechanism).  Returns ``(df, n_files_read, n_files_total)``.
+
+    Falls back to a full scan (with filters) when no manifest exists."""
+    import json
+    import os
+
+    mpath = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(mpath):
+        df, total = spark.read.parquet(path), None
+        for c, (lo, hi) in predicates.items():
+            df = df.filter(F.col(c).between(F.lit(lo), F.lit(hi)))
+        return df, total, total
+    with open(mpath) as f:
+        manifest = json.load(f)
+    keep = prune_files(manifest, predicates)
+    if not keep:
+        # empty result with the right schema: read the schema-only view
+        df = spark.read.parquet(path).limit(0)
+        return df, 0, len(manifest)
+    df = spark.read.parquet(*[os.path.join(path, k) for k in keep])
+    for c, (lo, hi) in predicates.items():
+        df = df.filter(F.col(c).between(F.lit(lo), F.lit(hi)))
+    return df, len(keep), len(manifest)

@@ -3665,6 +3665,47 @@ def curate_training_corpus(spark, sf_dir):
 # Entries past the window were driver-certified green in CORRECTNESS_r02 (or
 # are rows-only by nature) and remain verified by ``tools/check_oracles.py``.
 @register(
+    "pruned_scan_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 500
+      AND o_totalprice BETWEEN 50000 AND 100000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pruned_scan_orders(spark, sf_dir):
+    """Manifest-pruned scan (Iceberg manifest / Delta file-stats analog):
+    orders rewritten Z-order-clustered on (o_custkey, o_totalprice) with a
+    driver-side min/max manifest, then a 2-D range predicate resolves its
+    file list from the manifest BEFORE the scan exists — excluded files cost
+    no tasks and no footer reads.  Pruning is never the correctness
+    mechanism (predicates re-applied as filters); the oracle is the plain
+    full-scan SQL, and ``test_manifest_prune``* assert the file-count
+    reduction and full-scan equality."""
+    import shutil
+    import tempfile
+
+    from .operators import zorder
+
+    work = tempfile.mkdtemp(prefix="pipeflow_zmanifest_")
+    orders = _t(spark, sf_dir, "orders")
+    zorder.write_zordered(orders, work, ["o_custkey", "o_totalprice"], files=8)
+    zorder.write_manifest(spark, work, ["o_custkey", "o_totalprice"])
+    df, kept, total = zorder.read_pruned(
+        spark, work, {"o_custkey": (100, 500), "o_totalprice": (50000.0, 100000.0)}
+    )
+    out = (
+        df.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .orderBy("o_orderpriority")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "change_feed_orders",
     """
     WITH b1 AS (
@@ -3843,6 +3884,7 @@ _ORDER = [
     "multimodal_frame_sample",  # oracled in r3 (real AVI decode)
     "stream_enrich_static_oracle",
     "stream_left_join_unanswered_oracle",
+    "pruned_scan_orders",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",
 ]

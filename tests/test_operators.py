@@ -918,3 +918,52 @@ def test_pattern_validation_errors():
         validate_pattern([("view", False), ("c", False)])
     with pytest.raises(ValueError, match="at least 2"):
         validate_pattern([("v", False)])
+
+
+# -- manifest file skipping ----------------------------------------------------
+
+def test_manifest_prune_fewer_files_same_result(spark, tmp_path):
+    from pipeflow_spark.operators import zorder
+
+    d = str(tmp_path / "zm")
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 97).alias("a"), (F.col("id") * 7 % 1009).alias("b")
+    )
+    zorder.write_zordered(df, d, ["a", "b"], files=8)
+    manifest = zorder.write_manifest(spark, d, ["a", "b"])
+    assert len(manifest) == 8
+    preds = {"a": (10, 20), "b": (0, 300)}
+    pruned, kept, total = zorder.read_pruned(spark, d, preds)
+    assert total == 8 and 0 < kept < total  # z-order layout actually prunes
+    expect = sorted(r.id for r in df.filter("a BETWEEN 10 AND 20 AND b BETWEEN 0 AND 300").collect())
+    assert sorted(r.id for r in pruned.collect()) == expect
+
+
+def test_manifest_prune_empty_and_fallback(spark, tmp_path):
+    from pipeflow_spark.operators import zorder
+
+    d = str(tmp_path / "zm2")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 5).alias("a"))
+    zorder.write_zordered(df, d, ["a"], files=2)
+    zorder.write_manifest(spark, d, ["a"])
+    empty, kept, total = zorder.read_pruned(spark, d, {"a": (99, 120)})
+    assert kept == 0 and empty.count() == 0 and "id" in empty.columns
+    # no manifest -> full scan with filters, still correct
+    import os
+    os.remove(os.path.join(d, zorder.MANIFEST_NAME))
+    fb, k2, t2 = zorder.read_pruned(spark, d, {"a": (1, 2)})
+    assert k2 is None and fb.count() == df.filter("a BETWEEN 1 AND 2").count()
+
+
+def test_prune_files_soundness_rules():
+    from pipeflow_spark.operators.zorder import prune_files
+
+    manifest = {
+        "f1": {"a": [0, 10]},
+        "f2": {"a": [11, 20]},
+        "f3": {"a": [None, None]},   # all-NULL column: range preds can't match
+        "f4": {},                    # no stats for 'a': must keep (soundness)
+    }
+    assert prune_files(manifest, {"a": (5, 12)}) == ["f1", "f2", "f4"]
+    assert prune_files(manifest, {"a": (15, 15)}) == ["f2", "f4"]
+    assert prune_files(manifest, {}) == ["f1", "f2", "f3", "f4"]
