@@ -52,11 +52,60 @@ class ExactlyOnceSink:
         self.fail_after_write_batch_id = fail_after_write_batch_id
 
     # -- commit protocol ----------------------------------------------------
+    _HIGH_WATER = "_committed_through"
+
+    def _high_water_mark(self) -> int:
+        p = os.path.join(self.ledger_dir, self._HIGH_WATER)
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(f.read().strip())
+        return -1
+
     def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(os.path.join(self.ledger_dir, str(batch_id)))
+        return batch_id <= self._high_water_mark() or os.path.exists(
+            os.path.join(self.ledger_dir, str(batch_id))
+        )
 
     def committed_batches(self) -> list[int]:
-        return sorted(int(f) for f in os.listdir(self.ledger_dir))
+        hw = self._high_water_mark()
+        markers = {
+            int(f) for f in os.listdir(self.ledger_dir) if not f.startswith((".", "_"))
+        }
+        return sorted(set(range(hw + 1)) | markers)
+
+    def compact_ledger(self, keep_last: int = 100) -> int:
+        """Fold the contiguous committed prefix into ONE high-water marker
+        and delete the per-batch files it covers (except the newest
+        ``keep_last``).
+
+        At 10^12-turn scale the ledger is written once per micro-batch
+        forever; without compaction ``is_committed`` degrades to a listdir
+        over millions of entries and small-file pressure grows unboundedly.
+        The fold is only taken over a *contiguous* prefix (a gap means an
+        uncommitted batch — folding past it would falsely mark it done), and
+        the high-water file is published before the covered markers are
+        removed, so a crash mid-compaction can only leave redundant markers,
+        never lose a commit.  Returns the new high-water mark (-1 if none).
+        """
+        batches = self.committed_batches()
+        contiguous = -1
+        for b in batches:
+            if b == contiguous + 1:
+                contiguous = b
+            else:
+                break
+        new_hw = contiguous - keep_last
+        if new_hw <= self._high_water_mark():
+            return self._high_water_mark()
+        tmp = os.path.join(self.ledger_dir, f".{self._HIGH_WATER}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(new_hw))
+        os.rename(tmp, os.path.join(self.ledger_dir, self._HIGH_WATER))  # atomic publish
+        for b in range(new_hw + 1):
+            p = os.path.join(self.ledger_dir, str(b))
+            if os.path.exists(p):
+                os.remove(p)
+        return new_hw
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         """The ``foreachBatch`` hook."""

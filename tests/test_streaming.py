@@ -630,3 +630,125 @@ def test_pattern_funnel_cep_spans_batches(spark, tmp_path):
     got = [(r.key, r.end_order) for r in
            spark.sql("SELECT * FROM funnel_matches ORDER BY key, end_order").collect()]
     assert got == [("u1", 3), ("u3", 2), ("u3", 5)]
+
+
+def test_ledger_compaction_preserves_exactly_once(tmp_path):
+    """compact_ledger folds the contiguous committed prefix into one
+    high-water marker: is_committed / committed_batches answers are
+    unchanged, replays stay no-ops, and gaps (uncommitted batches) are never
+    folded over."""
+    import os
+
+    from pipeflow_spark.streaming import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(str(tmp_path / "sink"))
+    # simulate commits 0..9 plus a gap at 10, then 11
+    for b in [*range(10), 11]:
+        open(os.path.join(sink.ledger_dir, str(b)), "w").write("committed")
+    before = sink.committed_batches()
+    hw = sink.compact_ledger(keep_last=3)
+    assert hw == 6  # contiguous prefix ends at 9, keep the newest 3 markers
+    assert sink.committed_batches() == before
+    assert sink.is_committed(0) and sink.is_committed(6) and sink.is_committed(11)
+    assert not sink.is_committed(10)  # the gap survives compaction
+    # covered markers are gone, newer ones remain
+    names = set(os.listdir(sink.ledger_dir))
+    assert "0" not in names and "6" not in names and "7" in names and "11" in names
+    # idempotent + monotone
+    assert sink.compact_ledger(keep_last=3) == 6
+    assert sink.compact_ledger(keep_last=0) == 9
+    assert sink.committed_batches() == before
+
+
+def test_ledger_compaction_live_replay_noop(spark, tmp_path):
+    """End-to-end: run a stream through the sink, compact the ledger, then
+    re-run the same stream from a FRESH checkpoint — every batch replays and
+    every replay must be a no-op (data written once)."""
+    import os
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("c1", i, "user", f"t{i}", None, t0 + dt.timedelta(minutes=i)) for i in range(8)]
+    src = tmp_path / "src"
+    src.mkdir()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i in range(4):
+        write_transcript_parquet(
+            pd.DataFrame(rows[i * 2:(i + 1) * 2], columns=cols),
+            str(src / f"part-{i:05d}.parquet"),
+        )
+    sink_root = str(tmp_path / "eo")
+
+    def run(ckpt):
+        sink = ExactlyOnceSink(sink_root)
+        sp = StreamingPipeline.read_transcripts(spark, str(src), max_files_per_trigger=1)
+        q = sp.start_exactly_once(sink, str(tmp_path / ckpt))
+        q.awaitTermination()
+        return sink
+
+    sink = run("ckpt1")
+    n_before = sink.read_committed(spark).count()
+    mtimes = {
+        f: os.path.getmtime(os.path.join(sink.data_dir, f)) for f in os.listdir(sink.data_dir)
+    }
+    assert sink.compact_ledger(keep_last=1) >= 0
+    sink2 = run("ckpt2")  # fresh checkpoint -> Spark replays batch ids from 0
+    assert sink2.read_committed(spark).count() == n_before
+    after = {
+        f: os.path.getmtime(os.path.join(sink2.data_dir, f)) for f in os.listdir(sink2.data_dir)
+    }
+    assert after == mtimes  # no partition was rewritten: replay was a no-op
+
+
+def test_checkpoint_survives_stateless_plan_evolution(spark, tmp_path):
+    """Operational guarantee: a checkpointed stateful query can be stopped
+    and resumed with a MODIFIED stateless prefix (added benign filter +
+    projection) — state (open windows) carries across the restart, and the
+    final committed output equals the batch aggregate over all arrivals."""
+    t0 = dt.datetime(2025, 1, 1)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def mk(conv, idx, role):
+        return (conv, idx, role, f"t{idx}", None, t0 + dt.timedelta(minutes=idx))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    f1 = [mk("c1", 0, "user"), mk("c1", 1, "assistant"), mk("c2", 0, "user")]
+    write_transcript_parquet(pd.DataFrame(f1, columns=cols), str(src / "part-00000.parquet"))
+    sink = ExactlyOnceSink(str(tmp_path / "eo"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def pipeline(evolved):
+        sp = StreamingPipeline.read_transcripts(spark, str(src), max_files_per_trigger=1)
+        if evolved:  # stateless prefix change between restarts
+            sp = sp.filter("turn_idx >= 0").add_column("src_phase", F.lit(2))
+        return (
+            sp.with_watermark("ts", "0 seconds")
+            .tumbling_agg("ts", "5 minutes", ["role"], F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "role", "n")
+        )
+
+    q = pipeline(False).start_exactly_once(sink, ckpt)
+    q.awaitTermination()
+    n_phase1 = sum(m["rows"] for m in sink.metrics())  # no sentinel yet: windows open
+
+    f2 = [mk("c1", 10, "tool"), mk("c2", 11, "assistant")]
+    write_transcript_parquet(pd.DataFrame(f2, columns=cols), str(src / "part-00001.parquet"))
+    write_sentinel_file(str(src), SENTINEL_TS)
+    q = pipeline(True).start_exactly_once(sink, ckpt)  # SAME checkpoint, new plan
+    q.awaitTermination()
+
+    got = {
+        (r.ws, r.role): r.n
+        for r in sink.read_committed(spark).collect()
+        if r.ws < SENTINEL_TS and r.role != "sentinel"
+    }
+    allrows = spark.createDataFrame(pd.DataFrame(f1 + f2, columns=cols))
+    expect = {
+        (r.ws, r.role): r.n
+        for r in allrows.groupBy(F.window(F.col("ts").cast("timestamp"), "5 minutes").alias("w"), "role")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "role", "n")
+        .collect()
+    }
+    assert got == expect
+    assert n_phase1 == 0  # nothing emitted before the restart: state crossed it
