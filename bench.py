@@ -52,6 +52,7 @@ HEADLINE = [
     "chunk_documents",
     "unigram_quality",
     "pretraining_batches",
+    "pattern_funnel_events",
 ]
 
 

@@ -100,3 +100,76 @@ def hybrid_rrf_topk(
         depth,
     )
     return rrf_fuse([lex, vec], k=k, k_rrf=k_rrf, id_col=id_col)
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    depth: int = 50,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    1998): greedily pick ``k`` of the top-``depth`` cosine candidates,
+    maximizing ``lam·rel(d) − (1−lam)·max_{s∈S} sim(d, s)`` — relevance
+    traded against redundancy with what's already selected.
+
+    Scale shape: the corpus-sized work is the candidate generation
+    (``similarity.cosine_topk`` — scan + TakeOrderedAndProject, no shuffle);
+    the greedy selection is inherently sequential over O(depth²) *rounded*
+    pairwise sims, so it runs driver-side on the collected ≤depth candidate
+    rows (the same bounded-collect contract as IVF centroid training,
+    ``similarity.py:263``).  Every intermediate (rel, pairwise sim, step
+    score) is rounded to ``ndigits`` with an id tie-break, making the
+    selection a cross-engine total order — the DuckDB twin is a recursive
+    CTE running the identical greedy (``mmr_diverse_topk`` in queries.py).
+
+    Returns ``(id_col, rank, score)``: rank 1 = highest relevance; each
+    later score is that step's marginal objective.
+    """
+    import math
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    cand_df = (
+        emb.select(
+            F.col(id_col),
+            v.alias("_v"),
+            F.round(similarity.cosine(v, q), ndigits).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col(id_col))
+        .limit(depth)  # TakeOrderedAndProject: O(depth) memory per partition
+    )
+    cands = [
+        (r[0], [float(x) for x in r[1]], float(r[2])) for r in cand_df.collect()
+    ]
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        return round(num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))), ndigits)
+
+    picked: list[tuple] = []  # (id, rank, score)
+    picked_vecs: list[list[float]] = []
+    remaining = {i: (vid, v, rel) for i, (vid, v, rel) in enumerate(cands)}
+    while remaining and len(picked) < k:
+        best = None
+        for i, (vid, v, rel) in remaining.items():
+            if not picked:
+                score = rel
+            else:
+                score = round(
+                    lam * rel - (1 - lam) * max(cos(v, s) for s in picked_vecs), ndigits
+                )
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, i, vid, v, score)
+        _, i, vid, v, score = best
+        picked.append((vid, len(picked) + 1, score))
+        picked_vecs.append(v)
+        del remaining[i]
+
+    spark = emb.sparkSession
+    return spark.createDataFrame(picked, f"{id_col} long, rank int, score double")

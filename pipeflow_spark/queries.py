@@ -1712,6 +1712,56 @@ def hybrid_rrf_search(spark, sf_dir):
 
 
 @register(
+    "mmr_diverse_topk",
+    """
+    WITH RECURSIVE
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             round(list_dot_product(embedding::DOUBLE[], qv) /
+                   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(qv, qv))), 6) AS rel
+      FROM embeddings, q WHERE vec_id != 0
+      ORDER BY rel DESC, vec_id LIMIT 50
+    ),
+    sel AS (
+      (SELECT 1 AS rank, vec_id, rel AS score, [vec_id] AS picked, [v] AS vecs
+       FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+      UNION ALL
+      SELECT rank + 1, nxt.vec_id, nxt.score,
+             list_append(picked, nxt.vec_id), list_append(vecs, nxt.v)
+      FROM sel, LATERAL (
+        SELECT c.vec_id, c.v,
+               round(0.5 * c.rel - 0.5 * list_max(list_transform(sel.vecs,
+                 s -> round(list_dot_product(c.v, s) /
+                            (sqrt(list_dot_product(c.v, c.v)) *
+                             sqrt(list_dot_product(s, s))), 6))), 6) AS score
+        FROM cand c WHERE NOT list_contains(sel.picked, c.vec_id)
+        ORDER BY score DESC, c.vec_id LIMIT 1) nxt
+      WHERE rank < 10
+    )
+    SELECT vec_id, rank, round(score, 6) AS score FROM sel ORDER BY rank
+    """,
+)
+def mmr_diverse_topk(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversified top-10 over the top-50 cosine
+    candidates (λ=0.5) for query vector 0 — the RAG re-ranking step after
+    retrieval.  The distributed part is candidate generation (scan +
+    TakeOrderedAndProject); the greedy itself is driver-side over the
+    bounded candidate set with every intermediate rounded, so the DuckDB
+    recursive-CTE twin runs the *identical* greedy and the driver certifies
+    the full selection order and marginal scores."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    from .operators import retrieval
+
+    out = retrieval.mmr_rerank(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, depth=50, lam=0.5
+    )
+    return out.select("vec_id", "rank", F.round("score", 6).alias("score")).orderBy("rank")
+
+
+@register(
     "stratified_sample_sources",
     """
     SELECT doc_id, source FROM (
@@ -3870,6 +3920,7 @@ _ORDER = [
     "tfidf_keywords",
     "bm25_search",
     "hybrid_rrf_search",
+    "mmr_diverse_topk",
     "stratified_sample_sources",
     "weighted_sample_topk",
     "corpus_report",

@@ -967,3 +967,26 @@ def test_prune_files_soundness_rules():
     assert prune_files(manifest, {"a": (5, 12)}) == ["f1", "f2", "f4"]
     assert prune_files(manifest, {"a": (15, 15)}) == ["f2", "f4"]
     assert prune_files(manifest, {}) == ["f1", "f2", "f3", "f4"]
+
+
+# -- MMR re-ranking -------------------------------------------------------------
+
+def test_mmr_rerank_diversifies(spark):
+    from pipeflow_spark.operators import retrieval
+
+    rows = [
+        (1, [0.9, 0.1, 0.0]),   # most relevant
+        (2, [0.89, 0.11, 0.0]), # near-duplicate of 1
+        (3, [0.5, 0.5, 0.0]),
+        (4, [0.6, 0.0, 0.4]),   # diverse direction
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = retrieval.mmr_rerank(emb, [1.0, 0.0, 0.0], k=3, depth=4, lam=0.5)
+    got = [(r.vec_id, r.rank) for r in out.orderBy("rank").collect()]
+    # rank 1 = pure relevance; rank 2 must NOT be the near-duplicate (2)
+    assert got[0] == (1, 1)
+    assert got[1][0] == 4
+    assert [r for _, r in got] == [1, 2, 3]
+    # lam=1 degenerates to pure relevance order
+    pure = retrieval.mmr_rerank(emb, [1.0, 0.0, 0.0], k=3, depth=4, lam=1.0)
+    assert [r.vec_id for r in pure.orderBy("rank").collect()] == [1, 2, 4]
