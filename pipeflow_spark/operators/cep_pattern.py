@@ -96,17 +96,34 @@ def pattern_step(at: int, chars: Sequence[str], steps: Sequence[Step]) -> tuple[
     return at, ends
 
 
-def pattern_apply_fn(steps: Sequence[Step], symbol_col: str, order_cols: Sequence[str]):
+def pattern_apply_fn(
+    steps: Sequence[Step],
+    symbol_col: str,
+    order_cols: Sequence[str],
+    idle_gap_ms: int | None = None,
+):
     """The automaton as an ``applyInPandasWithState`` function: key state is
     one int, output is one row per completed match ``(key, end_order)``.
 
     Rows within a batch are processed in ``order_cols`` order; cross-batch
     ordering is the source's arrival contract (the in-order assumption every
     CEP engine makes — same as :mod:`pipeflow_spark.streaming.cep`).
+
+    ``idle_gap_ms`` (requires ``timeout='EventTimeTimeout'`` and an upstream
+    watermark): a key whose automaton sees no turn for that long past the
+    watermark is *evicted* — its partial progress is dropped and a later
+    resumption restarts from scratch.  This bounds total state by the number
+    of RECENTLY-ACTIVE conversations instead of every conversation ever
+    seen; at 10^12 turns the difference is the job surviving or not.
+    Abandoning a partial match on an idle conv is the CEP-correct trade: the
+    pattern models a funnel inside one engagement, not across weeks.
     """
     steps = validate_pattern(steps)
 
     def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()  # idle conv: drop partial progress, free the slot
+            return
         at = state.get[0] if state.exists else 0
         hits: list[tuple[str, int]] = []
         for pdf in pdfs:
@@ -116,6 +133,8 @@ def pattern_apply_fn(steps: Sequence[Step], symbol_col: str, order_cols: Sequenc
             order_vals = pdf[order_cols[-1]].tolist()
             hits.extend((str(key[0]), int(order_vals[i])) for i in ends)
         state.update((at,))
+        if idle_gap_ms is not None:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_gap_ms)
         if hits:
             yield pd.DataFrame(hits, columns=["key", "end_order"])
 

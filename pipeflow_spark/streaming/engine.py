@@ -457,6 +457,11 @@ def state_metrics(query: StreamingQuery) -> list[dict]:
                     "rows_total": op.get("numRowsTotal"),
                     "rows_updated": op.get("numRowsUpdated"),
                     "rows_removed": op.get("numRowsRemoved"),
+                    # late-data observability: turns discarded because they
+                    # arrived behind the watermark — the "late-turn drop"
+                    # counter a production stream alerts on
+                    "rows_dropped_late": op.get("numRowsDroppedByWatermark"),
+                    "watermark": (p.get("eventTime") or {}).get("watermark"),
                     "state_memory_bytes": op.get("memoryUsedBytes"),
                     "commit_ms": op.get("commitTimeMs"),
                 }

@@ -752,3 +752,76 @@ def test_checkpoint_survives_stateless_plan_evolution(spark, tmp_path):
     }
     assert got == expect
     assert n_phase1 == 0  # nothing emitted before the restart: state crossed it
+
+
+def test_state_metrics_report_late_drops(spark, late_dir):
+    """With late arrivals and a tight watermark, the surfaced metrics must
+    count watermark-dropped turns and expose the per-batch watermark — the
+    late-turn-drop observability the north rule requires."""
+    from pipeflow_spark.streaming.engine import await_drained, state_metrics
+
+    d, pdf = late_dir
+    sp = (
+        StreamingPipeline.read_transcripts(spark, d, max_files_per_trigger=1)
+        .with_watermark("ts", "1 minute")
+        .tumbling_agg("ts", "5 minutes", ["role"], F.count("*").alias("n"))
+    )
+    q = sp.start_memory("late_metrics", output_mode="append")
+    await_drained(q, expected_input_rows=len(pdf) + 1)
+    m = state_metrics(q)
+    q.stop()
+    dropped = sum(r["rows_dropped_late"] or 0 for r in m)
+    assert dropped > 0, "late arrivals should have been dropped by the watermark"
+    assert any(r["watermark"] for r in m)
+
+
+def test_pattern_cep_evicts_idle_conversations(spark, tmp_path):
+    """EventTimeTimeout eviction: a conversation idle past the gap loses its
+    partial automaton progress (state bounded by recently-active convs), so
+    a resumption restarts from scratch; active convs are unaffected."""
+    from pipeflow_spark.operators import cep_pattern
+    from pipeflow_spark.streaming.engine import await_drained, state_metrics
+
+    t0 = dt.datetime(2025, 1, 1)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def mk(conv, idx, sym, minutes):
+        return (conv, idx, sym, f"t{idx}", None, t0 + dt.timedelta(minutes=minutes))
+
+    src = tmp_path / "evict"
+    src.mkdir()
+    files = [
+        # cold starts v,c then goes idle forever-ish
+        [mk("cold", 0, "v", 0), mk("cold", 1, "c", 1), mk("hot", 0, "v", 1)],
+        [mk("hot", 1, "c", 60)],                     # watermark -> 60 min
+        [mk("hot", 2, "c", 62)],                     # no cold data: eviction fires
+        # cold resumes with 'p': WOULD complete v,c+,p if state had survived;
+        # fresh runs the full pattern in one file and must match
+        [mk("cold", 2, "p", 63), mk("fresh", 0, "v", 63), mk("fresh", 1, "c", 64),
+         mk("fresh", 2, "p", 65)],
+    ]
+    n = 0
+    for i, rows in enumerate(files):
+        write_transcript_parquet(pd.DataFrame(rows, columns=cols), str(src / f"part-{i:05d}.parquet"))
+        n += len(rows)
+    steps = [("v", False), ("c", True), ("p", False)]
+    sp = (
+        StreamingPipeline.read_transcripts(spark, str(src), max_files_per_trigger=1)
+        .with_watermark("ts", "0 seconds")
+        .select("conv_id", F.col("role").alias("sym"), "ts", "turn_idx")
+        .stateful_per_key(
+            ["conv_id"],
+            cep_pattern.pattern_apply_fn(steps, "sym", ["ts", "turn_idx"], idle_gap_ms=600_000),
+            cep_pattern.PATTERN_MATCH_SCHEMA,
+            cep_pattern.PATTERN_STATE_SCHEMA,
+            timeout="EventTimeTimeout",
+        )
+    )
+    q = sp.start_memory("evict_matches", output_mode="append")
+    await_drained(q, expected_input_rows=n)
+    m = state_metrics(q)
+    q.stop()
+    got = [(r.key, r.end_order) for r in
+           spark.sql("SELECT * FROM evict_matches ORDER BY key, end_order").collect()]
+    assert got == [("fresh", 2)], got  # cold's pattern died with the eviction
+    assert sum(r["rows_removed"] or 0 for r in m) >= 1  # the eviction is visible
