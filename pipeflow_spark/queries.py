@@ -1712,6 +1712,43 @@ def hybrid_rrf_search(spark, sf_dir):
 
 
 @register(
+    "pattern_funnel_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 28800 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, c,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      FROM flagged
+    ), seq AS (
+      SELECT user_id, session_id, string_agg(c, '' ORDER BY ts, event_id) AS s
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_id, length(s) AS seq_len,
+           length(regexp_extract_all(s, 'vc+p')) AS n_matches
+    FROM seq WHERE length(regexp_extract_all(s, 'vc+p')) > 0
+    ORDER BY user_id, session_id
+    """,
+)
+def pattern_funnel_sessions(spark, sf_dir):
+    """Composition proof: funnels must complete INSIDE one engagement —
+    gap-based sessionization (8 h — sized so sf0.01 sessions hold several
+    events) feeding the pattern matcher keyed on (user, session).  Two existing operators composed without glue code;
+    the oracle extends the gaps-and-islands SQL with the sequence regex."""
+    ev = _t(spark, sf_dir, "events").withColumn("sym", F.substring("event_type", 1, 1))
+    s = sessionize.sessionize(ev, "user_id", "ts", 28800, order_tiebreak=["event_id"])
+    steps = [("v", False), ("c", True), ("p", False)]
+    return cep_pattern.match_funnels(
+        s, ["user_id", "session_id"], ["ts", "event_id"], "sym", steps
+    ).orderBy("user_id", "session_id")
+
+
+@register(
     "mmr_diverse_topk",
     """
     WITH RECURSIVE
@@ -3921,6 +3958,7 @@ _ORDER = [
     "bm25_search",
     "hybrid_rrf_search",
     "mmr_diverse_topk",
+    "pattern_funnel_sessions",
     "stratified_sample_sources",
     "weighted_sample_topk",
     "corpus_report",
