@@ -57,26 +57,30 @@ HEADLINE = [
 
 
 def bench_batch(spark, trials: int = 2) -> dict[str, float]:
-    """Best-of-``trials`` per query: this sandbox is a shared host with
-    multi-minute CPU-steal windows (identical code measured 5.5 s and 41.7 s
-    an hour apart), and min-of-2 is the cheapest estimator that survives one
-    steal window.  ``clearCache`` between runs drops the persisted
-    intermediates some operators create (dedupe gram tables), so no trial
-    rides a previous trial's cache."""
+    """Best-of-``trials`` per query, trials INTERLEAVED as full suite passes
+    (pass 1 over every query, then pass 2, ...): this sandbox is a shared
+    host with multi-minute CPU-steal windows (identical code measured 5.5 s
+    and 41.7 s an hour apart).  min-of-2 survives one steal window only if
+    the two trials don't sit inside the same window — back-to-back trials
+    did exactly that once (`json_path_props` recorded 12.4 s while an
+    immediate controlled re-run read 0.99 s / 0.84 s), so a query's trials
+    are now spaced a whole suite pass apart.  ``clearCache`` between runs
+    drops the persisted intermediates some operators create (dedupe gram
+    tables), so no trial rides a previous trial's cache."""
     from pipeflow_spark.queries import QUERIES
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn, _ = QUERIES[name]
-        best = float("inf")
-        for _trial in range(trials):
+    for _pass in range(trials):
+        for name in HEADLINE:
+            fn, _ = QUERIES[name]
             spark.catalog.clearCache()
             df = fn(spark, SF_DIR)
             t0 = time.monotonic()
             n = df.count() if name not in ("q3_top_orders", "embed_cosine_topk") else len(df.collect())
-            best = min(best, time.monotonic() - t0)
+            elapsed = time.monotonic() - t0
             _ = n
-        timings[name] = round(best, 3)
+            prev = timings.get(name, float("inf"))
+            timings[name] = round(min(prev, elapsed), 3)
     spark.catalog.clearCache()
     return timings
 

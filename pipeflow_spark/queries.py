@@ -3889,9 +3889,6 @@ _ORDER = [
     "decontaminate_ngram",
     # relational core + DataRow transforms + validation
     "relational_core",
-    "flatmap_token_counts",
-    "transform_dedupe_first",
-    "group_agg_events",
     "validate_skip_counts",
     "validate_with_results",
     "json_path_props",
@@ -3905,11 +3902,23 @@ _ORDER = [
     "set_ops_multi",
     "percentiles_by_type",
     # event-time windows / sessions / skew
-    "time_window_counts",
     "sessionize_events",
     "session_transcripts",
     "salted_agg_events",
     "multimodal_features",
+    # r3 flagships promoted into the window (funded by demoting
+    # flatmap_token_counts / transform_dedupe_first / time_window_counts /
+    # group_agg_events — each a plain shape already driver-green in
+    # CORRECTNESS_r02 under the same or pre-rename name (flatmap_token_counts,
+    # remove_duplicates_first, tumbling/sliding_window_counts,
+    # group_agg_events), all still oracle-checked past the boundary):
+    # the LEFT OUTER stream-stream join (NULL rows at watermark eviction),
+    # MMR diversified re-ranking (recursive-CTE greedy oracle), and
+    # manifest-based file skipping (driver-side min/max prune).
+    "stream_left_join_unanswered_oracle",
+    "mmr_diverse_topk",
+    "pruned_scan_orders",
+    "hybrid_rrf_search",
     # training-data prep (new in r3: chunking and the
     # dedupe→quality→chunk→pack composite flagship)
     "chunk_documents",
@@ -3956,9 +3965,11 @@ _ORDER = [
     "uniform_sample_topk",
     "tfidf_keywords",
     "bm25_search",
-    "hybrid_rrf_search",
-    "mmr_diverse_topk",
     "pattern_funnel_sessions",
+    "flatmap_token_counts",
+    "transform_dedupe_first",
+    "group_agg_events",
+    "time_window_counts",
     "stratified_sample_sources",
     "weighted_sample_topk",
     "corpus_report",
@@ -3972,8 +3983,6 @@ _ORDER = [
     "approx_distinct_users",
     "multimodal_frame_sample",  # oracled in r3 (real AVI decode)
     "stream_enrich_static_oracle",
-    "stream_left_join_unanswered_oracle",
-    "pruned_scan_orders",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",
 ]
