@@ -3380,6 +3380,90 @@ def stream_pattern_funnel_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "stream_state_open_windows_oracle",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+           > (SELECT max(ts) - INTERVAL '72 hours' FROM events)
+    ORDER BY 1, 2
+    """,
+)
+def stream_state_open_windows_oracle(spark, sf_dir):
+    """Offline state-store introspection with a full value-hash oracle
+    (north rule: "resumable from checkpoint with per-partition lineage +
+    metrics"): run the tumbling-window chain over the events table as a
+    bounded stream, stop, then read the checkpoint's state back with the
+    ``statestore`` v2 source (:mod:`.streaming.state_reader`) — no replay.
+
+    Semantics pinned by the SQL twin: after the final (no-data) micro-batch
+    advances the watermark to ``max(ts) − 72h``, append mode has emitted and
+    EVICTED every window whose end ≤ watermark, so the surviving state rows
+    are exactly the still-open windows — each holding its complete aggregate
+    (the whole table arrived in micro-batch 0, before any eviction horizon).
+    Window ends sit on exact hours while the watermark carries the max
+    event's sub-second offset, so the ``end > watermark`` boundary can't tie.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline, read_state
+
+    work = tempfile.mkdtemp(prefix="pipeflow_state_rd_")
+    batch = _t(spark, sf_dir, "events")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "part-00000.parquet")
+    )
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sp = (
+        StreamingPipeline(sdf)
+        .with_watermark("ts", "72 hours")
+        .tumbling_agg(
+            "ts", "1 hour", ["event_type"], F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sp._df.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # state value fields carry the aggregate's INTERNAL names (count/sum),
+    # not the query aliases; rounding happens on read-back because the state
+    # holds the raw partial sum.
+    out = (
+        read_state(spark, os.path.join(work, "ckpt"))
+        .select(
+            F.col("window.start").alias("ws"),
+            "event_type",
+            F.col("count").alias("n"),
+            F.round("sum", 4).alias("total"),
+        )
+        .orderBy("ws", "event_type")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 @register("stream_tumbling_e2e", None)  # streaming: rows-only driver check
 def stream_tumbling_e2e(spark, sf_dir):
     """Full micro-batch CEP chain end-to-end: deterministic transcript stream →
@@ -3983,6 +4067,7 @@ _ORDER = [
     "approx_distinct_users",
     "multimodal_frame_sample",  # oracled in r3 (real AVI decode)
     "stream_enrich_static_oracle",
+    "stream_state_open_windows_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",
 ]

@@ -8,4 +8,10 @@ exactly-once idempotent sink resumable from checkpoint.
 
 from .engine import StreamingPipeline, TRANSCRIPT_SCHEMA  # noqa: F401
 from .exactly_once import ExactlyOnceSink  # noqa: F401
+from .state_reader import (  # noqa: F401
+    read_state,
+    read_state_changes,
+    state_metadata,
+    state_skew_summary,
+)
 from .transcripts import synthesize_transcripts, write_arrival_files  # noqa: F401
