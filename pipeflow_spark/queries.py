@@ -3249,6 +3249,87 @@ def stream_left_join_unanswered_oracle(spark, sf_dir):
 
 
 @register(
+    "stream_full_join_oracle",
+    """
+    WITH c AS (SELECT user_id AS cu, ts AS cts, event_id AS cid
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id AS pu, ts AS pts, value AS pv
+               FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT cid, pu, pv FROM c FULL JOIN p
+             ON cu = pu AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+         )
+    SELECT CASE WHEN cid IS NULL THEN 'purchase_only'
+                WHEN pu IS NULL THEN 'click_only'
+                ELSE 'matched' END AS kind,
+           count(*) AS n, round(coalesce(sum(pv), 0), 4) AS total
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_full_join_oracle(spark, sf_dir):
+    """FULL OUTER stream-stream join — the join matrix completed (inner =
+    `stream_events_join_oracle`, left = `stream_left_join_unanswered_oracle`):
+    orphans on BOTH sides emit once, with the other side NULL, when their own
+    watermark-driven state eviction fires, so the drained committed set ≡ the
+    batch FULL JOIN.  The `kind` classification (matched / click_only /
+    purchase_only) is computed BEFORE the sink so the oracle checks the NULL
+    pattern itself, not just row counts.  Sentinel rows reach both watermark
+    nodes, match each other (same user −1, same ts), and are dropped on
+    read-back via cid = −1."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_foj_")
+    src = _events_stream_source(spark, sf_dir, work)
+    clicks = (
+        src.filter(F.col("event_type").isin("click", "__sentinel__"))
+        .select(
+            F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+        )
+        .withWatermark("cts", "10 minutes")
+    )
+    purchases = (
+        src.filter(F.col("event_type").isin("purchase", "__sentinel__"))
+        .select(
+            F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("value").alias("pv")
+        )
+        .withWatermark("pts", "10 minutes")
+    )
+    joined = (
+        clicks.join(
+            purchases,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+            "full_outer",
+        )
+        .select(
+            "cid",
+            "pv",
+            F.when(F.col("cid").isNull(), "purchase_only")
+            .when(F.col("pu").isNull(), "click_only")
+            .otherwise("matched")
+            .alias("kind"),
+        )
+    )
+    out = (
+        _committed(spark, StreamingPipeline(joined), f"{work}/sink", f"{work}/ckpt")
+        .filter(F.coalesce(F.col("cid"), F.lit(0)) != -1)  # drop the sentinel pair
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.coalesce(F.sum("pv"), F.lit(0.0)), 4).alias("total"),
+        )
+        .orderBy("kind")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "stream_enrich_static_oracle",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, c_mktsegment AS segment,
@@ -4067,6 +4148,7 @@ _ORDER = [
     "approx_distinct_users",
     "multimodal_frame_sample",  # oracled in r3 (real AVI decode)
     "stream_enrich_static_oracle",
+    "stream_full_join_oracle",
     "stream_state_open_windows_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",

@@ -225,9 +225,25 @@ class StreamingPipeline:
         emits every unmatched row).  Inner rows emit on match immediately;
         only the NULL rows wait for the watermark, exactly the semantics a
         batch LEFT JOIN reproduces once the stream is drained.
+
+        ``how='full_outer'`` completes the matrix (orphan detection on BOTH
+        sides — replies whose user turn was watermark-dropped emit with NULL
+        left columns): each side's unmatched rows emit once at its own
+        state eviction, so the drained output ≡ the batch FULL JOIN.
+
+        Watermark-heartbeat caveat for BOTH outer modes: eviction runs off
+        the global (min-policy) watermark, and Catalyst pushes non-event-time
+        predicates below the ``EventTimeWatermark`` node — so a heartbeat /
+        punctuation row must SURVIVE each side's pre-join filter or that
+        side's watermark node never sees it and every orphan younger than
+        (last real event − delay) stays in state forever.  Role-partitioned
+        transcript sides therefore need one sentinel per role (see
+        ``write_sentinel_file(role=...)``).
         """
-        if how not in ("inner", "left_outer"):
-            raise ValueError(f"join_replies supports inner/left_outer, got {how!r}")
+        if how not in ("inner", "left_outer", "full_outer"):
+            raise ValueError(
+                f"join_replies supports inner/left_outer/full_outer, got {how!r}"
+            )
         l = self._df.select([F.col(c).alias(f"{left_prefix}_{c}") for c in self._df.columns])
         r = other._df.select([F.col(c).alias(f"{right_prefix}_{c}") for c in other._df.columns])
         lc, rc = f"{left_prefix}_", f"{right_prefix}_"

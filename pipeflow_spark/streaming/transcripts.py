@@ -130,7 +130,9 @@ def write_transcript_parquet(pdf: pd.DataFrame, path: str) -> None:
     )
 
 
-def write_sentinel_file(out_dir: str, ts: dt.datetime, file_idx: int = 99999) -> str:
+def write_sentinel_file(
+    out_dir: str, ts: dt.datetime, file_idx: int = 99999, role: str = "user"
+) -> str:
     """Append a far-future punctuation row as the last arrival file.
 
     Event-time streams only emit append-mode windows once the watermark passes
@@ -138,9 +140,20 @@ def write_sentinel_file(out_dir: str, ts: dt.datetime, file_idx: int = 99999) ->
     sentinel advances the watermark beyond every real window — the file-source
     stand-in for an event-time heartbeat.  Its own window never closes, and
     its conv_id is reserved so pipelines/tests can exclude it.
+
+    ``role`` matters for multi-input queries: Catalyst pushes non-event-time
+    predicates BELOW the ``EventTimeWatermark`` node, so a side filtered to
+    ``role != 'user'`` never lets a user-role sentinel reach its watermark
+    node and the global (min-policy) watermark stalls at the last real event.
+    Stream-stream joins over role-partitioned sides need one sentinel per
+    side's filter — write a second file with ``role='assistant'`` and a
+    distinct ``file_idx``.  The non-user sentinel gets ``turn_idx = 1`` so a
+    user+assistant sentinel pair self-matches in ``join_replies`` (one
+    matched row, trivially excluded by conv_id) instead of parking two
+    forever-unmatched rows in outer-join state.
     """
     pdf = pd.DataFrame(
-        [(SENTINEL_CONV, 0, "user", "", None, ts)],
+        [(SENTINEL_CONV, 0 if role == "user" else 1, role, "", None, ts)],
         columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
     )
     p = os.path.join(out_dir, f"part-{file_idx:05d}.parquet")

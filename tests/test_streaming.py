@@ -37,6 +37,22 @@ def clean_dir(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def outer_dir(tmp_path_factory):
+    """Two sentinels (user + assistant) for outer stream-stream joins:
+    Catalyst pushes the role filters below each side's EventTimeWatermark
+    node, so each side needs a heartbeat that survives ITS filter — with a
+    single user-role sentinel the replies-side watermark node never advances
+    past the last real event and younger orphans stay in state forever
+    (verified: watermark stalls at max(ts) − delay, numRowsRemoved = 0)."""
+    pdf = synthesize_transcripts(n_convs=60, n_files=6, seed=42, late_frac=0.0)
+    d = tmp_path_factory.mktemp("transcripts_outer")
+    write_arrival_files(pdf, str(d))
+    write_sentinel_file(str(d), SENTINEL_TS, file_idx=99998, role="user")
+    write_sentinel_file(str(d), SENTINEL_TS, file_idx=99999, role="assistant")
+    return str(d), pdf
+
+
+@pytest.fixture(scope="module")
 def late_dir(tmp_path_factory):
     """30% of rows arrive 3 files late → visible watermark drops."""
     pdf = synthesize_transcripts(n_convs=60, n_files=6, seed=42, late_frac=0.3)
@@ -277,12 +293,12 @@ def test_stream_stream_join_replies(spark, clean_dir):
     assert len(got) == len(m)
 
 
-def test_stream_stream_left_outer_join_unanswered(spark, clean_dir):
+def test_stream_stream_left_outer_join_unanswered(spark, outer_dir):
     """Left-outer stream-stream join: user turns with no reply inside the
     delay window must emit exactly once with NULL right columns after the
     watermark passes (no-data batches flush the eviction) — the committed
     set must equal the batch LEFT JOIN."""
-    d, pdf = clean_dir
+    d, pdf = outer_dir
     users = StreamingPipeline.read_transcripts(spark, d, 3).with_watermark("ts", "1 hour").filter(
         "role = 'user'"
     )
@@ -292,7 +308,7 @@ def test_stream_stream_left_outer_join_unanswered(spark, clean_dir):
     joined = users.join_replies(
         replies, max_reply_delay="10 minutes", how="left_outer"
     ).select("u_conv_id", "u_turn_idx", "a_turn_idx")
-    _run_to_memory(joined, "unanswered", expected_input_rows=2 * (len(pdf) + 1))
+    _run_to_memory(joined, "unanswered", expected_input_rows=2 * (len(pdf) + 2))
     got = [
         r
         for r in spark.sql("SELECT * FROM unanswered").collect()
@@ -316,8 +332,58 @@ def test_stream_stream_left_outer_join_unanswered(spark, clean_dir):
     got_hit = [(r.u_conv_id, r.u_turn_idx) for r in got if r.a_turn_idx is not None]
     assert got_null == expect_null and expect_null  # NULLs present and exact
     assert len(got_hit) == len(matched)
-    with pytest.raises(ValueError, match="inner/left_outer"):
-        users.join_replies(replies, how="full_outer")
+    with pytest.raises(ValueError, match="inner/left_outer/full_outer"):
+        users.join_replies(replies, how="cross")
+
+
+def test_stream_stream_full_outer_join(spark, outer_dir):
+    """Full-outer stream-stream join: BOTH sides' orphans emit exactly once
+    with the other side NULL at their own watermark eviction — unanswered
+    user turns AND replies whose preceding user turn doesn't match (e.g.
+    tool→assistant chains).  The drained committed set must equal the batch
+    FULL JOIN."""
+    d, pdf = outer_dir
+    users = StreamingPipeline.read_transcripts(spark, d, 3).with_watermark("ts", "1 hour").filter(
+        "role = 'user'"
+    )
+    replies = StreamingPipeline.read_transcripts(spark, d, 3).with_watermark("ts", "1 hour").filter(
+        "role IN ('assistant','tool')"
+    )
+    joined = users.join_replies(
+        replies, max_reply_delay="10 minutes", how="full_outer"
+    ).select("u_conv_id", "u_turn_idx", "a_conv_id", "a_turn_idx")
+    _run_to_memory(joined, "full_matrix", expected_input_rows=2 * (len(pdf) + 2))
+    got = [
+        r
+        for r in spark.sql("SELECT * FROM full_matrix").collect()
+        if SENTINEL_CONV not in (r.u_conv_id, r.a_conv_id)
+    ]
+    base = pdf.drop(columns=["arrival_file", "is_late_arrival"])
+    u = base[base.role == "user"]
+    a = base[base.role != "user"]
+    m = u.merge(a, on="conv_id", suffixes=("_u", "_a"), how="inner")
+    hit = (
+        (m.turn_idx_a == m.turn_idx_u + 1)
+        & (m.ts_a >= m.ts_u)
+        & (m.ts_a <= m.ts_u + pd.Timedelta(minutes=10))
+    )
+    matched = m[hit]
+    matched_u = {(r.conv_id, r.turn_idx_u) for r in matched.itertuples(index=False)}
+    matched_a = {(r.conv_id, r.turn_idx_a) for r in matched.itertuples(index=False)}
+    expect_null_right = {
+        (c, t) for c, t in u[["conv_id", "turn_idx"]].itertuples(index=False)
+        if (c, t) not in matched_u
+    }
+    expect_null_left = {
+        (c, t) for c, t in a[["conv_id", "turn_idx"]].itertuples(index=False)
+        if (c, t) not in matched_a
+    }
+    got_null_right = {(r.u_conv_id, r.u_turn_idx) for r in got if r.a_turn_idx is None}
+    got_null_left = {(r.a_conv_id, r.a_turn_idx) for r in got if r.u_turn_idx is None}
+    got_matched = [r for r in got if r.u_turn_idx is not None and r.a_turn_idx is not None]
+    assert got_null_right == expect_null_right and expect_null_right
+    assert got_null_left == expect_null_left and expect_null_left
+    assert len(got_matched) == len(matched)
 
 
 def test_state_metrics_surface(spark, clean_dir):
