@@ -38,6 +38,44 @@ def sessionize(
     )
 
 
+def sessionize_dynamic(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_sec_col,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Add ``session_id`` for a PER-EVENT gap (dynamic session windows).
+
+    Each event claims the interval ``[ts, ts + gap_sec_col)``; overlapping
+    intervals within a key merge into one session — exactly Spark's
+    ``F.session_window(ts, gap_column)`` semantics, which differ from
+    "gap since previous event": a long-gap event can bridge later short-gap
+    events that would otherwise split.  The gaps-and-islands form is a
+    RUNNING MAX of interval ends, not a ``lag`` diff: a new session starts
+    when ``ts >= max(prev ts + prev gap)`` (``>=`` because windows are
+    half-open — touching intervals do not merge, matching the streaming
+    twin pinned in ``stream_events_session_oracle``).
+
+    Scale shape: one hash shuffle on the key; the ordered running max is a
+    per-key local window, no extra exchange vs the fixed-gap version.
+
+    ``gap_sec_col`` is a Column of seconds (int or double).  Reference
+    analog: gap sessionization has no PipeFlow counterpart; this is the
+    north-rule CEP surface (SURVEY.md §2.6).
+    """
+    order = [F.col(ts)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(key).orderBy(*order)
+    epoch = F.col(ts).cast("timestamp").cast("double")
+    end = epoch + gap_sec_col
+    prev_max_end = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(prev_max_end.isNull() | (epoch >= prev_max_end), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+
+
 def session_stats(
     df: DataFrame,
     key: str,

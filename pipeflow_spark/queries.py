@@ -1380,6 +1380,49 @@ def sessionize_events(spark, sf_dir):
     return sessionize.session_stats(ev, "user_id", "ts", gap_sec=1800).orderBy("user_id", "session_id")
 
 
+@register(
+    "session_dynamic_gap",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1800 ELSE 300 END AS gap
+      FROM events WHERE user_id < 200
+    ), ends AS (
+      SELECT user_id, ts, event_id,
+             max(epoch(ts) + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM g
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(CASE WHEN prev_end IS NULL OR epoch(ts) >= prev_end
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                  AS BIGINT) AS session_id
+      FROM ends
+    )
+    SELECT user_id, session_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def session_dynamic_gap(spark, sf_dir):
+    """DYNAMIC-gap sessionization: the idle allowance is a per-event column
+    (a purchase keeps the session alive 30 min, anything else 5 min), so a
+    long-gap event can bridge later short-gap events — semantics a plain
+    lag-diff cannot express.  The oracle is the running-max-of-interval-ends
+    gaps-and-islands form; the streaming twin is
+    `stream_events_session_dynamic_oracle` (same SQL shape over the
+    drained stream)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    gap = F.when(F.col("event_type") == "purchase", 1800).otherwise(300)
+    s = sessionize.sessionize_dynamic(ev, "user_id", "ts", gap, order_tiebreak=["event_id"])
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
 def _ordered_path(sep: str = ">") -> Column:
     """Deterministic per-group event-path assembly: collect (ts, event_id,
     type) structs, array_sort (lexicographic struct order = ts then the
@@ -3025,6 +3068,65 @@ def stream_events_session_oracle(spark, sf_dir):
 
 
 @register(
+    "stream_events_session_dynamic_oracle",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1800 ELSE 300 END AS gap
+      FROM events
+    ), ends AS (
+      SELECT user_id, ts, event_id,
+             max(epoch(ts) + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM g
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_end IS NULL OR epoch(ts) >= prev_end
+                      THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ends
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+)
+def stream_events_session_dynamic_oracle(spark, sf_dir):
+    """Streaming DYNAMIC-gap ``session_window`` (gap is a Column: 30 min
+    after a purchase, 5 min otherwise) through the exactly-once sink vs the
+    running-max gaps-and-islands batch SQL.  Each event claims
+    [ts, ts + gap(event)) and overlapping intervals merge, so the state
+    bound and watermark eviction behave exactly as with a fixed gap — the
+    sentinel (gap 300s, far future) closes every real session.  Batch twin:
+    `session_dynamic_gap` / ``operators.sessionize.sessionize_dynamic``."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_dsess_")
+    src = _events_stream_source(spark, sf_dir, work)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    sp = StreamingPipeline(
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("user_id") != -1)
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "stream_events_transcripts_oracle",
     """
     WITH flagged AS (
@@ -4149,6 +4251,8 @@ _ORDER = [
     "multimodal_frame_sample",  # oracled in r3 (real AVI decode)
     "stream_enrich_static_oracle",
     "stream_full_join_oracle",
+    "session_dynamic_gap",
+    "stream_events_session_dynamic_oracle",
     "stream_state_open_windows_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",

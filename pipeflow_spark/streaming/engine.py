@@ -187,10 +187,16 @@ class StreamingPipeline:
         return self._wrap(g.agg(*aggs))
 
     def session_agg(
-        self, ts_col: str, gap: str, keys: Sequence[str], *aggs: Column
+        self, ts_col: str, gap: str | Column, keys: Sequence[str], *aggs: Column
     ) -> "StreamingPipeline":
         """Gap-based session windows (``session_window``) — sessions close when
-        the watermark passes last_event + gap."""
+        the watermark passes last_event + gap.
+
+        ``gap`` may be a Column for DYNAMIC per-event gaps (e.g. a longer
+        idle allowance after a tool call than after a user turn): each event
+        claims ``[ts, ts + gap)`` and overlapping intervals merge, so state
+        stays bounded by the watermark exactly as with a fixed gap.  The
+        batch twin is :func:`..operators.sessionize.sessionize_dynamic`."""
         g = self._df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
         return self._wrap(g.agg(*aggs))
 

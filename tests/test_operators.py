@@ -298,6 +298,32 @@ def test_sessionize(spark):
         ("u1", 0, 3), ("u1", 1, 2), ("u1", 2, 1), ("u2", 0, 1), ("u2", 1, 1)]
 
 
+def test_sessionize_dynamic_bridges_long_gap_events(spark):
+    """Dynamic gap is interval-merge, NOT lag-diff: a long-gap event at t=0
+    (gap 100) bridges the t=60 event (gap 10) even though 60 − 0 > 10; the
+    t=75 event then chains off t=60's window? No — t=60's window ends at 70,
+    but t=0's window ends at 100, so the running max keeps t=75 in session 0
+    too.  The first event past every open end (t=110) starts session 1.
+    Touching windows do NOT merge (half-open): t=120 at exactly
+    110 + 10 = 120 opens session 2."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0 + dt.timedelta(seconds=s), g)
+        for s, g in [(0, 100), (60, 10), (75, 10), (110, 10), (120, 10)]
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, gap int")
+    out = (
+        sessionize.sessionize_dynamic(df, "user", "ts", F.col("gap"))
+        .orderBy("ts")
+        .collect()
+    )
+    assert [r.session_id for r in out] == [0, 0, 0, 1, 2]
+    # lag-diff semantics would instead split at t=60 (60 - 0 > 10): pin the
+    # difference so a refactor to lag() can't silently pass the simple cases
+    lagged = sessionize.sessionize(df, "user", "ts", gap_sec=10).orderBy("ts").collect()
+    assert [r.session_id for r in lagged] != [r.session_id for r in out]
+
+
 # -- skew -----------------------------------------------------------------------------
 
 def test_salted_agg_equals_plain(spark, sf_dir):
