@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     asof,
     decontaminate,
     dedupe,
+    heavy,
     jsonpath,
     multimodal,
     retrieval,

@@ -28,6 +28,7 @@ from .operators import (
     cep_pattern,
     decontaminate,
     dedupe,
+    heavy,
     multimodal,
     sampling,
     sessionize,
@@ -3432,6 +3433,70 @@ def stream_full_join_oracle(spark, sf_dir):
 
 
 @register(
+    "stream_heavy_hitters_oracle",
+    """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS wstart, user_id, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT wstart, user_id, n,
+             row_number() OVER (PARTITION BY wstart ORDER BY n DESC, user_id) AS rk
+      FROM c
+    )
+    SELECT wstart, user_id, n, rk FROM r WHERE rk <= 5 ORDER BY wstart, rk
+    """,
+)
+def stream_heavy_hitters_oracle(spark, sf_dir):
+    """Top-5 users per hour from a BOUNDED-STATE streaming sketch: sharded
+    Misra-Gries summaries over ``applyInPandasWithState`` keyed on
+    ``(window, shard)``, flushed by an event-time timeout when the watermark
+    passes the window end, then a cross-shard mergeable-summary merge +
+    deterministic top-k on the committed output.  Run in exactness mode
+    (capacity ≥ distinct users per shard ⇒ zero decrements ⇒ err = 0), so
+    the result provably equals the batch GROUP BY top-k the oracle computes;
+    the approximation bound itself is pinned by pytest with a tiny capacity
+    (``operators/heavy.py``)."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_hh_")
+    src = _events_stream_source(spark, sf_dir, work)
+    prepped = (
+        src.withWatermark("ts", "10 minutes")
+        .withColumn("wstart", F.date_trunc("hour", F.col("ts")))
+        .withColumn(
+            "wend_ms", ((F.col("wstart").cast("double") + 3600.0) * 1000.0).cast("long")
+        )
+        .withColumn("shard", F.pmod(F.xxhash64("user_id"), F.lit(8)).cast("int"))
+        .withColumn("key", F.col("user_id").cast("string"))
+    )
+    sp = StreamingPipeline(prepped).stateful_per_key(
+        ["wstart", "shard"],
+        heavy.heavy_hitters_apply_fn(capacity=4096),
+        heavy.HEAVY_OUTPUT_SCHEMA,
+        heavy.HEAVY_STATE_SCHEMA,
+        output_mode="append",
+        timeout="EventTimeTimeout",
+    )
+    committed = _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+    out = (
+        heavy.merge_heavy_hitters(committed.filter(F.col("key") != "-1"), k=5, key_type="long")
+        .select(
+            "wstart",
+            F.col("key").alias("user_id"),
+            F.col("cnt").alias("n"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("wstart", "rk")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "stream_enrich_static_oracle",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, c_mktsegment AS segment,
@@ -4253,6 +4318,7 @@ _ORDER = [
     "stream_full_join_oracle",
     "session_dynamic_gap",
     "stream_events_session_dynamic_oracle",
+    "stream_heavy_hitters_oracle",
     "stream_state_open_windows_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",

@@ -324,6 +324,41 @@ def test_sessionize_dynamic_bridges_long_gap_events(spark):
     assert [r.session_id for r in lagged] != [r.session_id for r in out]
 
 
+# -- heavy hitters (Misra-Gries kernel) ------------------------------------------------
+
+def test_mg_update_bound_and_exactness():
+    """Pure-kernel MG properties over seeded zipf-ish streams, any batch
+    split: (a) ≤ capacity survivors; (b) stored ≤ true ≤ stored + D with
+    D ≤ N/(capacity+1); (c) every key heavier than D survives; (d) capacity
+    ≥ distinct ⇒ exact with D = 0."""
+    from pipeflow_spark.operators.heavy import mg_update
+
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        n_keys = rng.integers(5, 40)
+        stream = (rng.zipf(1.5, size=500) % n_keys).astype(str).tolist()
+        true = {k: stream.count(k) for k in set(stream)}
+        for capacity in (3, 8, n_keys + 5):
+            counter, d_total, i = {}, 0, 0
+            while i < len(stream):
+                j = i + int(rng.integers(1, 60))
+                batch: dict = {}
+                for k in stream[i:j]:
+                    batch[k] = batch.get(k, 0) + 1
+                counter, d = mg_update(counter, batch, int(capacity))
+                d_total += d
+                i = j
+            assert len(counter) <= capacity
+            assert d_total <= len(stream) / (capacity + 1)
+            for k, c in counter.items():
+                assert c <= true[k] <= c + d_total
+            for k, c in true.items():
+                if c > d_total:
+                    assert k in counter
+            if capacity >= len(true):
+                assert d_total == 0 and counter == true
+
+
 # -- skew -----------------------------------------------------------------------------
 
 def test_salted_agg_equals_plain(spark, sf_dir):

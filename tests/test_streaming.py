@@ -386,6 +386,69 @@ def test_stream_stream_full_outer_join(spark, outer_dir):
     assert len(got_matched) == len(matched)
 
 
+def test_heavy_hitters_mg_bound_and_recall(spark, clean_dir):
+    """Streaming Misra-Gries heavy hitters with a TINY capacity (3 per
+    shard) so decrements actually fire: every emitted count must satisfy
+    cnt <= true <= cnt + err, the summed error must respect the MG bound
+    N_window/(capacity+1), and every key whose true count exceeds the
+    window's total error must survive the sketch (the heavy-hitter recall
+    guarantee).  Exactness mode (big capacity) is driver-certified by
+    `stream_heavy_hitters_oracle`."""
+    from pipeflow_spark.operators import heavy
+
+    d, pdf = clean_dir
+    capacity, shards = 3, 4
+    prepped = (
+        StreamingPipeline.read_transcripts(spark, d, 3)
+        .with_watermark("ts", "10 minutes")
+        .df.withColumn("wstart", F.date_trunc("hour", F.col("ts")))
+        .withColumn(
+            "wend_ms", ((F.col("wstart").cast("double") + 3600.0) * 1000.0).cast("long")
+        )
+        .withColumn("shard", F.pmod(F.xxhash64("conv_id"), F.lit(shards)).cast("int"))
+        .withColumn("key", F.col("conv_id"))
+    )
+    sp = StreamingPipeline(prepped).stateful_per_key(
+        ["wstart", "shard"],
+        heavy.heavy_hitters_apply_fn(capacity=capacity),
+        heavy.HEAVY_OUTPUT_SCHEMA,
+        heavy.HEAVY_STATE_SCHEMA,
+        output_mode="append",
+        timeout="EventTimeTimeout",
+    )
+    _run_to_memory(sp, "hh", expected_input_rows=len(pdf) + 1)
+    got = (
+        heavy.merge_heavy_hitters(
+            spark.table("hh").filter(F.col("key") != SENTINEL_CONV), k=10**6
+        )
+        .collect()
+    )
+    assert got, "sketch emitted nothing — event-time timeouts never fired"
+    truth = (
+        pdf.assign(wstart=pdf.ts.dt.floor("h"))
+        .groupby(["wstart", "conv_id"])
+        .size()
+        .to_dict()
+    )
+    win_n = pdf.assign(wstart=pdf.ts.dt.floor("h")).groupby("wstart").size().to_dict()
+    err_by_window: dict = {}
+    for r in got:
+        true = truth[(pd.Timestamp(r.wstart), r.key)]
+        assert r.cnt <= true <= r.cnt + r.err, (r.key, r.cnt, r.err, true)
+        err_by_window[r.wstart] = max(err_by_window.get(r.wstart, 0), r.err)
+    surviving = {(pd.Timestamp(r.wstart), r.key) for r in got}
+    decremented = False
+    for w, n in win_n.items():
+        werr = err_by_window.get(w.to_pydatetime(), 0)
+        assert werr <= n / (capacity + 1)
+        decremented = decremented or werr > 0
+        # recall: anything heavier than the window's worst-case error survives
+        for (tw, key), cnt in truth.items():
+            if tw == w and cnt > werr:
+                assert (tw, key) in surviving, (key, cnt, werr)
+    assert decremented, "capacity too generous — bound never exercised"
+
+
 def test_state_metrics_surface(spark, clean_dir):
     """state_metrics must expose per-(batch, stateful-op) rows/memory/commit
     numbers from the progress history — the operator-side complement of the
