@@ -3433,6 +3433,46 @@ def stream_full_join_oracle(spark, sf_dir):
 
 
 @register(
+    "stream_distinct_users_oracle",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+           count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_distinct_users_oracle(spark, sf_dir):
+    """EXACT streaming COUNT DISTINCT per hour window — countDistinct is
+    rejected on streams, so this runs the chained-stateful-aggregation form
+    (`tumbling_distinct_count`: groupBy(window, type, user) then re-agg over
+    window_time) through the exactly-once sink, and must hash-equal the
+    batch COUNT(DISTINCT) SQL.  Exactness is the point: the HLL twin
+    (`approx_distinct_users`) can only ever be rows-only."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_du_")
+    src = _events_stream_source(spark, sf_dir, work)
+    sp = (
+        StreamingPipeline(src.withWatermark("ts", "10 minutes"))
+        .tumbling_distinct_count(
+            "ts", "1 hour", ["event_type"], "user_id", alias="n_users", count_alias="n_events"
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n_users", "n_events")
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("ws", "event_type", "n_users", "n_events")
+        .orderBy("ws", "event_type")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "stream_heavy_hitters_oracle",
     """
     WITH c AS (
@@ -4319,6 +4359,7 @@ _ORDER = [
     "session_dynamic_gap",
     "stream_events_session_dynamic_oracle",
     "stream_heavy_hitters_oracle",
+    "stream_distinct_users_oracle",
     "stream_state_open_windows_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",

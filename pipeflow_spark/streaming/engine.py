@@ -180,6 +180,45 @@ class StreamingPipeline:
         )
         return self._wrap(final)
 
+    def tumbling_distinct_count(
+        self,
+        ts_col: str,
+        size: str,
+        keys: Sequence[str],
+        distinct_col: str,
+        alias: str = "n_distinct",
+        count_alias: str = "n_events",
+    ) -> "StreamingPipeline":
+        """EXACT windowed COUNT DISTINCT on a stream — Spark rejects
+        ``countDistinct`` on streaming DataFrames outright, and
+        ``approx_count_distinct`` trades accuracy; the scalable exact form is
+        two CHAINED stateful aggregations (supported since 3.4):
+
+        1. ``groupBy(window, keys, distinct_col).count()`` — state is one row
+           per distinct value per open window (the information-theoretic
+           minimum for an exact answer), evicted at watermark close like any
+           windowed agg;
+        2. re-aggregate per ``(window, keys)`` over ``window_time(w)``:
+           ``count(*)`` = distinct cardinality, ``sum`` of the partial counts
+           = total events — both exact, both emitted once when the watermark
+           passes the window.
+
+        Phase 1 is also the skew story: the shuffle key includes the
+        distinct value, so one hot (window, key) fans out across partitions
+        instead of serializing — the same effect ``salted_tumbling_counts``
+        buys with an artificial salt, here for free.  If per-window distinct
+        cardinality itself is unbounded, switch to
+        ``approx_count_distinct`` (one stateful pass, fixed-size HLL state)
+        or the Misra–Gries sketch (:mod:`..operators.heavy`) and carry the
+        error bound instead."""
+        partial = self._df.groupBy(
+            F.window(ts_col, size).alias("w"), *keys, F.col(distinct_col)
+        ).agg(F.count("*").alias("__n"))
+        final = partial.groupBy(
+            F.window(F.window_time("w"), size).alias("w"), *keys
+        ).agg(F.count("*").alias(alias), F.sum("__n").alias(count_alias))
+        return self._wrap(final)
+
     def sliding_agg(
         self, ts_col: str, size: str, slide: str, keys: Sequence[str], *aggs: Column
     ) -> "StreamingPipeline":
