@@ -8,11 +8,13 @@ watermarks / windows / stateful joins, and an exactly-once idempotent sink.
 """
 
 from .catalog import TableCatalog
+from .datarow import DataRow
 from .pipeline import Pipeline, PipelineResult
 from .session import get_spark, load_table
 from .validation import ValidationError, ValidationStrategy, Validator
 
 __all__ = [
+    "DataRow",
     "Pipeline",
     "PipelineResult",
     "TableCatalog",

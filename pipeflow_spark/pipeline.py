@@ -372,6 +372,15 @@ class Pipeline:
     def to_list(self) -> list:
         return self._run(self._df.collect)
 
+    def to_datarows(self) -> list:
+        """Collect as reference-compatible ``DataRow`` views (case-insensitive
+        name access, positional access, ``get_value`` coercion —
+        ``PipeFlow/DataRow.cs``).  Driver-side only; the plan itself is
+        unchanged."""
+        from .datarow import to_datarows
+
+        return to_datarows(self._run(self._df.collect))
+
     def to_pandas(self) -> pd.DataFrame:
         return self._run(self._df.toPandas)
 
