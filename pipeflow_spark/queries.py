@@ -3433,6 +3433,59 @@ def stream_full_join_oracle(spark, sf_dir):
 
 
 @register(
+    "stream_update_upsert_oracle",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events WHERE event_type <> '__sentinel__' GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_update_upsert_oracle(spark, sf_dir):
+    """LIVE aggregate table: the same tumbling aggregate as
+    `stream_events_tumbling_oracle`, but in UPDATE output mode through the
+    streaming MERGE sink (`start_upsert`) instead of append + ledger — every
+    micro-batch upserts the currently-open windows' running values into a
+    snapshot-pointer table (one atomic pointer flip per batch, so readers
+    always see a consistent partial), and the FINAL table must hash-equal
+    the batch GROUP BY.  This is the dashboard-facing output shape: results
+    visible while windows are still open, exactly-once by idempotent
+    re-merge rather than a ledger."""
+    import shutil
+    import tempfile
+
+    from .sinks import read_upsert_table
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_uu_")
+    src = _events_stream_source(spark, sf_dir, work)
+    sp = StreamingPipeline(
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+    )
+    table = f"{work}/live_table"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = sp.start_upsert(
+            table, keys=["ws", "event_type"], checkpoint_dir=f"{work}/ckpt"
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = (
+        read_upsert_table(spark, table)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("ws", "event_type", "n", "total")
+        .orderBy("ws", "event_type")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "stream_distinct_users_oracle",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
@@ -4360,6 +4413,7 @@ _ORDER = [
     "stream_events_session_dynamic_oracle",
     "stream_heavy_hitters_oracle",
     "stream_distinct_users_oracle",
+    "stream_update_upsert_oracle",
     "stream_state_open_windows_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",

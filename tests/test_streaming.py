@@ -386,6 +386,51 @@ def test_stream_stream_full_outer_join(spark, outer_dir):
     assert len(got_matched) == len(matched)
 
 
+def test_live_aggregate_table_versions(spark, clean_dir, tmp_path):
+    """Update-mode windowed agg → streaming MERGE = a LIVE aggregate table:
+    every micro-batch is one atomic snapshot commit, so (a) the version
+    history is readable while the stream runs (one version per non-empty
+    batch), (b) each earlier version is a consistent partial whose counts
+    are pointwise ≤ the final, and (c) the final table equals the batch
+    aggregate exactly."""
+    from pipeflow_spark.sinks import read_upsert_table, snapshots
+    from pipeflow_spark.streaming import StreamingPipeline
+
+    d, pdf = clean_dir
+    table = str(tmp_path / "live")
+    sp = (
+        StreamingPipeline.read_transcripts(spark, d, max_files_per_trigger=2)
+        .with_watermark("ts", "0 seconds")
+        .tumbling_agg("ts", "10 minutes", ["role"], F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "role", "n")
+    )
+    q = sp.start_upsert(
+        table, keys=["ws", "role"], checkpoint_dir=str(tmp_path / "ck"), keep_snapshots=50
+    )
+    q.awaitTermination()
+    vers = [s["version"] for s in snapshots(table)]
+    assert len(vers) >= 3  # 7 files / 2 per trigger → ≥3 non-empty commits
+    final = {
+        (r.ws, r.role): r.n
+        for r in read_upsert_table(spark, table).collect()
+    }
+    mid = {
+        (r.ws, r.role): r.n
+        for r in read_upsert_table(spark, table, version=vers[-2]).collect()
+    }
+    assert mid and all(final[k] >= v for k, v in mid.items())  # consistent partials
+    expect = {
+        (r.ws, r.role): r.n
+        for r in _to_spark(spark, pdf)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "role")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "role", "n")
+        .collect()
+    }
+    got = {k: v for k, v in final.items() if k[0] != SENTINEL_TS}
+    assert got == expect
+
+
 def test_heavy_hitters_mg_bound_and_recall(spark, clean_dir):
     """Streaming Misra-Gries heavy hitters with a TINY capacity (3 per
     shard) so decrements actually fire: every emitted count must satisfy
