@@ -157,6 +157,29 @@ class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
         return Pipeline(read_api_partitioned(spark, url, pages, page_size, schema, **options))
 
     @staticmethod
+    def s3_csv(spark, bucket: str, key: str, region: str = "us-east-1", **options) -> Pipeline:
+        """S3 CSV source (reference: ``PipeFlow.cs:159-169``) — executors
+        range-read the object directly over ``s3a://`` (no driver staging
+        file); see :mod:`pipeflow_spark.cloud`."""
+        from .cloud import s3_csv
+
+        return s3_csv(spark, bucket, key, region, **options)
+
+    @staticmethod
+    def azure_blob_csv(spark, connection_string: str, container: str, blob: str, **options) -> Pipeline:
+        """Azure Blob CSV source (reference: ``PipeFlow.cs:171-180``)."""
+        from .cloud import azure_blob_csv
+
+        return azure_blob_csv(spark, connection_string, container, blob, **options)
+
+    @staticmethod
+    def gcs_csv(spark, bucket: str, obj: str, **options) -> Pipeline:
+        """Google Cloud Storage CSV source (reference: ``PipeFlow.cs:182-191``)."""
+        from .cloud import google_cloud_csv
+
+        return google_cloud_csv(spark, bucket, obj, **options)
+
+    @staticmethod
     def table(spark, sf_dir: str, name: str) -> Pipeline:
         return Pipeline(load_table(spark, sf_dir, name))
 
@@ -198,6 +221,10 @@ def mongo_options(
     DSL's compiled form), batch size."""
     import json as _json
 
+    for name, value in (("uri", uri), ("database", database), ("collection", collection)):
+        # MongoReader.cs / MongoWriter.cs constructor null checks
+        if value is None or value == "":
+            raise ValueError(f"{name} must be a non-empty string")
     opts = {
         "connection.uri": uri,
         "database": database,

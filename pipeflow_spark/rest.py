@@ -81,18 +81,31 @@ def fetch_with_retry(
     retry_delay: float = 1.0,
     data: bytes | None = None,
     method: str = "GET",
-) -> bytes:
+) -> bytes | None:
     """Linear-backoff retry loop (ApiReader.FetchDataWithRetry,
-    ApiReader.cs:96-141): sleep ``delay * attempt`` between attempts."""
-    last = None
+    ApiReader.cs:96-141): sleep ``delay * attempt`` between attempts.
+
+    Terminal behavior matches the reference exactly: a run that *ends* on a
+    non-success HTTP response returns the default (``None`` here,
+    ``Enumerable.Empty`` there — ApiReader.cs:139); a run that ends on a
+    transport exception raises "Failed to fetch" (ApiReader.cs:128-135).
+    """
+    if not url:
+        raise ValueError("url must be a non-empty string")  # ctor null check
     for attempt in range(1, max_retries + 1):
         try:
             return _request(url, data, method, auth, headers or {})
-        except (urllib.error.URLError, OSError) as exc:  # connection + HTTP errors
-            last = exc
+        except urllib.error.HTTPError as exc:  # reached server, non-2xx status
+            exc.close()
             if attempt < max_retries:
                 time.sleep(retry_delay * attempt)
-    raise RuntimeError(f"Failed to fetch {url} after {max_retries} attempts") from last
+        except (urllib.error.URLError, OSError) as exc:  # transport failure
+            if attempt >= max_retries:
+                raise RuntimeError(
+                    f"Failed to fetch {url} after {max_retries} attempts"
+                ) from exc
+            time.sleep(retry_delay * attempt)
+    return None
 
 
 def _page_url(base: str, page: int, page_size: int, page_param: str, size_param: str) -> str:
@@ -118,13 +131,17 @@ def fetch_api_rows(
     rows: list[dict] = []
     if page_size is None:
         body = fetch_with_retry(url, auth, headers, max_retries, retry_delay)
-        return rows_from_json(json.loads(body))
+        # None = retries exhausted on non-success responses → default/empty
+        # (ApiReader.cs:139 returns Enumerable.Empty, never throws here)
+        return rows_from_json(json.loads(body)) if body is not None else []
     page = 1
     while True:
         body = fetch_with_retry(
             _page_url(url, page, page_size, page_param, size_param),
             auth, headers, max_retries, retry_delay,
         )
+        if body is None:
+            return rows
         page_rows = rows_from_json(json.loads(body))
         if not page_rows:
             return rows
