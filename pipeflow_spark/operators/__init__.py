@@ -5,6 +5,7 @@ multimodal plumbing."""
 
 from . import (  # noqa: F401
     asof,
+    bloom,
     decontaminate,
     dedupe,
     heavy,

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .operators import (
     asof,
+    bloom,
     cep_pattern,
     decontaminate,
     dedupe,
@@ -2079,6 +2080,43 @@ def decontaminate_ngram(spark, sf_dir):
     ev = d.filter(F.col("doc_id") < 50)
     tr = d.filter(F.col("doc_id") >= 50)
     return decontaminate.contaminated_docs(tr, ev, n=8).orderBy("doc_id")
+
+
+@register(
+    "decontaminate_bloom",
+    # identical contract to decontaminate_ngram — the bloom stage is a
+    # pre-filter whose false positives the exact verify join removes, so
+    # the same oracle pins it
+    """
+    WITH toked AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]))) AS gs
+      FROM toked
+    ), ev AS (
+      SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id < 50
+    ), tr AS (
+      SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id >= 50
+    )
+    SELECT doc_id, count(*) AS shared_grams
+    FROM tr JOIN ev USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def decontaminate_bloom(spark, sf_dir):
+    """Bloom-pre-filtered decontamination: same exact output as
+    decontaminate_ngram, but the membership broadcast is an m/8-byte bitset
+    instead of the exact gram set — the scale path for eval/blocklist sides
+    too large to broadcast exactly.  Corpus probe stays map-only; only
+    bloom survivors enter the verify semi-join (operators/bloom.py)."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") < 50)
+    tr = d.filter(F.col("doc_id") >= 50)
+    return bloom.contaminated_docs_bloom(tr, ev, n=8, fp_rate=0.01).orderBy("doc_id")
 
 
 # Deterministic-sampling oracle fragments share the Column definitions'
@@ -4417,6 +4455,7 @@ _ORDER = [
     "stream_state_open_windows_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",
+    "decontaminate_bloom",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

@@ -1051,3 +1051,66 @@ def test_mmr_rerank_diversifies(spark):
     # lam=1 degenerates to pure relevance order
     pure = retrieval.mmr_rerank(emb, [1.0, 0.0, 0.0], k=3, depth=4, lam=1.0)
     assert [r.vec_id for r in pure.orderBy("rank").collect()] == [1, 2, 4]
+
+
+# --- distributed Bloom filter (operators/bloom.py) -------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    from pipeflow_spark.operators import bloom
+
+    keys = spark.range(2000).select(F.xxhash64("id").alias("gh"))
+    m, k = bloom.optimal_params(2000, fp_rate=0.01)
+    assert m & (m - 1) == 0  # power of two (JVM/numpy mod-equivalence)
+    bits = bloom.build_bloom(keys, "gh", m, k)
+    probe = bloom.might_contain_udf(spark, bits, m, k)
+
+    def hits(df):
+        probed = df.withColumn("gh2", F.xxhash64("gh", F.lit(1)))
+        return probed.filter(probe("gh", "gh2")).count()
+
+    # membership: every inserted key must hit — this also proves the JVM
+    # build and the numpy probe compute identical bit positions
+    assert hits(keys) == 2000
+    # disjoint keys: realized FP rate within a loose multiple of the target
+    others = spark.range(2000, 14000).select(F.xxhash64("id").alias("gh"))
+    assert hits(others) / 12000 <= 0.04
+
+
+def test_bloom_rejects_non_power_of_two():
+    import numpy as np
+    import pytest as _pytest
+
+    from pipeflow_spark.operators import bloom
+
+    with _pytest.raises(ValueError):
+        bloom.build_bloom(None, "gh", 1000, 3)
+    m, _ = bloom.optimal_params(1, fp_rate=0.5)
+    assert m & (m - 1) == 0 and m >= 64
+    assert np.zeros(m >> 6, dtype=np.uint64).nbytes == m // 8
+
+
+def test_decontaminate_bloom_matches_exact_twin(spark, sf_dir):
+    from pipeflow_spark.operators import bloom
+    from pipeflow_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 50)
+    tr = docs.filter(F.col("doc_id") >= 50)
+    exact = {
+        (r.doc_id, r.shared_grams)
+        for r in decontaminate.contaminated_docs(tr, ev, n=8).collect()
+    }
+    via_bloom = {
+        (r.doc_id, r.shared_grams)
+        for r in bloom.contaminated_docs_bloom(tr, ev, n=8, fp_rate=0.01).collect()
+    }
+    assert via_bloom == exact  # verify join removes every false positive
+    # audit mode (exact=False) is a superset on doc ids, never misses one
+    audit_ids = {
+        r.doc_id
+        for r in bloom.contaminated_docs_bloom(
+            tr, ev, n=8, fp_rate=0.01, exact=False
+        ).collect()
+    }
+    assert {d for d, _ in exact} <= audit_ids
