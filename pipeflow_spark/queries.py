@@ -2119,6 +2119,58 @@ def decontaminate_bloom(spark, sf_dir):
     return bloom.contaminated_docs_bloom(tr, ev, n=8, fp_rate=0.01).orderBy("doc_id")
 
 
+@register(
+    "stream_asof_attribution_oracle",
+    """
+    SELECT l.user_id AS k, l.event_id AS id, l.ts AS ts,
+           r.ts AS matched_ts, round(r.value, 4) AS matched_val
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+    ORDER BY id
+    """,
+)
+def stream_asof_attribution_oracle(spark, sf_dir):
+    """Streaming backward as-of join (purchase → latest prior view per user
+    — last-touch attribution), the "latest match only" enrichment Spark's
+    native stream-stream joins cannot express.  Watermark-buffered
+    ``applyInPandasWithState``: each purchase emits exactly once when the
+    watermark passes it; per-key state collapses settled views to one row,
+    so state is bounded by the watermark horizon on an unbounded stream.
+    Committed exactly-once snapshot must equal DuckDB's native batch
+    ASOF LEFT JOIN over the same table."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_asof_")
+    src = _events_stream_source(spark, sf_dir, work)
+    sp = (
+        StreamingPipeline(src)
+        # the sentinel rides the right side (is_left false) to push the
+        # watermark past every real event; it never emits (only lefts do)
+        .filter(F.col("event_type").isin("purchase", "view", "__sentinel__"))
+        .with_watermark("ts", "10 minutes")
+        .asof_enrich(
+            key="user_id",
+            ts_col="ts",
+            is_left=F.col("event_type") == "purchase",
+            id_col="event_id",
+            val_col="value",
+        )
+        .select("k", "id", "ts", "matched_ts", F.round("matched_val", 4).alias("matched_val"))
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .select("k", "id", "ts", "matched_ts", "matched_val")
+        .orderBy("id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 # Deterministic-sampling oracle fragments share the Column definitions'
 # single source of truth (bucket fn + mixture rates) via generated SQL.
 _MIX_RATES = {f"src{i}": (1.0 if i < 5 else 0.5 if i < 10 else 0.2) for i in range(20)}
@@ -4456,6 +4508,7 @@ _ORDER = [
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",
     "decontaminate_bloom",
+    "stream_asof_attribution_oracle",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

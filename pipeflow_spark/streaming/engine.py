@@ -300,6 +300,55 @@ class StreamingPipeline:
         )
         return self._wrap(l.join(r, cond, how))
 
+    def asof_enrich(
+        self,
+        key: str,
+        ts_col: str,
+        is_left: Column,
+        id_col: str,
+        val_col: str,
+        key_type: str = "long",
+    ) -> "StreamingPipeline":
+        """Streaming backward as-of join — each *left* row matched to the
+        latest *right* row at-or-before it per ``key`` (the batch
+        :func:`pipeflow_spark.operators.asof.asof_join` semantics on an
+        unbounded stream).  Spark's native stream-stream joins can't express
+        "latest one only", so this is a watermark-buffered
+        ``applyInPandasWithState`` machine: a left row emits exactly once,
+        when the watermark passes its event time; per-key state stays
+        bounded by the watermark horizon (rights at-or-below it collapse to
+        one row).  Requires ``with_watermark`` upstream.
+
+        Output: ``(k, id, ts, matched_ts, matched_val)`` — left identity
+        plus its match (NULLs when no earlier right exists).
+        """
+        from ..operators.asof import ASOF_STATE_SCHEMA, asof_output_schema, asof_stream_fn
+
+        proj = self._df.select(
+            F.col(key).alias("k"),
+            F.col(ts_col).alias("ts"),  # keep the watermark column itself
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            is_left.alias("is_left"),
+            F.col(id_col).cast("long").alias("id"),
+            F.col(val_col).cast("double").alias("val"),
+        )
+        out = proj.groupBy("k").applyInPandasWithState(
+            asof_stream_fn(),
+            asof_output_schema(key_type),
+            ASOF_STATE_SCHEMA,
+            "append",
+            "EventTimeTimeout",
+        )
+        return self._wrap(
+            out.select(
+                "k",
+                "id",
+                F.timestamp_micros("ts_us").alias("ts"),
+                F.timestamp_micros("matched_ts_us").alias("matched_ts"),
+                "matched_val",
+            )
+        )
+
     # -- stream-static enrichment -------------------------------------------------------------
     def enrich_static(
         self,

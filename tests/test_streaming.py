@@ -999,3 +999,53 @@ def test_pattern_cep_evicts_idle_conversations(spark, tmp_path):
            spark.sql("SELECT * FROM evict_matches ORDER BY key, end_order").collect()]
     assert got == [("fresh", 2)], got  # cold's pattern died with the eviction
     assert sum(r["rows_removed"] or 0 for r in m) >= 1  # the eviction is visible
+
+
+def test_stream_asof_enrich_spans_batches(spark, tmp_path):
+    """Streaming backward as-of: a left (user) turn buffered across
+    micro-batches must pick up a right (assistant) turn that ARRIVES LATER
+    but is event-time earlier — emission waits for the watermark, so the
+    late right still wins.  NULL when no earlier right exists."""
+    t0 = dt.datetime(2025, 1, 1)
+
+    def mk(idx, role, minutes):
+        return ("c1", idx, role, f"t{idx}", None, t0 + dt.timedelta(minutes=minutes))
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    # f1: U5@2min (no earlier assistant -> NULL), A0@8min, U1@10min, A2@15min
+    f1 = [mk(5, "user", 2), mk(0, "assistant", 8), mk(1, "user", 10), mk(2, "assistant", 15)]
+    # f2: A3@5min arrives late (event-time before U1, but U1 matches A0@8:
+    # the LATEST at-or-before 10) and U4@20min (matches A2@15)
+    f2 = [mk(3, "assistant", 5), mk(4, "user", 20)]
+    # f3: far-future assistant sentinel pushes the watermark past everything
+    f3 = [mk(99, "assistant", 6000)]
+    src = tmp_path / "asof"
+    src.mkdir()
+    for i, rows in enumerate([f1, f2, f3]):
+        write_transcript_parquet(
+            pd.DataFrame(rows, columns=cols), str(src / f"part-0000{i}.parquet")
+        )
+    sp = (
+        StreamingPipeline.read_transcripts(spark, str(src), max_files_per_trigger=1)
+        .with_watermark("ts", "30 minutes")
+        .asof_enrich(
+            key="conv_id",
+            ts_col="ts",
+            is_left=F.col("role") == "user",
+            id_col="turn_idx",
+            val_col="turn_idx",
+            key_type="string",
+        )
+    )
+    _run_to_memory(sp, "asof_out", expected_input_rows=7)
+    got = {
+        r.id: (r.matched_ts, None if r.matched_val is None else int(r.matched_val))
+        for r in spark.sql("SELECT * FROM asof_out").collect()
+    }
+    assert set(got) == {5, 1, 4}
+    assert got[5] == (None, None)  # no assistant at-or-before 2min
+    assert got[1] == (t0 + dt.timedelta(minutes=8), 0)  # A0@8 beats late A3@5
+    assert got[4] == (t0 + dt.timedelta(minutes=15), 2)
+    # and the late-but-in-order right DOES win when it is the latest one:
+    # U1 would have matched A3@5 had A0 not existed — covered by the oracle
+    # run (stream_asof_attribution_oracle) over the full shuffled table
