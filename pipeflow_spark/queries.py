@@ -3318,6 +3318,50 @@ def stream_events_sliding_oracle(spark, sf_dir):
 
 
 @register(
+    "stream_window_median_oracle",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+           count(*) AS n, round(median(value), 4) AS med
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_window_median_oracle(spark, sf_dir):
+    """Exact windowed median on a stream: ``percentile`` is a
+    TypedImperativeAggregate whose buffer lives in the state store, so the
+    exact quantile is computable per closed window (the oracle-able twin;
+    ``approx_percentile`` with its mergeable sketch is the 10^12-turn path —
+    the buffer here grows with rows-per-window, which a window bound keeps
+    finite but not small).  Committed append-mode snapshot must equal
+    DuckDB's interpolated ``median`` per bucket."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_med_")
+    sp = (
+        StreamingPipeline(_events_stream_source(spark, sf_dir, work))
+        .with_watermark("ts", "10 minutes")
+        .dedupe_within_watermark(["event_id"])
+        .tumbling_agg(
+            "ts", "1 hour", ["event_type"],
+            F.count("*").alias("n"),
+            F.round(F.percentile("value", 0.5), 4).alias("med"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "med")
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("ws", "event_type", "n", "med")
+        .orderBy("ws", "event_type")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "stream_events_join_oracle",
     """
     SELECT c.user_id AS user_id, count(*) AS n_pairs,
@@ -4509,6 +4553,7 @@ _ORDER = [
     "stream_tumbling_e2e",
     "decontaminate_bloom",
     "stream_asof_attribution_oracle",
+    "stream_window_median_oracle",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "
