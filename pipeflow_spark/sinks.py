@@ -360,7 +360,9 @@ def read_change_feed(
             f"no change feed at {table_path}; write with "
             "upsert_parquet(..., change_feed=True) to record one"
         )
-    df = spark.read.parquet(cdir)
+    # mergeSchema: commits before/after a merge_schema upsert carry
+    # different column sets; the feed exposes their union (NULL-padded)
+    df = spark.read.option("mergeSchema", "true").parquet(cdir)
     if starting_version is not None:
         df = df.filter(F.col("_commit_version") >= starting_version)
     if ending_version is not None:
@@ -430,6 +432,7 @@ def upsert_parquet(
     order_by: Sequence[str] | None = None,
     keep_snapshots: int = 2,
     change_feed: bool = False,
+    merge_schema: bool = False,
 ) -> None:
     """Keyed MERGE into a parquet table with an atomic snapshot-pointer commit.
 
@@ -461,6 +464,15 @@ def upsert_parquet(
     committed versions.  Read with :func:`read_change_feed` (batch,
     partition-pruned version ranges) or :func:`stream_change_feed`
     (checkpointed incremental tail).
+
+    ``merge_schema=True`` is schema evolution on write (the Delta
+    ``mergeSchema`` / Iceberg union-by-name write option analog): incoming
+    may ADD columns (retained rows get NULL) or OMIT existing ones (incoming
+    rows get NULL); the committed snapshot carries the union of both
+    schemas.  Type changes for a same-named column are NOT coerced — the
+    union raises, which is the safe default (silent widening corrupts
+    readers pinned to the old type).  Off by default so a typo'd column
+    name fails loudly instead of forking the schema.
     """
     keys = list(keys)
     os.makedirs(table_path, exist_ok=True)
@@ -471,12 +483,19 @@ def upsert_parquet(
     current = None
     if snap is not None:
         current = spark.read.parquet(snap)
+        if not merge_schema and set(current.columns) != set(incoming.columns):
+            raise ValueError(
+                "incoming schema differs from table schema "
+                f"(table-only: {sorted(set(current.columns) - set(incoming.columns))}, "
+                f"incoming-only: {sorted(set(incoming.columns) - set(current.columns))}); "
+                "pass merge_schema=True to evolve the table schema"
+            )
         if do_update:
             keep = current.join(incoming.select(*keys).distinct(), keys, "left_anti")
-            merged = keep.unionByName(incoming)
+            merged = keep.unionByName(incoming, allowMissingColumns=merge_schema)
         else:
             add = incoming.join(current.select(*keys).distinct(), keys, "left_anti")
-            merged = current.unionByName(add)
+            merged = current.unionByName(add, allowMissingColumns=merge_schema)
     else:
         merged = incoming
 

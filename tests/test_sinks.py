@@ -650,3 +650,42 @@ def test_expire_change_feed_keeps_newest(spark, tmp_path):
         r._commit_version for r in read_change_feed(spark, path).select("_commit_version").collect()
     )
     assert vers == [3, 4]
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """merge_schema=True: incoming may add columns (retained rows NULL) or
+    omit columns (incoming rows NULL); the committed snapshot carries the
+    union schema.  Default remains strict — a differing schema raises."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    upsert_parquet(spark, base, path, ["k"])
+    inc = spark.createDataFrame([(2, "b2", 0.5), (3, "c", 0.9)], "k int, v string, score double")
+    with _pytest.raises(ValueError, match="merge_schema"):
+        upsert_parquet(spark, inc, path, ["k"])
+    upsert_parquet(spark, inc, path, ["k"], merge_schema=True)
+    got = {r.k: (r.v, r.score) for r in read_upsert_table(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b2", 0.5), 3: ("c", 0.9)}
+    # incoming OMITS v: existing column survives, new row gets NULL there
+    inc2 = spark.createDataFrame([(4, 0.1)], "k int, score double")
+    upsert_parquet(spark, inc2, path, ["k"], merge_schema=True)
+    got = {r.k: (r.v, r.score) for r in read_upsert_table(spark, path).collect()}
+    assert got[4] == (None, 0.1) and got[1] == ("a", None)
+
+
+def test_upsert_schema_evolution_change_feed_union(spark, tmp_path):
+    """The change feed spans commits with different schemas: read back as
+    the NULL-padded union (mergeSchema), with per-commit rows intact."""
+    from pipeflow_spark.sinks import read_change_feed
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    upsert_parquet(spark, base, path, ["k"], change_feed=True)
+    inc = spark.createDataFrame([(1, "a2", 7)], "k int, v string, extra int")
+    upsert_parquet(spark, inc, path, ["k"], change_feed=True, merge_schema=True)
+    feed = read_change_feed(spark, path)
+    assert {"k", "v", "extra", "_change_type", "_commit_version"} <= set(feed.columns)
+    rows = {(r._commit_version, r.k): (r.v, r.extra, r._change_type) for r in feed.collect()}
+    assert rows[(1, 1)] == ("a", None, "insert")
+    assert rows[(2, 1)] == ("a2", 7, "update_postimage")
