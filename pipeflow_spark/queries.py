@@ -3318,6 +3318,37 @@ def stream_events_sliding_oracle(spark, sf_dir):
 
 
 @register(
+    "udtf_json_props",
+    """
+    SELECT e.event_id AS event_id, k AS key,
+           json_extract_string(e.props, '$.' || k) AS value
+    FROM events e, LATERAL unnest(json_keys(e.props)) AS t(k)
+    WHERE e.event_id < 2000
+    ORDER BY event_id, key
+    """,
+)
+def udtf_json_props(spark, sf_dir):
+    """Python UDTF (Spark 4's typed row→rows mechanism — the engine-native
+    form of the reference's SelectMany, PipelineExtensions.cs:118-139) as a
+    LATERAL table argument: one row per top-level JSON key.  Oracle is
+    DuckDB's json_keys unnest + json_extract_string, which renders scalars
+    exactly like the UDTF's rest.py-style coercion."""
+    from .functions import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000).createOrReplaceTempView(
+        "__udtf_events"
+    )
+    return spark.sql(
+        """
+        SELECT e.event_id, j.key AS key, j.value AS value
+        FROM __udtf_events e, LATERAL explode_json_map(e.props) j
+        ORDER BY event_id, key
+        """
+    )
+
+
+@register(
     "stream_window_median_oracle",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
@@ -4554,6 +4585,7 @@ _ORDER = [
     "decontaminate_bloom",
     "stream_asof_attribution_oracle",
     "stream_window_median_oracle",
+    "udtf_json_props",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

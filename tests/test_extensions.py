@@ -202,3 +202,52 @@ def test_transform_arrow_roundtrip(spark):
     )
     expect = df.select("id", (F.col("v") * 3.0).alias("v3")).orderBy("id").collect()
     assert got == expect
+
+
+# --- Python UDTFs (functions.py) — the typed SelectMany ---------------------
+
+
+def test_udtf_explode_json_map(spark):
+    from pipeflow_spark.functions import register_udtfs
+
+    register_udtfs(spark)
+    rows = [
+        (1, '{"k": 87, "s": "x", "arr": [1, 2], "obj": {"a": 1}}'),
+        (2, None),
+        (3, "not json"),
+        (4, "[1, 2]"),  # non-object roots yield nothing
+    ]
+    spark.createDataFrame(rows, "id int, props string").createOrReplaceTempView("udtf_t")
+    got = [
+        (r.id, r.pos, r.key, r.value)
+        for r in spark.sql(
+            "SELECT t.id, j.* FROM udtf_t t, LATERAL explode_json_map(t.props) j "
+            "ORDER BY id, pos"
+        ).collect()
+    ]
+    # document order preserved; non-strings render as JSON text (rest.py coercion)
+    assert got == [
+        (1, 0, "k", "87"),
+        (1, 1, "s", "x"),
+        (1, 2, "arr", "[1, 2]"),
+        (1, 3, "obj", '{"a": 1}'),
+    ]
+
+
+def test_udtf_parse_transcript_turns(spark):
+    from pipeflow_spark.functions import register_udtfs
+
+    register_udtfs(spark)
+    raw = "garbage preamble\nUser: hi\nAssistant: hello\n  multi-line\ntool: run()\n"
+    spark.createDataFrame([(raw,)], "raw string").createOrReplaceTempView("udtf_r")
+    got = [
+        (r.turn_idx, r.role, r.text)
+        for r in spark.sql(
+            "SELECT j.* FROM udtf_r r, LATERAL parse_transcript_turns(r.raw) j ORDER BY turn_idx"
+        ).collect()
+    ]
+    assert got == [
+        (0, "user", "hi"),
+        (1, "assistant", "hello\n  multi-line"),
+        (2, "tool", "run()"),
+    ]
