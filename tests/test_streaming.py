@@ -1049,3 +1049,61 @@ def test_stream_asof_enrich_spans_batches(spark, tmp_path):
     # and the late-but-in-order right DOES win when it is the latest one:
     # U1 would have matched A3@5 had A0 not existed — covered by the oracle
     # run (stream_asof_attribution_oracle) over the full shuffled table
+
+
+def test_stream_asof_resumes_from_checkpoint(spark, tmp_path):
+    """The as-of state machine (custom tuple state schema) must survive a
+    mid-stream crash: kill after an early batch, restart from the same
+    checkpoint, and the committed output still equals the event-time
+    semantics — buffered lefts and the collapsed right carry over."""
+    t0 = dt.datetime(2025, 1, 1)
+
+    def mk(idx, role, minutes):
+        return ("c1", idx, role, f"t{idx}", None, t0 + dt.timedelta(minutes=minutes))
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    f1 = [mk(5, "user", 2), mk(0, "assistant", 8), mk(1, "user", 10), mk(2, "assistant", 15)]
+    f2 = [mk(3, "assistant", 5), mk(4, "user", 20)]
+    f3 = [mk(99, "assistant", 6000)]
+    src = tmp_path / "asof_resume"
+    src.mkdir()
+    for i, rows in enumerate([f1, f2, f3]):
+        write_transcript_parquet(
+            pd.DataFrame(rows, columns=cols), str(src / f"part-0000{i}.parquet")
+        )
+
+    def pipe():
+        return (
+            StreamingPipeline.read_transcripts(spark, str(src), max_files_per_trigger=1)
+            .with_watermark("ts", "30 minutes")
+            .asof_enrich(
+                key="conv_id",
+                ts_col="ts",
+                is_left=F.col("role") == "user",
+                id_col="turn_idx",
+                val_col="turn_idx",
+                key_type="string",
+            )
+        )
+
+    root, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    sink = ExactlyOnceSink(root, fail_after_write_batch_id=1)
+    q = pipe().start_exactly_once(sink, ckpt, output_mode="append")
+    with pytest.raises(Exception, match="injected failure"):
+        q.awaitTermination()
+
+    sink2 = ExactlyOnceSink(root)
+    q2 = pipe().start_exactly_once(sink2, ckpt, output_mode="append")
+    from pipeflow_spark.streaming.engine import await_drained
+
+    await_drained(q2, expected_input_rows=3)  # f2 replay + f3 (f1 committed pre-crash)
+    q2.stop()
+    got = {
+        r.id: (r.matched_ts, None if r.matched_val is None else int(r.matched_val))
+        for r in sink2.read_committed(spark).collect()
+    }
+    assert got == {
+        5: (None, None),
+        1: (t0 + dt.timedelta(minutes=8), 0),
+        4: (t0 + dt.timedelta(minutes=15), 2),
+    }
