@@ -530,3 +530,39 @@ def keep_list(components: DataFrame) -> DataFrame:
     return components.select(
         "node", "component", (F.col("node") == F.col("component")).alias("keep")
     )
+
+
+def keep_best(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "q",
+) -> DataFrame:
+    """Quality-aware keep/drop: instead of :func:`keep_list`'s min-id
+    convention, keep each cluster's HIGHEST-``score_col`` member (ties →
+    smallest id, so the decision stays deterministic).  This is what a
+    curation pipeline actually wants — near-dup clusters usually contain one
+    clean original and N mangled copies, and min-id keeps whichever was
+    crawled first, not whichever is cleanest.
+
+    ``scores``: ``(id_col, score_col)`` one row per doc.  Cost: one hash
+    join on the node id plus one window over ``component`` — both shuffles
+    are cluster-membership-sized (nodes that appear in ≥1 near-dup pair),
+    not corpus-sized.  Output ``(node, component, score, keep)``.
+    """
+    from pyspark.sql import Window
+
+    joined = components.join(
+        scores.select(F.col(id_col).alias("node"), F.col(score_col).alias("__score")),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(F.col("__score").desc(), F.col("node"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .select(
+            "node",
+            "component",
+            F.col("__score").alias(score_col),
+            (F.col("__rn") == 1).alias("keep"),
+        )
+    )

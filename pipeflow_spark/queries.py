@@ -4234,6 +4234,44 @@ _QUALITY_SQL = """
 
 
 @register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_jaccard_cte_body(0.8)},
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    r(node, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lab FROM edges e JOIN r ON r.node = e.d
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM r GROUP BY node),
+    scored AS (
+      SELECT c.node, c.component, {_QUALITY_SQL} AS q,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY {_QUALITY_SQL} DESC, c.node) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT node, component, round(q, 6) AS q, rn = 1 AS keep
+    FROM scored ORDER BY node
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware cluster representative: keep each near-dup cluster's
+    HIGHEST-quality member (ties → min id) instead of keep_list's min-id
+    convention — crawl order is not cleanliness.  Same transitive closure
+    as dedup_clusters, then one membership-sized join + window
+    (operators/dedupe.py:keep_best)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedupe.ngram_jaccard_pairs(docs, threshold=0.8)
+    comps = dedupe.connected_components(pairs)
+    scores = docs.select("doc_id", F.round(text.quality_score(F.col("text")), 6).alias("q"))
+    return dedupe.keep_best(comps, scores).orderBy("node")
+
+
+@register(
     "curate_training_corpus",
     f"""
     WITH RECURSIVE
@@ -4586,6 +4624,7 @@ _ORDER = [
     "stream_asof_attribution_oracle",
     "stream_window_median_oracle",
     "udtf_json_props",
+    "dedup_keep_best",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

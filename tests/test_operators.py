@@ -544,6 +544,25 @@ def test_connected_components_transitive_closure(spark):
     assert keep == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False}
 
 
+def test_keep_best_picks_highest_score_ties_min_id(spark):
+    """keep_best keeps the highest-score member per cluster (NOT min-id):
+    in {1,2,3} node 2 has the best score; in {10,11} scores tie so the
+    smaller id wins; score column is carried through to the output."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    comps = dedupe.connected_components(pairs)
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.7), (11, 0.7)],
+        "doc_id bigint, q double",
+    )
+    rows = {r.node: r for r in dedupe.keep_best(comps, scores).collect()}
+    assert {n: r.keep for n, r in rows.items()} == {
+        1: False, 2: True, 3: False, 10: True, 11: False
+    }
+    assert rows[2].q == 0.9 and rows[2].component == 1
+
+
 def test_connected_components_order_invariant(spark):
     """Edge direction and order don't matter: the component id is the min
     node id regardless of which side of the pair it arrived on."""
