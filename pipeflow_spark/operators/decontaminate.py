@@ -72,6 +72,44 @@ def contaminated_docs(
     )
 
 
+def contamination_report(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    n: int = 8,
+) -> DataFrame:
+    """Provenance form: ``(doc_id, eval_id, shared_grams)`` — WHICH eval
+    document each contaminated training doc overlaps, and by how many
+    distinct ``n``-grams.  ``contaminated_docs`` answers *drop or keep*;
+    this answers the audit question that follows every hit ("is this a
+    benchmark leak or a quoted passage, and from which benchmark?").
+
+    Scale shape is unchanged from :func:`contaminated_docs`: the broadcast
+    side grows from the distinct eval gram set to distinct ``(eval_id,
+    gram)`` pairs — still eval-corpus-sized, i.e. MBs against a TB corpus —
+    and the corpus side stays a map-only explode + broadcast join.  The
+    only new shuffle is the final hash agg keyed on ``(doc_id, eval_id)``,
+    whose input is the (tiny) match set, not the corpus."""
+    from ..session import spread
+
+    ev_pairs = (
+        gram_table(spread(eval_df), text_col, id_col, n=n)
+        .select(F.col("id").alias(eval_id_col), F.explode("grams").alias("g"))
+        .select(eval_id_col, F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    posting = gram_table(spread(train_df), text_col, id_col, n=n).select(
+        F.col("id").alias(id_col), F.explode("grams").alias("g")
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    return (
+        posting.join(F.broadcast(ev_pairs), "gh")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count("*").alias("shared_grams"))
+    )
+
+
 def decontaminate(
     train_df: DataFrame,
     eval_df: DataFrame,

@@ -2120,6 +2120,41 @@ def decontaminate_bloom(spark, sf_dir):
 
 
 @register(
+    "contamination_audit",
+    """
+    WITH toked AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]))) AS gs
+      FROM toked
+    ), ev AS (
+      SELECT DISTINCT doc_id AS eval_id, unnest(gs) AS g FROM g WHERE doc_id < 50
+    ), tr AS (
+      SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id >= 50
+    )
+    SELECT tr.doc_id AS doc_id, ev.eval_id AS eval_id, count(*) AS shared_grams
+    FROM tr JOIN ev USING (g)
+    GROUP BY tr.doc_id, ev.eval_id ORDER BY doc_id, eval_id
+    """,
+)
+def contamination_audit(spark, sf_dir):
+    """Contamination provenance: which eval doc hit which training doc, by
+    how many distinct shared 8-grams — the audit step after every
+    decontaminate_ngram hit.  Broadcast side grows only to (eval_id, gram)
+    pairs (still eval-sized); the corpus scan stays map-only; the one new
+    shuffle aggregates the match set, not the corpus
+    (operators/decontaminate.py:contamination_report)."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") < 50)
+    tr = d.filter(F.col("doc_id") >= 50)
+    return decontaminate.contamination_report(tr, ev, n=8).orderBy("doc_id", "eval_id")
+
+
+@register(
     "stream_asof_attribution_oracle",
     """
     SELECT l.user_id AS k, l.event_id AS id, l.ts AS ts,
@@ -4625,6 +4660,7 @@ _ORDER = [
     "stream_window_median_oracle",
     "udtf_json_props",
     "dedup_keep_best",
+    "contamination_audit",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "
