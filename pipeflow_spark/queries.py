@@ -4517,6 +4517,89 @@ def change_feed_orders(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "stream_decontaminate_oracle",
+    """
+    WITH toked AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]))) AS gs
+      FROM toked
+    ), ev AS (
+      SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id < 50
+    ), tr AS (
+      SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id >= 50
+    )
+    SELECT doc_id, count(*) AS shared_grams
+    FROM tr JOIN ev USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def stream_decontaminate_oracle(spark, sf_dir):
+    """Ingest-time decontamination guard, batch-equality proven: the
+    documents table replayed as a file stream (deterministic event time
+    derived from doc_id) through gram explode → stream-static broadcast
+    join against the eval gram set → windowed per-doc count → exactly-once
+    ledgered sink; the committed snapshot must equal the batch
+    decontaminate_ngram SQL bit-for-bit.  The only stateful op is the final
+    count keyed on (window, doc_id) over the MATCH set — clean documents
+    never enter state, so state size tracks contamination, not throughput
+    (streaming/engine.py:decontaminate)."""
+    import datetime as _dt
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_decon_")
+    batch = _t(spark, sf_dir, "documents")
+    ev = batch.filter(F.col("doc_id") < 50)
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    _os.symlink(
+        _os.path.join(sf_dir, "documents.parquet"), _os.path.join(src, "part-00000.parquet")
+    )
+    # far-future sentinel doc: advances the watermark past every real
+    # window so append mode emits them all (no gram of it matches eval)
+    sentinel = spark.createDataFrame(
+        [(4_000_000_000, "__sentinel__", "xx", "__sentinel__", 12)], batch.schema
+    )
+    stage = _os.path.join(work, "sentinel_stage")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
+    shutil.copy(_os.path.join(stage, part), _os.path.join(src, "part-99999.parquet"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("doc_id") >= 50)
+        # deterministic event time: epoch 2024-01-01 + doc_id seconds
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
+        )
+    )
+    sp = (
+        StreamingPipeline(stream)
+        .with_watermark("ts", "10 minutes")
+        .decontaminate(ev, text_col="text", id_col="doc_id", ts_col="ts", window="1 hour", n=8)
+        .select("doc_id", "shared_grams")
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .select("doc_id", "shared_grams")
+        .orderBy("doc_id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _ORDER = [
     # TPC-H shapes (scan/filter/join/agg plan quality)
     "q1_pricing_summary",
@@ -4661,6 +4744,7 @@ _ORDER = [
     "udtf_json_props",
     "dedup_keep_best",
     "contamination_audit",
+    "stream_decontaminate_oracle",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

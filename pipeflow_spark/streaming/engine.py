@@ -376,6 +376,52 @@ class StreamingPipeline:
         right = F.broadcast(dim) if broadcast else dim
         return self._wrap(self._df.join(right, on, how))
 
+    def decontaminate(
+        self,
+        eval_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        ts_col: str = "ts",
+        window: str = "1 hour",
+        n: int = 8,
+    ) -> "StreamingPipeline":
+        """Streaming benchmark-decontamination guard: flag documents on the
+        stream that share any word ``n``-gram with a static eval corpus —
+        the ingest-time twin of ``operators.decontaminate.contaminated_docs``
+        (same gram normalization, same xxhash64 keys, same counts).
+
+        Shape at 10^12-turn scale: gram explode is a stateless JVM
+        projection; the membership test is a **stream-static broadcast
+        join** (eval grams are MBs against a TB stream — re-planned into
+        every micro-batch, NO state store, per-batch cost flat in stream
+        history); the only stateful op is the per-doc count keyed on
+        ``(window(ts), id_col)``, whose input is the match set — documents
+        with zero overlap never reach state.  Caller must have set a
+        watermark on ``ts_col`` (or call :meth:`with_watermark` first) for
+        append-mode emission.  Output: ``(w, id_col, shared_grams)``.
+        """
+        if eval_df.isStreaming:
+            raise ValueError("decontaminate: eval side must be a batch DataFrame")
+        from ..operators.decontaminate import eval_gram_set
+        from ..operators.dedupe import _grams_of_toks, normalize_text
+
+        evset = eval_gram_set(eval_df, text_col, id_col, n=n).select(
+            F.xxhash64("g").alias("gh")
+        )
+        posting = (
+            self._df.select(
+                id_col, ts_col, F.split(normalize_text(F.col(text_col)), r"\s+").alias("__toks")
+            )
+            .select(id_col, ts_col, F.explode(_grams_of_toks(F.col("__toks"), n)).alias("g"))
+            .select(id_col, ts_col, F.xxhash64("g").alias("gh"))
+        )
+        hits = posting.join(F.broadcast(evset), "gh")
+        out = (
+            hits.groupBy(F.window(ts_col, window).alias("w"), id_col)
+            .agg(F.count("*").alias("shared_grams"))
+        )
+        return self._wrap(out)
+
     # -- arbitrary stateful CEP ---------------------------------------------------------------
     def stateful_per_key(
         self,

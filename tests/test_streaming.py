@@ -739,6 +739,59 @@ def test_stream_transcript_assembly_matches_batch(spark, clean_dir):
     assert got == exp
 
 
+def test_stream_decontaminate_state_tracks_contamination_only(spark, tmp_path):
+    """Streaming decontamination: contaminated docs are flagged with exact
+    shared-gram counts, clean docs produce NO output — and, the scale
+    property, never enter state either (state rows ≤ contaminated docs, not
+    stream size: the broadcast join drops clean docs before the stateful
+    count)."""
+    from pipeflow_spark.streaming.engine import await_drained, state_metrics
+
+    phrase = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = []
+    base = dt.datetime(2025, 3, 1, 12, 0, 0)
+    for i in range(10):  # clean docs: unique 10-token texts, no eval gram
+        toks = " ".join(f"tok{i}x{j}" for j in range(10))
+        rows.append((100 + i, toks, base + dt.timedelta(seconds=i)))
+    for i in range(5):  # contaminated: unique prefix + the eval phrase
+        rows.append((200 + i, f"pre{i}a pre{i}b {phrase}", base + dt.timedelta(seconds=30 + i)))
+    src = tmp_path / "docs_src"
+    src.mkdir()
+
+    def _write(rws, p):  # Spark's vectorized reader needs us-timestamps
+        pd.DataFrame(rws, columns=["doc_id", "text", "ts"]).to_parquet(
+            p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    _write(rows, src / "part-0.parquet")
+    _write([(999_999, "__sentinel__", dt.datetime(2026, 1, 1))], src / "part-9.parquet")
+
+    ev = spark.createDataFrame([(1, phrase)], "doc_id bigint, text string")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sp = (
+        StreamingPipeline(stream)
+        .with_watermark("ts", "0 seconds")
+        .decontaminate(ev, text_col="text", id_col="doc_id", ts_col="ts", window="1 hour", n=8)
+        .select("doc_id", "shared_grams")
+    )
+    q = sp.start_memory("decon_stream", output_mode="append")
+    await_drained(q, expected_input_rows=16)
+    m = state_metrics(q)
+    q.stop()
+    got = {
+        r.doc_id: r.shared_grams for r in spark.sql("SELECT * FROM decon_stream").collect()
+    }
+    # each contaminated doc shares exactly the one 8-gram; clean docs absent
+    assert got == {200 + i: 1 for i in range(5)}
+    # state held only (window, doc) groups for the 5 contaminated docs
+    agg_rows = [r["rows_total"] for r in m if r["operator"] == "stateStoreSave"]
+    assert agg_rows and max(agg_rows) <= 5
+
+
 def test_mixture_filter_execution_mode_invariant(spark, tmp_path):
     """Deterministic hash sampling must select the SAME rows in a stream as
     in batch (map-only, layout-independent) — the property that lets one
