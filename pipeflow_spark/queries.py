@@ -4517,6 +4517,48 @@ def change_feed_orders(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def _documents_stream_source(spark, sf_dir: str, work: str):
+    """Bounded replay of the documents table as a file-source stream with a
+    deterministic doc_id-derived event time (epoch 2024-01-01 + doc_id
+    seconds) and a far-future sentinel doc as the final file so the
+    watermark closes every real window — the documents twin of
+    :func:`_events_stream_source` (same no-late-rows ⇒ stream ≡ batch
+    contract, callers exclude the huge sentinel doc_id on read-back)."""
+    import os as _os
+    import shutil as _shutil
+
+    batch = _t(spark, sf_dir, "documents")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    _os.symlink(
+        _os.path.join(sf_dir, "documents.parquet"), _os.path.join(src, "part-00000.parquet")
+    )
+    # the sentinel must SURVIVE every pre-window stage (language gate,
+    # quality gate, gram explode) or the watermark operator never sees its
+    # event time and no window closes — the streaming-heartbeat analog of
+    # "late data needs a row that actually reaches the watermark node".  So
+    # it reads as quality English (stopword-rich, q ≈ 0.64) but its 8-grams
+    # are nonsense-token-interleaved, matching nothing in any real corpus;
+    # callers exclude it by source = '__sentinel__' (or its 4e9 doc_id).
+    _stxt = (
+        "the zq and wv of pq to lm in hj is gf you bv that aq it yl for "
+        "sentinel heartbeat row " * 3
+    ).strip()
+    sentinel = spark.createDataFrame(
+        [(4_000_000_000, _stxt, "en", "__sentinel__", len(_stxt))], batch.schema
+    )
+    stage = _os.path.join(work, "sentinel_stage")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
+    _shutil.copy(_os.path.join(stage, part), _os.path.join(src, "part-99999.parquet"))
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")))
+    )
+
+
 @register(
     "stream_decontaminate_oracle",
     """
@@ -4549,41 +4591,14 @@ def stream_decontaminate_oracle(spark, sf_dir):
     count keyed on (window, doc_id) over the MATCH set — clean documents
     never enter state, so state size tracks contamination, not throughput
     (streaming/engine.py:decontaminate)."""
-    import datetime as _dt
-    import os as _os
     import shutil
     import tempfile
 
     from .streaming import StreamingPipeline
 
     work = tempfile.mkdtemp(prefix="pipeflow_stream_decon_")
-    batch = _t(spark, sf_dir, "documents")
-    ev = batch.filter(F.col("doc_id") < 50)
-    src = _os.path.join(work, "src")
-    _os.makedirs(src)
-    _os.symlink(
-        _os.path.join(sf_dir, "documents.parquet"), _os.path.join(src, "part-00000.parquet")
-    )
-    # far-future sentinel doc: advances the watermark past every real
-    # window so append mode emits them all (no gram of it matches eval)
-    sentinel = spark.createDataFrame(
-        [(4_000_000_000, "__sentinel__", "xx", "__sentinel__", 12)], batch.schema
-    )
-    stage = _os.path.join(work, "sentinel_stage")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
-    shutil.copy(_os.path.join(stage, part), _os.path.join(src, "part-99999.parquet"))
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .filter(F.col("doc_id") >= 50)
-        # deterministic event time: epoch 2024-01-01 + doc_id seconds
-        .withColumn(
-            "ts",
-            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
-        )
-    )
+    ev = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    stream = _documents_stream_source(spark, sf_dir, work).filter(F.col("doc_id") >= 50)
     sp = (
         StreamingPipeline(stream)
         .with_watermark("ts", "10 minutes")
@@ -4594,6 +4609,82 @@ def stream_decontaminate_oracle(spark, sf_dir):
         _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
         .select("doc_id", "shared_grams")
         .orderBy("doc_id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _stream_curation_oracle_sql() -> str:
+    """Batch twin of the streaming curation chain, built from the SAME rule
+    tables the Spark side uses (text.PII_RULES / _QUALITY_SQL /
+    _PII_RAW_SQL) so neither engine can drift from the other."""
+    counts = ",\n           ".join(
+        f"sum(length(regexp_extract_all(raw, '{pat}'))) AS {alias}"
+        for (pat, _), alias in zip(text.PII_RULES, _PII_ALIASES)
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             time_bucket(INTERVAL '1 hour',
+                         to_timestamp(1704067200 + doc_id)::TIMESTAMP) AS ws,
+             {_PII_RAW_SQL} AS raw,
+             round({_QUALITY_SQL}, 6) AS q
+      FROM documents WHERE lang = 'en'
+    )
+    SELECT ws, source, count(*) AS n_docs, round(avg(q), 4) AS avg_q,
+           {counts}
+    FROM scored WHERE q >= 0.45
+    GROUP BY ws, source ORDER BY ws, source
+    """
+
+
+@register("stream_curation_gate_oracle", _stream_curation_oracle_sql())
+def stream_curation_gate_oracle(spark, sf_dir):
+    """The reference's fluent chain (read → Filter → Transform → Validate →
+    Batch → Write, PipeFlow/Pipeline.cs:60-130) as ONE streaming pipeline,
+    batch-equality proven: documents replayed as a file stream → language
+    Filter → PII-redaction Transform (chained JVM regexp_replace + audit
+    counts) → quality-score Validate gate (SKIP semantics: rows below the
+    bar are filtered, counted per window) → tumbling per-source windowed
+    Batch → exactly-once ledgered Write.  Every pre-window stage is a
+    stateless map pipelined into the scan (no shuffle, no state); only the
+    final windowed agg touches the state store, so state size tracks
+    windows × sources, not throughput — the shape that survives a
+    10^12-turn stream."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_curate_")
+    stream = _documents_stream_source(spark, sf_dir, work)
+    raw = F.col("__raw")
+    sp = (
+        StreamingPipeline(stream)
+        .with_watermark("ts", "10 minutes")
+        .filter(F.col("lang") == "en")
+        .add_column("__raw", _pii_raw_column())
+        .add_column("q", text.quality_score(F.col("text")))
+        .filter(F.col("q") >= 0.45)
+        .tumbling_agg(
+            "ts",
+            "1 hour",
+            ["source"],
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_q"),
+            *[
+                F.sum(F.regexp_count(raw, F.lit(p))).alias(a)
+                for (p, _), a in zip(text.PII_RULES, _PII_ALIASES)
+            ],
+        )
+        .select(F.col("w.start").alias("ws"), "source", "n_docs", "avg_q", *_PII_ALIASES)
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("source") != "__sentinel__")
+        .select("ws", "source", "n_docs", "avg_q", *_PII_ALIASES)
+        .orderBy("ws", "source")
     )
     rows, schema = out.collect(), out.schema
     shutil.rmtree(work, ignore_errors=True)
@@ -4669,9 +4760,12 @@ _ORDER = [
     # dedupe→quality→chunk→pack composite flagship)
     "chunk_documents",
     "pretraining_batches",
-    # CEP pattern matching (new in r3): batch funnel + streaming automaton twin
-    "pattern_funnel_events",
+    # CEP pattern matching (new in r3): streaming automaton (its batch twin
+    # pattern_funnel_events sits past the boundary — same matcher, green)
     "stream_pattern_funnel_oracle",
+    # full fluent chain as ONE stream: Filter → redact → quality gate →
+    # windowed Batch → exactly-once Write, batch-equality oracled
+    "stream_curation_gate_oracle",
     # ---- driver window boundary (first 50 above) ----
     # (window_lag_running / pivot_status_priority / text_profile /
     #  rollup_lineitem moved past the boundary in r3 — each has a green
@@ -4745,6 +4839,7 @@ _ORDER = [
     "dedup_keep_best",
     "contamination_audit",
     "stream_decontaminate_oracle",
+    "pattern_funnel_events",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "
