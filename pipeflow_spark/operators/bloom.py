@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .dedupe import gram_table
+from .dedupe import gram_hash_posting
 
 
 def optimal_params(n_keys: int, fp_rate: float = 0.01) -> tuple[int, int]:
@@ -152,21 +152,15 @@ def contaminated_docs_bloom(
     from ..session import spread
 
     spark = train_df.sparkSession
-    ev = (
-        gram_table(spread(eval_df), text_col, id_col, n=n)
-        .select(F.explode("grams").alias("g"))
-        .distinct()
-        .select(F.xxhash64("g").alias("gh"))
-    )
+    ev = gram_hash_posting(spread(eval_df), text_col, id_col, n=n).select("gh").distinct()
     n_keys = ev.count()
     m, k = optimal_params(n_keys, fp_rate)
     bits = build_bloom(ev, "gh", m, k)
     probe = might_contain_udf(spark, bits, m, k)
 
     posting = (
-        gram_table(spread(train_df), text_col, id_col, n=n)
-        .select(F.col("id").alias(id_col), F.explode("grams").alias("g"))
-        .select(id_col, F.xxhash64("g").alias("gh"))
+        gram_hash_posting(spread(train_df), text_col, id_col, n=n)
+        .select(F.col("id").alias(id_col), "gh")
         .withColumn("gh2", _hash2("gh"))
     )
     survivors = posting.filter(probe("gh", "gh2")).drop("gh2")

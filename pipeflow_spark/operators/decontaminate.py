@@ -25,12 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedupe import gram_table
+from .dedupe import gram_hash_posting, gram_table
 
 
 def eval_gram_set(eval_df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8) -> DataFrame:
     """Distinct word ``n``-grams of the eval corpus as a one-column frame
-    ``(g)`` — the broadcast side."""
+    ``(g)`` — the string form, for callers that need readable grams."""
     from ..session import spread
 
     return (
@@ -38,6 +38,19 @@ def eval_gram_set(eval_df: DataFrame, text_col: str = "text", id_col: str = "doc
         .select(F.explode("grams").alias("g"))
         .distinct()
     )
+
+
+def eval_gram_hashes(
+    eval_df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Distinct 64-bit ``n``-gram hashes of the eval corpus as ``(gh)`` —
+    the broadcast side.  Built via :func:`..operators.dedupe.gram_hash_posting`
+    (token-hash combine, no gram-string materialization — 5–9× faster than
+    hashing string grams, explode fused against the InferFiltersFromGenerate
+    double-compute trap)."""
+    from ..session import spread
+
+    return gram_hash_posting(spread(eval_df), text_col, id_col, n=n).select("gh").distinct()
 
 
 def contaminated_docs(
@@ -51,20 +64,19 @@ def contaminated_docs(
     word ``n``-gram with any eval doc.  ``shared_grams`` counts *distinct*
     overlapping grams (gram_table already dedupes per doc).
 
-    Both sides join on ``xxhash64(gram)`` instead of the ~n·6-byte gram
-    string: the broadcast table and the corpus-side probe keys shrink to
-    8 bytes each, and string equality becomes long equality in codegen.  A
-    collision would need two distinct grams at the same 64-bit hash *with
-    one on each side* — ≈ |eval|·|corpus| / 2⁶⁴, vanishing at any real
-    eval-set size."""
+    Both sides join on 64-bit gram hashes instead of the ~n·6-byte gram
+    string: the broadcast table and the corpus-side probe keys are 8 bytes
+    each, string equality becomes long equality in codegen, and the hash is
+    computed token-wise (:func:`..operators.dedupe.gram_hash_table`) so no
+    gram string is ever materialized.  A collision would need two distinct
+    grams at the same 64-bit hash *with one on each side* —
+    ≈ |eval|·|corpus| / 2⁶⁴, vanishing at any real eval-set size."""
     from ..session import spread
 
-    evset = eval_gram_set(eval_df, text_col, id_col, n=n).select(
-        F.xxhash64("g").alias("gh")
+    evset = eval_gram_hashes(eval_df, text_col, id_col, n=n)
+    posting = gram_hash_posting(spread(train_df), text_col, id_col, n=n).select(
+        F.col("id").alias(id_col), "gh"
     )
-    posting = gram_table(spread(train_df), text_col, id_col, n=n).select(
-        F.col("id").alias(id_col), F.explode("grams").alias("g")
-    ).select(id_col, F.xxhash64("g").alias("gh"))
     return (
         posting.join(F.broadcast(evset), "gh")
         .groupBy(id_col)
@@ -95,14 +107,13 @@ def contamination_report(
     from ..session import spread
 
     ev_pairs = (
-        gram_table(spread(eval_df), text_col, id_col, n=n)
-        .select(F.col("id").alias(eval_id_col), F.explode("grams").alias("g"))
-        .select(eval_id_col, F.xxhash64("g").alias("gh"))
+        gram_hash_posting(spread(eval_df), text_col, id_col, n=n)
+        .select(F.col("id").alias(eval_id_col), "gh")
         .distinct()
     )
-    posting = gram_table(spread(train_df), text_col, id_col, n=n).select(
-        F.col("id").alias(id_col), F.explode("grams").alias("g")
-    ).select(id_col, F.xxhash64("g").alias("gh"))
+    posting = gram_hash_posting(spread(train_df), text_col, id_col, n=n).select(
+        F.col("id").alias(id_col), "gh"
+    )
     return (
         posting.join(F.broadcast(ev_pairs), "gh")
         .groupBy(id_col, eval_id_col)

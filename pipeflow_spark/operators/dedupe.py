@@ -83,6 +83,59 @@ def gram_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFra
     return toked.select("id", _grams_of_toks(F.col("__toks"), n).alias("grams"))
 
 
+def gram_hash_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """``(id, ghs)``: distinct 64-bit ``n``-gram hashes per row, computed
+    WITHOUT materializing gram strings — each token is ``xxhash64``-ed once,
+    and a gram's key is ``xxhash64`` over its ``n`` token hashes (8 longs in,
+    1 long out, all inside codegen).  Measured 5–9× faster than hashing
+    ``concat_ws`` gram strings at sf0.1 (the string path allocates ~50 bytes
+    per gram position; this path allocates nothing).
+
+    Gram equality becomes token-sequence equality: tokens contain no
+    whitespace (split on ``\\s+``), so the string form was bijective with the
+    sequence anyway; a false match needs an xxhash64 collision (≈2⁻⁶⁴ per
+    cross-side pair).  Short rows (< n tokens) hash their single truncated
+    window — Spark's hash functions ignore the NULL ``element_at`` overruns,
+    and both sides of any join use this same function, mirroring
+    :func:`_grams_of_toks`'s single short gram.  Use wherever only gram
+    MEMBERSHIP matters (decontamination, blocklists); exact-verify paths
+    (Jaccard) still need :func:`gram_table`'s string sets."""
+    toked = df.select(
+        F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), r"\s+").alias("__toks")
+    )
+    th = toked.select("id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"))
+    return th.select("id", F.array_distinct(_gram_hashes_of("__th", n)).alias("ghs"))
+
+
+def _gram_hashes_of(th_col: str, n: int):
+    # F.get (not element_at): out-of-bounds reads on short rows must yield
+    # NULL (ignored by xxhash64), not an ANSI-mode index error
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(th_col) - n, F.lit(0))),
+        lambda i: F.xxhash64(*[F.get(th_col, (i + j).cast("int")) for j in range(n)]),
+    )
+
+
+def gram_hash_posting(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """``(id, gh)`` — :func:`gram_hash_table` pre-exploded, one row per
+    distinct gram hash per doc.  NOT sugar: exploding must be fused into the
+    same projection as the gram expression.  If callers explode the ``ghs``
+    attribute themselves, Catalyst's ``InferFiltersFromGenerate`` (which
+    fires only on cheap generator children like attributes) adds a
+    ``size(ghs) > 0`` filter that predicate-pushdown then rewrites to the
+    FULL gram expression below the upstream exchange — recomputing the whole
+    tokenize→hash pipeline a second time, pre-shuffle, at scan parallelism
+    (measured 33 s vs 0.8 s at sf0.1).  Explode-over-expression is skipped
+    by that rule, keeping the gram build computed exactly once."""
+    toked = df.select(
+        F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), r"\s+").alias("__toks")
+    )
+    th = toked.select("id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"))
+    return th.select(
+        "id", F.explode(F.array_distinct(_gram_hashes_of("__th", n))).alias("gh")
+    )
+
+
 # -- shared: exact-Jaccard verification of candidate pairs --------------------
 
 

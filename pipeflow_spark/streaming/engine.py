@@ -402,18 +402,22 @@ class StreamingPipeline:
         """
         if eval_df.isStreaming:
             raise ValueError("decontaminate: eval side must be a batch DataFrame")
-        from ..operators.decontaminate import eval_gram_set
-        from ..operators.dedupe import _grams_of_toks, normalize_text
+        from ..operators.decontaminate import eval_gram_hashes
+        from ..operators.dedupe import _gram_hashes_of, normalize_text
 
-        evset = eval_gram_set(eval_df, text_col, id_col, n=n).select(
-            F.xxhash64("g").alias("gh")
+        evset = eval_gram_hashes(eval_df, text_col, id_col, n=n)
+        # token-hash-combine gram keys, explode fused into the projection
+        # (see dedupe.gram_hash_posting: exploding the array attribute
+        # instead triggers InferFiltersFromGenerate's double-compute);
+        # inlined rather than called so ts_col rides along
+        toked = self._df.select(
+            id_col, ts_col, F.split(normalize_text(F.col(text_col)), r"\s+").alias("__toks")
         )
-        posting = (
-            self._df.select(
-                id_col, ts_col, F.split(normalize_text(F.col(text_col)), r"\s+").alias("__toks")
-            )
-            .select(id_col, ts_col, F.explode(_grams_of_toks(F.col("__toks"), n)).alias("g"))
-            .select(id_col, ts_col, F.xxhash64("g").alias("gh"))
+        th = toked.select(
+            id_col, ts_col, F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th")
+        )
+        posting = th.select(
+            id_col, ts_col, F.explode(F.array_distinct(_gram_hashes_of("__th", n))).alias("gh")
         )
         hits = posting.join(F.broadcast(evset), "gh")
         out = (

@@ -544,6 +544,39 @@ def test_connected_components_transitive_closure(spark):
     assert keep == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False}
 
 
+def test_gram_hash_table_matches_string_gram_membership(spark):
+    """The token-hash-combine gram keys must induce the SAME cross-side
+    membership as string grams — including short rows (< n tokens, the
+    ANSI element_at trap) and the truncated-window edge where a 7-token doc
+    must NOT match the 8-token doc it prefixes."""
+    texts = [
+        (1, "a b c d e f g h i j"),          # 10 tokens
+        (2, "x y a b c d e f g h"),          # shares the a..h 8-gram region
+        (3, "a b c d e f g"),                # 7 tokens: single short gram
+        (4, "a b c d e f g"),                # identical short doc -> matches 3
+        (5, "q"),                            # 1 token
+        (6, ""),                             # empty text
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+
+    def pairs_via(tbl_fn, col, hash_out):
+        g = tbl_fn(df, "text", "doc_id", n=8)
+        e = g.select(F.col("id").alias("a"), F.explode(col).alias("k"))
+        kk = e.select("a", hash_out(F.col("k")).alias("kh"))
+        other = kk.select(F.col("a").alias("b"), "kh")
+        return {
+            (r.a, r.b)
+            for r in kk.join(other, "kh").filter(F.col("a") < F.col("b")).distinct().collect()
+        }
+
+    via_string = pairs_via(dedupe.gram_table, "grams", lambda c: F.xxhash64(c))
+    via_hash = pairs_via(dedupe.gram_hash_table, "ghs", lambda c: c)
+    assert via_string == via_hash
+    assert (3, 4) in via_hash          # identical short docs match
+    assert (1, 3) not in via_hash      # prefix short doc must not match long doc
+    assert (1, 2) in via_hash          # real shared 8-gram found
+
+
 def test_keep_best_picks_highest_score_ties_min_id(spark):
     """keep_best keeps the highest-score member per cluster (NOT min-id):
     in {1,2,3} node 2 has the best score; in {10,11} scores tie so the

@@ -179,6 +179,26 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
+def test_gram_hash_posting_computes_grams_once(spark, sf_dir):
+    """InferFiltersFromGenerate regression guard: exploding the gram-hash
+    ARRAY ATTRIBUTE lets Catalyst infer size(ghs)>0 and predicate-pushdown
+    rewrites it to the full gram expression below the exchange — computing
+    the tokenize→hash pipeline twice (measured 33 s vs 0.8 s at sf0.1).
+    gram_hash_posting fuses explode over the expression, which that rule
+    skips; no Filter in its plan may contain the gram machinery."""
+    from pipeflow_spark.operators.dedupe import gram_hash_posting
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") >= 50)
+    p = gram_hash_posting(d, "text", "doc_id", n=8)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "array_distinct" not in line and "xxhash64" not in line, (
+                "gram expression leaked into a pushed-down filter:\n" + line
+            )
+    assert plan.count("regexp_replace") == 1, "tokenization computed more than once"
+
+
 def test_registry_plan_totals(spark, sf_dir):
     """CI gate over the whole registry: zero row-at-a-time Python eval nodes
     and zero cartesian products in ANY batch query's physical plan — a
