@@ -219,9 +219,15 @@ def ngram_jaccard_pairs(
     from ..session import spread
 
     # persist: grams feeds the posting list, both self-join sides, and the
-    # verify join — see the note in minhash_lsh_pairs.
+    # verify join — see the note in minhash_lsh_pairs.  Gram sets are 64-bit
+    # hashes (gram_hash_table), not strings: set equality/intersection over
+    # longs is what every downstream step needs (posting equi-join, exact
+    # Jaccard verify), the persist footprint shrinks ~6×, and prefix
+    # filtering is order-agnostic (ANY global total order is recall-exact,
+    # hashed or lexicographic).
     grams = (
-        gram_table(spread(df), text_col, id_col, n)
+        gram_hash_table(spread(df), text_col, id_col, n)
+        .select("id", F.col("ghs").alias("grams"))
         .withColumn("n_grams", F.size("grams"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -319,11 +325,18 @@ def minhash_lsh_pairs(
     # across independent join branches — without the persist, word_ngrams
     # recomputes ~5× per query.  MEMORY_AND_DISK: spills, never OOMs, and at
     # corpus scale this is exactly the "write grams to a temp table" pattern.
-    grams = gram_table(spread(df), text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # gram sets as 64-bit hashes: the signature kernel consumes hashes
+    # anyway (it used to re-hash string grams JVM-side first), and the
+    # verify join's exact Jaccard over long arrays is value-identical
+    grams = (
+        gram_hash_table(spread(df), text_col, id_col, n)
+        .select("id", F.col("ghs").alias("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     keys_udf = minhash_band_keys_udf(num_hashes, bands)
-    banded = grams.select(
-        "id", F.posexplode(keys_udf(F.transform("grams", lambda g: F.xxhash64(g))))
-    ).toDF("id", "band", "bkey")
+    banded = grams.select("id", F.posexplode(keys_udf(F.col("grams")))).toDF(
+        "id", "band", "bkey"
+    )
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
         x.join(
