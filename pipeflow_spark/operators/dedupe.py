@@ -361,21 +361,32 @@ def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens — vectorized numpy inside an
     Arrow batch (the designated slow-path mechanism; no per-row Python at the
     Spark layer).  Token hash: first 8 bytes of md5 (stable across platforms,
-    unlike Python's builtin ``hash``)."""
+    unlike Python's builtin ``hash``, and reproducible in the DuckDB oracle —
+    which is why this stays md5 rather than a faster hash).  The md5 calls
+    dominate the kernel, so unique-token hashes are memoized per Arrow batch:
+    natural-language batches repeat most tokens thousands of times, making
+    the cache hit rate ≈ the corpus' type/token ratio."""
     import hashlib
 
+    cache: dict[str, int] = {}
+
+    def tok_hash(tok: str) -> int:
+        v = cache.get(tok)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            cache[tok] = v
+        return v
+
     out = np.zeros(len(texts), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
     for i, t in enumerate(texts):
         toks = ("" if t is None else str(t)).lower().split()
         if not toks:
             continue
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") for tok in set(toks)),
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        hs = np.fromiter((tok_hash(tok) for tok in set(toks)), dtype=np.uint64)
+        bits = ((hs[:, None] >> shifts) & 1).astype(np.int32)
         acc = (2 * bits - 1).sum(axis=0)
-        out[i] = np.int64(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64).view(np.int64))
+        out[i] = np.int64(((acc > 0).astype(np.uint64) << shifts).sum().astype(np.uint64).view(np.int64))
     return pd.Series(out)
 
 
