@@ -4615,6 +4615,71 @@ def stream_decontaminate_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "stream_validate_dlq_oracle",
+    """
+    WITH judged AS (
+      SELECT doc_id,
+             (text IS NOT NULL AND trim(text) != '') AS r_req,
+             (lang IS NULL OR lang IN ('en', 'de', 'fr')) AS r_lang,
+             (n_chars IS NULL OR (try_cast(n_chars AS DOUBLE) IS NOT NULL
+                                  AND try_cast(n_chars AS DOUBLE) BETWEEN 100 AND 520)) AS r_range
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN r_req AND r_lang AND r_range THEN 'ok' ELSE 'quarantined' END AS status,
+           concat_ws('; ',
+             CASE WHEN NOT r_req THEN 'text is required' END,
+             CASE WHEN NOT r_lang THEN 'lang not in allowed set' END,
+             CASE WHEN NOT r_range THEN 'n_chars out of range [100, 520]' END) AS reason
+    FROM judged ORDER BY doc_id
+    """,
+)
+def stream_validate_dlq_oracle(spark, sf_dir):
+    """The reference's Validate stage as a streaming dead-letter queue,
+    batch-equality proven: documents replayed as a file stream through ONE
+    query whose foreachBatch splits each micro-batch on the rule DSL — valid
+    rows to the main exactly-once sink, failures (with their failed-rule
+    messages) to the quarantine sink under the same batch id.  The union of
+    both committed sinks must equal the batch CASE-logic twin row-for-row:
+    nothing dropped, nothing duplicated, every quarantined row explains
+    itself (streaming/exactly_once.py:QuarantiningSink)."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+    from .streaming.exactly_once import ExactlyOnceSink
+    from .validation import Validator
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_dlq_")
+    stream = _documents_stream_source(spark, sf_dir, work).filter(
+        F.col("doc_id") < 4_000_000_000
+    )
+    v = (
+        Validator()
+        .column("text").required()
+        .and_.column("lang").isin("en", "de", "fr")
+        .and_.column("n_chars").range(100, 520)
+        .and_
+    )
+    main = ExactlyOnceSink(f"{work}/main")
+    dlq = ExactlyOnceSink(f"{work}/dlq")
+    q = StreamingPipeline(stream).start_validated(main, dlq, v, f"{work}/ckpt")
+    q.awaitTermination()
+    ok = main.read_committed(spark).select(
+        "doc_id", F.lit("ok").alias("status"), F.lit("").alias("reason")
+    )
+    bad = dlq.read_committed(spark).select(
+        "doc_id",
+        F.lit("quarantined").alias("status"),
+        F.array_join("_errors", "; ").alias("reason"),
+    )
+    out = ok.unionByName(bad).orderBy("doc_id")
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _stream_curation_oracle_sql() -> str:
     """Batch twin of the streaming curation chain, built from the SAME rule
     tables the Spark side uses (text.PII_RULES / _QUALITY_SQL /
@@ -4840,6 +4905,7 @@ _ORDER = [
     "contamination_audit",
     "stream_decontaminate_oracle",
     "pattern_funnel_events",
+    "stream_validate_dlq_oracle",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

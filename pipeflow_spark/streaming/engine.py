@@ -493,6 +493,34 @@ class StreamingPipeline:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def start_validated(
+        self,
+        main: ExactlyOnceSink,
+        dlq: ExactlyOnceSink,
+        validator,
+        checkpoint_dir: str,
+        output_mode: str = "append",
+        available_now: bool = True,
+        query_name: str = "pipeflow_stream_validated",
+    ) -> StreamingQuery:
+        """The reference's ``Validate`` stage on a stream, production form:
+        one query, one upstream plan, and a per-batch split into the main
+        exactly-once sink (valid rows) and a dead-letter quarantine sink
+        (failed rows + their failed-rule messages) under the same batch id —
+        see :class:`..streaming.exactly_once.QuarantiningSink`."""
+        from .exactly_once import QuarantiningSink
+
+        sink = QuarantiningSink(main, dlq, validator)
+        writer = (
+            self._df.writeStream.outputMode(output_mode)
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def start_upsert(
         self,
         table_path: str,

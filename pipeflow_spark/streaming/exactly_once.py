@@ -173,3 +173,35 @@ class ExactlyOnceSink:
                 with open(p) as f:
                     out.append(json.load(f))
         return out
+
+
+class QuarantiningSink:
+    """``foreachBatch`` hook splitting every micro-batch on a
+    :class:`..validation.Validator`: valid rows → the main
+    :class:`ExactlyOnceSink`, invalid rows (plus an ``_errors``
+    failed-rule-message array) → a quarantine sink — the dead-letter-queue
+    form of the reference's ``Validate`` SKIP/LOG strategies
+    (``DataValidator.cs:48-120``): nothing is silently dropped, nothing
+    poisons the main output, and every quarantined row carries WHY.
+
+    Exactly-once holds for each side independently (each sink keeps its own
+    ledger under the SAME batch_id): a crash between the two commits replays
+    the batch — the committed side no-ops, the other completes.  The batch is
+    persisted so the upstream micro-batch plan runs once, not once per side;
+    the validity predicate is a pure Column expression, so both filters are
+    JVM map stages over the cached batch."""
+
+    def __init__(self, main: "ExactlyOnceSink", dlq: "ExactlyOnceSink", validator):
+        self.main, self.dlq, self.validator = main, dlq, validator
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        v = F.coalesce(self.validator.valid_expr(), F.lit(False))
+        batch_df.persist()
+        try:
+            self.main(batch_df.filter(v), batch_id)
+            self.dlq(
+                batch_df.filter(~v).withColumn("_errors", self.validator.errors_expr()),
+                batch_id,
+            )
+        finally:
+            batch_df.unpersist()

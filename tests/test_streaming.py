@@ -575,6 +575,46 @@ def _batch_oracle(spark, pdf):
     }
 
 
+def test_quarantine_dlq_split_survives_mid_split_crash(spark, tmp_path):
+    """QuarantiningSink: a crash AFTER the main sink committed a batch but
+    BEFORE its quarantine twin did must heal on resume — the replayed batch
+    no-ops on main and completes dlq, so the union is exactly the input with
+    no dupes and every quarantined row carries its failed-rule messages."""
+    from pipeflow_spark.streaming import ExactlyOnceSink, StreamingPipeline
+    from pipeflow_spark.validation import Validator
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(i, f"doc {i} text", 10 * i) for i in range(20)]  # val 0..190
+    for part in range(2):  # two files -> two micro-batches
+        pd.DataFrame(rows[part * 10 : part * 10 + 10], columns=["id", "text", "val"]).to_parquet(
+            src / f"part-{part}.parquet", index=False
+        )
+
+    v = Validator().column("val").range(0, 95).and_  # ids 10.. quarantined
+    stream = (
+        spark.readStream.schema("id bigint, text string, val bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    main = ExactlyOnceSink(str(tmp_path / "main"))
+    dlq = ExactlyOnceSink(str(tmp_path / "dlq"), fail_after_write_batch_id=1)
+    q = StreamingPipeline(stream).start_validated(main, dlq, v, str(tmp_path / "ckpt"))
+    with pytest.raises(Exception, match="injected failure"):
+        q.awaitTermination()
+    assert 1 in main.committed_batches() and 1 not in dlq.committed_batches()
+
+    main2, dlq2 = ExactlyOnceSink(str(tmp_path / "main")), ExactlyOnceSink(str(tmp_path / "dlq"))
+    q2 = StreamingPipeline(stream).start_validated(main2, dlq2, v, str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+
+    ok = {r.id for r in main2.read_committed(spark).collect()}
+    bad = {r.id: list(r._errors) for r in dlq2.read_committed(spark).collect()}
+    assert ok == set(range(10))  # val 0..90 pass range(0, 95)
+    assert set(bad) == set(range(10, 20)) and len(ok) + len(bad) == 20
+    assert all(errs == ["val out of range [0, 95]"] for errs in bad.values())
+
+
 def test_exactly_once_kill_resume(spark, clean_dir, tmp_path):
     """Crash injected between sink write and ledger commit; restart from
     checkpoint must reproduce the batch oracle exactly — no dupes, no holes."""
