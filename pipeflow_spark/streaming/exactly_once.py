@@ -152,14 +152,96 @@ class ExactlyOnceSink:
             if f.endswith(".parquet")
         ]
 
+    # -- data compaction ------------------------------------------------------
+    _COMPACT_THROUGH = "_compacted_through"
+
+    @property
+    def compact_dir(self) -> str:
+        return os.path.join(self.root, "compact")
+
+    def _compacted_through(self) -> int:
+        p = os.path.join(self.compact_dir, self._COMPACT_THROUGH)
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(f.read().strip())
+        return -1
+
+    def compact_data(self, spark, keep_last: int = 10) -> int:
+        """Fold the committed per-batch partition dirs (minus the newest
+        ``keep_last``) into ONE compacted segment — the data-side twin of
+        :meth:`compact_ledger`.  A micro-batch sink writes a directory per
+        trigger forever; at 10^12-turn scale that is millions of small
+        files, and small-file pressure (not row volume) becomes the read
+        bottleneck.  Lineage survives: ``_batch_id`` is a real column in
+        every row, so per-batch provenance is a filter, not a directory.
+
+        Crash-safe commit protocol (same shape as the snapshot tables):
+        write ``segment-<T>`` fully → atomically publish the
+        ``_compacted_through = T`` pointer → delete covered batch dirs.  A
+        crash before the publish leaves an orphan segment that is never
+        read; a crash after it leaves redundant batch dirs that
+        :meth:`read_committed` skips (it reads only batches > T) and the
+        next compaction removes.  Replay stays exactly-once: the LEDGER is
+        untouched, so a replayed compacted batch is still a committed no-op.
+        Only the contiguous committed prefix folds (a gap = an uncommitted
+        batch; folding past it would serve rows for a batch the ledger
+        disowns).  Returns the new compacted-through id (-1 if nothing to
+        do)."""
+        batches = self.committed_batches()
+        contiguous = -1
+        for b in batches:
+            if b == contiguous + 1:
+                contiguous = b
+            else:
+                break
+        target = contiguous - keep_last
+        prev = self._compacted_through()
+        if target <= prev:
+            return prev
+        os.makedirs(self.compact_dir, exist_ok=True)
+        sources = []
+        old_seg = os.path.join(self.compact_dir, f"segment-{prev}")
+        if prev >= 0 and os.path.isdir(old_seg):
+            sources.append(old_seg)
+        covered = [
+            os.path.join(self.data_dir, f"batch_id={b}")
+            for b in range(prev + 1, target + 1)
+            if os.path.isdir(os.path.join(self.data_dir, f"batch_id={b}"))
+        ]
+        sources += covered
+        seg_tmp = os.path.join(self.compact_dir, f".segment-{target}.{uuid.uuid4().hex}.tmp")
+        if sources:
+            spark.read.parquet(*sources).write.mode("overwrite").parquet(seg_tmp)
+        else:  # nothing but empty batches in range: an empty committed segment
+            os.makedirs(seg_tmp)
+            open(os.path.join(seg_tmp, "_SUCCESS"), "w").close()
+        new_seg = os.path.join(self.compact_dir, f"segment-{target}")
+        os.rename(seg_tmp, new_seg)
+        tmp = os.path.join(self.compact_dir, f".{self._COMPACT_THROUGH}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(target))
+        os.rename(tmp, os.path.join(self.compact_dir, self._COMPACT_THROUGH))  # publish
+        for d in covered:
+            shutil.rmtree(d, ignore_errors=True)
+        if prev >= 0 and os.path.isdir(old_seg):
+            shutil.rmtree(old_seg, ignore_errors=True)
+        return target
+
     # -- read side ------------------------------------------------------------
     def read_committed(self, spark) -> DataFrame:
         """Snapshot view over committed batches only (uncommitted partitions
-        are invisible — the Iceberg-snapshot semantics on plain parquet)."""
-        dirs = [
+        are invisible — the Iceberg-snapshot semantics on plain parquet).
+        Served from the compacted segment (batches ≤ compacted-through) plus
+        the live per-batch dirs above it."""
+        through = self._compacted_through()
+        dirs = []
+        seg = os.path.join(self.compact_dir, f"segment-{through}")
+        if through >= 0 and os.path.isdir(seg):
+            dirs.append(seg)
+        dirs += [
             os.path.join(self.data_dir, f"batch_id={b}")
             for b in self.committed_batches()
-            if os.path.exists(os.path.join(self.data_dir, f"batch_id={b}"))
+            if b > through and os.path.exists(os.path.join(self.data_dir, f"batch_id={b}"))
         ]
         if not dirs:
             raise ValueError("no committed batches")

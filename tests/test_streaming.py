@@ -575,6 +575,40 @@ def _batch_oracle(spark, pdf):
     }
 
 
+def test_sink_data_compaction_preserves_snapshot_and_replay(spark, tmp_path):
+    """compact_data folds old batch dirs into one segment: read_committed
+    is row-identical before/after (incl. _batch_id lineage), covered batch
+    dirs are gone, later batches + a second compaction keep working, and a
+    replay of a compacted batch is still an exactly-once no-op."""
+    from pipeflow_spark.streaming import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(str(tmp_path / "sink"))
+    mk = lambda lo: spark.range(lo, lo + 5).select(F.col("id"), F.lit("x").alias("t"))
+    for b in range(6):
+        sink(mk(b * 10), b)
+    before = {(r.id, r._batch_id) for r in sink.read_committed(spark).collect()}
+
+    through = sink.compact_data(spark, keep_last=2)
+    assert through == 3
+    after = {(r.id, r._batch_id) for r in sink.read_committed(spark).collect()}
+    assert after == before and len(after) == 30
+    import os
+
+    gone = [b for b in range(4) if os.path.isdir(str(tmp_path / "sink" / "data" / f"batch_id={b}"))]
+    assert gone == []
+
+    # replay of a compacted batch: ledger still says committed -> no-op
+    sink(mk(999), 2)
+    assert {(r.id, r._batch_id) for r in sink.read_committed(spark).collect()} == before
+
+    # keep writing, compact again: segment re-folds, still identical
+    for b in range(6, 9):
+        sink(mk(b * 10), b)
+    sink.compact_data(spark, keep_last=2)
+    final = {(r.id, r._batch_id) for r in sink.read_committed(spark).collect()}
+    assert len(final) == 45 and before <= final
+
+
 def test_quarantine_dlq_split_survives_mid_split_crash(spark, tmp_path):
     """QuarantiningSink: a crash AFTER the main sink committed a batch but
     BEFORE its quarantine twin did must heal on resume — the replayed batch
