@@ -1475,6 +1475,66 @@ def session_transcripts(spark, sf_dir):
 
 
 @register(
+    "dedup_conversations",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id < 300
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+      FROM flagged
+    ), t AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS transcript,
+             count(*) AS n_turns
+      FROM sess GROUP BY user_id, session_id
+    ), f AS (
+      SELECT user_id, session_id, n_turns,
+             md5(trim(regexp_replace(lower(transcript), '\\s+', ' ', 'g'))) AS fp
+      FROM t
+    )
+    SELECT user_id, session_id, n_turns,
+           row_number() OVER (PARTITION BY fp ORDER BY user_id, session_id) = 1 AS keep,
+           count(*) OVER (PARTITION BY fp) AS dup_group_size
+    FROM f ORDER BY user_id, session_id
+    """,
+)
+def dedup_conversations(spark, sf_dir):
+    """Conversation-level exact dedupe — the transcript twin of dedup_exact:
+    gap-sessionize the event stream, assemble each session's ordered turn
+    path, fingerprint the whole conversation (md5 of normalized transcript),
+    keep the first (user, session) per fingerprint.  Agent corpora are full
+    of replayed/templated conversations; turn-level dedupe can't see them.
+    Shuffles: sessionize's key shuffle (reused by the assembly groupBy, same
+    prefix) plus ONE uniform hash shuffle on the fingerprint for the
+    keep-first window — no pairwise comparison at any scale."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    s = sessionize.sessionize(ev, "user_id", "ts", gap_sec=1800, order_tiebreak=["event_id"])
+    t = (
+        s.groupBy("user_id", "session_id")
+        .agg(_ordered_path().alias("transcript"), F.count("*").alias("n_turns"))
+        .withColumn("fp", text.fingerprint(F.col("transcript")))
+    )
+    w = Window.partitionBy("fp")
+    return (
+        t.withColumn(
+            "keep",
+            F.row_number().over(w.orderBy("user_id", "session_id")) == 1,
+        )
+        .withColumn("dup_group_size", F.count("*").over(w))
+        .select("user_id", "session_id", "n_turns", "keep", "dup_group_size")
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
     "salted_agg_events",
     """
     SELECT event_type, count(*) AS n, round(sum(value), 4) AS total, round(avg(value), 4) AS mean
@@ -4906,6 +4966,7 @@ _ORDER = [
     "stream_decontaminate_oracle",
     "pattern_funnel_events",
     "stream_validate_dlq_oracle",
+    "dedup_conversations",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "
