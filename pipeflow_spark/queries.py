@@ -2745,6 +2745,60 @@ def embed_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(assigned, centroids, q, k=10, nprobe=_IVF_NPROBE)
 
 
+@register(
+    "stream_ivf_ingest_oracle",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT (vec_id // 31) + 1 AS list_id, v AS cv FROM e
+          WHERE vec_id % 31 = 0 AND vec_id < 496)
+    SELECT vec_id, list_id FROM (
+      SELECT e.vec_id, c.list_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY COALESCE({_COS.format(a="e.v", b="c.cv")}, -2.0) DESC, c.list_id) AS rk
+      FROM e CROSS JOIN c) t WHERE rk = 1
+    ORDER BY vec_id
+    """,
+)
+def stream_ivf_ingest_oracle(spark, sf_dir):
+    """Streaming IVF index ingest, batch-equality proven: embeddings
+    replayed as a file stream through the stateless max-cosine list
+    assignment (centroid matrix as plan literals — zero state, no
+    watermark, no shuffle) into the exactly-once sink; committed
+    (vec_id, list_id) must equal the batch cross-join argmax twin.  This is
+    the write path that keeps the IVF ANN index fresh at ingest
+    (streaming/engine.py:assign_ivf + operators/similarity.py:ivf_assign)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_ivf_")
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    _os.symlink(
+        _os.path.join(sf_dir, "embeddings.parquet"), _os.path.join(src, "part-00000.parquet")
+    )
+    stream = spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    sp = StreamingPipeline(stream).assign_ivf(centroids).select("vec_id", "list_id")
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .select("vec_id", "list_id")
+        .orderBy("vec_id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _BAND_POSTINGS = "\n      UNION ALL ".join(
     f"SELECT vec_id, v, {j} AS band, ({similarity.bucket_sql('v', 64, 4, offset=j * 4)}) AS bucket FROM e"
     for j in range(12)
@@ -4967,6 +5021,7 @@ _ORDER = [
     "pattern_funnel_events",
     "stream_validate_dlq_oracle",
     "dedup_conversations",
+    "stream_ivf_ingest_oracle",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

@@ -426,6 +426,20 @@ class StreamingPipeline:
         )
         return self._wrap(out)
 
+    def assign_ivf(
+        self, centroids, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> "StreamingPipeline":
+        """Streaming IVF index ingest: assign each arriving embedding to its
+        max-cosine inverted list (``operators.similarity.ivf_assign``) — the
+        write path that keeps the ANN index fresh as vectors stream in.
+        Pure Column algebra: the centroid matrix rides as plan literals, so
+        this is a stateless narrow map with ZERO state at any throughput;
+        pair it with a ``list_id``-partitioned sink so batch-side
+        ``ivf_topk`` probes prune partitions."""
+        from ..operators.similarity import ivf_assign
+
+        return self._wrap(ivf_assign(self._df, centroids, id_col=id_col, vec_col=vec_col))
+
     # -- arbitrary stateful CEP ---------------------------------------------------------------
     def stateful_per_key(
         self,
