@@ -256,6 +256,19 @@ class ExactlyOnceSink:
                     out.append(json.load(f))
         return out
 
+    def lineage(self, spark) -> DataFrame:
+        """The per-partition lineage ledger as a queryable DataFrame — one
+        row per committed output FILE: ``(batch_id, file, rows)``.  This is
+        the audit surface for "which batch wrote which partition, and how
+        many rows" (the Iceberg-manifest-entry analog), joinable against
+        ``read_committed()`` output on ``_batch_id``."""
+        rows = [
+            (m["batch_id"], p["file"], p["rows"])
+            for m in self.metrics()
+            for p in m["partitions"]
+        ]
+        return spark.createDataFrame(rows, "batch_id bigint, file string, rows bigint")
+
 
 class QuarantiningSink:
     """``foreachBatch`` hook splitting every micro-batch on a

@@ -609,6 +609,26 @@ def test_sink_data_compaction_preserves_snapshot_and_replay(spark, tmp_path):
     assert len(final) == 45 and before <= final
 
 
+def test_sink_lineage_df_traces_every_file_to_its_batch(spark, tmp_path):
+    """lineage() must expose one row per committed output file whose per-file
+    counts reconcile exactly with the committed snapshot, per batch."""
+    from pipeflow_spark.streaming import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(str(tmp_path / "sink"))
+    for b in range(3):
+        sink(spark.range(b * 10, b * 10 + 5).select("id"), b)
+    lin = sink.lineage(spark)
+    per_batch = {r.batch_id: r.total for r in lin.groupBy("batch_id").agg(
+        F.sum("rows").alias("total")).collect()}
+    got = {
+        r.batch_id: r.n
+        for r in sink.read_committed(spark).groupBy("_batch_id").count()
+        .withColumnRenamed("_batch_id", "batch_id").withColumnRenamed("count", "n").collect()
+    }
+    assert per_batch == got == {0: 5, 1: 5, 2: 5}
+    assert lin.filter(~F.col("file").endswith(".parquet")).count() == 0
+
+
 def test_quarantine_dlq_split_survives_mid_split_crash(spark, tmp_path):
     """QuarantiningSink: a crash AFTER the main sink committed a batch but
     BEFORE its quarantine twin did must heal on resume — the replayed batch
