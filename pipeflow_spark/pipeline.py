@@ -282,6 +282,87 @@ class Pipeline:
             o = F.broadcast(o)
         return self._wrap(self._df.join(o, on, how))
 
+    # -- curation bridges (fluent access to the training-data operators) ------
+    def redact_pii(self, column: str, out: str | None = None, audit: bool = False) -> "Pipeline":
+        """Fluent PII scrub: chained JVM ``regexp_replace`` over
+        ``operators.text.PII_RULES``; ``audit=True`` adds the per-rule match
+        counts (``n_email/n_ssn/n_phone/n_ip``).  Map-only — pipelines into
+        the scan at any scale."""
+        from .operators import text as _text
+
+        c = F.col(column)
+        df = self._df
+        if audit:  # count matches BEFORE the rewrite replaces the column
+            df = df.select("*", *_text.pii_counts(c))
+        return self._wrap(df.withColumn(out or column, _text.redact_pii(c)))
+
+    def quality_filter(self, column: str, min_score: float, out: str | None = None) -> "Pipeline":
+        """Fluent quality gate: keep rows whose
+        ``operators.text.quality_score`` ≥ ``min_score``; ``out`` keeps the
+        score as a column.  Pure Column algebra, map-only."""
+        from .operators import text as _text
+
+        q = _text.quality_score(F.col(column))
+        df = self._df.withColumn(out, q) if out else self._df
+        return self._wrap(df.filter((q if not out else F.col(out)) >= min_score))
+
+    def decontaminate(
+        self, eval_df: "Pipeline | DataFrame", text_col: str = "text",
+        id_col: str = "doc_id", n: int = 8,
+    ) -> "Pipeline":
+        """Fluent benchmark decontamination: drop every row sharing a word
+        ``n``-gram with the (small) eval corpus —
+        ``operators.decontaminate.decontaminate`` (broadcast eval gram
+        hashes, map-only corpus side, anti-join on the contaminated ids)."""
+        from .operators import decontaminate as _dec
+
+        ev = eval_df.df if isinstance(eval_df, Pipeline) else eval_df
+        return self._wrap(_dec.decontaminate(self._df, ev, text_col, id_col, n=n))
+
+    def dedupe_exact_text(self, text_col: str = "text", id_col: str = "doc_id") -> "Pipeline":
+        """Fluent exact content dedupe: keep the lowest-``id_col`` row per
+        normalized-text fingerprint (one uniform hash shuffle on the md5
+        fingerprint — never pairwise)."""
+        from .operators import text as _text
+
+        fp = _text.fingerprint(F.col(text_col))
+        w = Window.partitionBy(fp).orderBy(F.col(id_col))
+        return self._wrap(
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def dedupe_near(
+        self,
+        threshold: float = 0.8,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        method: str = "jaccard",
+        scores: "DataFrame | None" = None,
+    ) -> "Pipeline":
+        """Fluent near-dup dedupe: candidate pairs (``jaccard`` =
+        prefix-filtered inverted index; ``minhash`` = banded LSH, both
+        exact-verified) → connected components → keep one representative per
+        cluster (min id, or the highest-``scores`` member when a
+        ``(id_col, q)`` frame is given) → anti-join the drop-list.  Every
+        stage is bucketed/blocked — no all-pairs comparison at any scale."""
+        from .operators import dedupe as _dd
+
+        if method == "jaccard":
+            pairs = _dd.ngram_jaccard_pairs(self._df, text_col, id_col, threshold=threshold)
+        elif method == "minhash":
+            pairs = _dd.minhash_lsh_pairs(self._df, text_col, id_col, verify_threshold=threshold)
+        else:
+            raise ValueError(f"unknown dedupe method: {method!r}")
+        comps = _dd.connected_components(pairs)
+        keep = (
+            _dd.keep_best(comps, scores, id_col=id_col) if scores is not None
+            else _dd.keep_list(comps)
+        )
+        drops = keep.filter(~F.col("keep")).select(F.col("node").alias(id_col))
+        return self._wrap(self._df.join(drops, id_col, "left_anti"))
+
     # -- validation (reference: PipeFlow.cs:509-574) --------------------------
     def validate(self, validator: Validator, strategy: ValidationStrategy = ValidationStrategy.SKIP) -> "Pipeline":
         """``Validate(rules, strategy)`` — PipeFlow.cs:509-557.

@@ -115,3 +115,39 @@ def test_spread_file_scan_avoids_rdd(spark, sf_dir, monkeypatch):
     assert wide is df
     monkeypatch.undo()
     assert session.spread(df).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_fluent_curation_chain(spark):
+    """The reference-style fluent chain over the curation bridges:
+    quality gate -> PII redact (+audit) -> exact dedupe -> near dedupe ->
+    decontaminate, in ONE Pipeline expression."""
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    rows = [
+        (1, base + " alpha", "a@b.com"),                  # clean original
+        (2, base + " alpha", "x"),                        # exact dup of 1 (after redaction? no: different email col, text identical)
+        (3, base + " alpha beta", "x"),                   # near-dup of 1 (high jaccard)
+        (4, "zz " * 40, "x"),                             # low quality -> gated
+        (5, "completely different text about spark engines running fast pipelines with many words here", "x"),
+        (6, base + " leak marker phrase one two three four five six seven eight", "x"),  # contaminated
+    ]
+    docs = spark.createDataFrame(
+        [(i, t + " contact " + e, e) for i, t, e in rows], "doc_id bigint, text string, email string"
+    )
+    ev = spark.createDataFrame(
+        [(100, "leak marker phrase one two three four five six seven eight")],
+        "doc_id bigint, text string",
+    )
+    out = (
+        Pipeline(docs)
+        .quality_filter("text", 0.45, out="q")
+        .redact_pii("text", audit=True)
+        .dedupe_exact_text()
+        .dedupe_near(threshold=0.7, method="jaccard")
+        .decontaminate(ev, n=8)
+        .to_list()
+    )
+    ids = sorted(r.doc_id for r in out)
+    # 4 gated (quality, q=0.42 < 0.45), 2 exact-dup of 1, 3 near-dup of 1, 6 contaminated
+    assert ids == [1, 5]
+    r1 = next(r for r in out if r.doc_id == 1)
+    assert "<EMAIL>" in r1.text and r1.n_email >= 1 and r1.q > 0.45
