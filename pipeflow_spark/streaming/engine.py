@@ -669,3 +669,85 @@ def state_metrics(query: StreamingQuery) -> list[dict]:
                 }
             )
     return out
+
+
+def progress_metrics(query: StreamingQuery) -> list[dict]:
+    """Per-batch throughput/latency metrics from the progress history — the
+    pipeline-side complement of :func:`state_metrics`: one dict per
+    micro-batch with input/processing rates, trigger wall time, and the
+    per-phase breakdown (`addBatch` = plan execution, `commitOffsets` =
+    checkpoint commit).  ``rows_behind`` surfaces source backlog where the
+    source reports it (file/Kafka-style `latestOffset − endOffset`; None
+    otherwise).  This is the consumer-lag dashboard a 10^12-turn deployment
+    watches: processing rate durably below input rate ⇒ the stream is
+    falling behind its arrival rate and needs more executors or a wider
+    `maxFilesPerTrigger`."""
+    out = []
+    for p in query.recentProgress:
+        dur = p.get("durationMs") or {}
+        srcs = p.get("sources") or []
+        out.append(
+            {
+                "batch_id": p.get("batchId"),
+                "input_rows": p.get("numInputRows"),
+                "input_rows_per_sec": p.get("inputRowsPerSecond"),
+                "processed_rows_per_sec": p.get("processedRowsPerSecond"),
+                "trigger_ms": dur.get("triggerExecution"),
+                "add_batch_ms": dur.get("addBatch"),
+                "commit_offsets_ms": dur.get("commitOffsets"),
+                "get_batch_ms": dur.get("getBatch"),
+                "watermark": (p.get("eventTime") or {}).get("watermark"),
+                "n_sources": len(srcs),
+                "rows_behind": _rows_behind(srcs),
+            }
+        )
+    return out
+
+
+def _offset_scalar(raw):
+    """Extract a comparable integer from a source offset description.  Rate
+    and Kafka-style sources report plain ints (or per-partition int maps —
+    summed); the file source reports ``{"logOffset": N}``.  Returns None for
+    anything non-numeric (opaque JSON offsets can't be subtracted)."""
+    if isinstance(raw, bool):
+        return None
+    if isinstance(raw, int):
+        return raw
+    if isinstance(raw, str):
+        # pyspark stringifies offsets ("12", "None", "{'logOffset': 0}" —
+        # note the Python-repr single quotes, not JSON); Kafka emits real
+        # JSON ('{"topic":{"0":10}}').  Try both decoders.
+        import ast
+        import json
+
+        for decode in (json.loads, ast.literal_eval):
+            try:
+                parsed = decode(raw)
+            except (ValueError, TypeError, SyntaxError):
+                continue
+            if isinstance(parsed, str):  # '"opaque"' — not numeric
+                return None
+            return _offset_scalar(parsed)
+        return None
+    if isinstance(raw, dict):
+        if isinstance(raw.get("logOffset"), int):
+            return raw["logOffset"]
+        vals = [v for v in raw.values() for v in
+                ([_offset_scalar(v)] if not isinstance(v, dict)
+                 else [_offset_scalar(x) for x in v.values()])]
+        vals = [v for v in vals if v is not None]
+        return sum(vals) if vals else None
+    return None
+
+
+def _rows_behind(srcs) -> int | None:
+    """Backlog = sum over sources of ``latestOffset − endOffset`` where both
+    parse to integers; None when no source exposes comparable offsets."""
+    total, seen = 0, False
+    for s in srcs:
+        latest = _offset_scalar(s.get("latestOffset"))
+        end = _offset_scalar(s.get("endOffset"))
+        if latest is not None and end is not None:
+            total += max(0, latest - end)
+            seen = True
+    return total if seen else None

@@ -521,6 +521,80 @@ def test_state_metrics_surface(spark, clean_dir):
     assert max(r["rows_total"] for r in m if r["operator"] == "dedupeWithinWatermark") > 0
 
 
+def test_progress_metrics_surface(spark, clean_dir):
+    """progress_metrics must expose per-batch throughput/latency; the file
+    source reports latestOffset='None' so rows_behind is honestly None
+    there (no comparable offsets) — the backlog path is covered by the
+    rate-source test below and the shape test on _offset_scalar."""
+    from pipeflow_spark.streaming.engine import await_drained, progress_metrics
+
+    d, pdf = clean_dir
+    sp = (
+        StreamingPipeline.read_transcripts(spark, d, max_files_per_trigger=2)
+        .with_watermark("ts", "0 seconds")
+        .tumbling_agg("ts", "5 minutes", ["role"], F.count("*").alias("n"))
+    )
+    q = sp.start_memory("pm", output_mode="append")
+    await_drained(q, expected_input_rows=len(pdf) + 1)
+    m = progress_metrics(q)
+    q.stop()
+    assert m, "no progress metrics captured"
+    assert sum(r["input_rows"] for r in m) >= len(pdf)
+    for r in m:
+        assert r["batch_id"] is not None and r["n_sources"] == 1
+        assert r["trigger_ms"] is None or r["trigger_ms"] >= 0
+        assert r["rows_behind"] is None  # file source exposes no latestOffset
+
+
+def test_progress_metrics_rows_behind_rate_source(spark):
+    """The rate source reports integer latest/end offsets, so rows_behind
+    must come back as a non-negative int — the consumer-lag number."""
+    from pipeflow_spark.streaming.engine import progress_metrics
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .writeStream.format("memory")
+        .queryName("pm_rate")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            m = [r for r in progress_metrics(q) if r["input_rows"]]
+            if m:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert m, "rate source produced no non-empty batches in 60s"
+    assert all(isinstance(r["rows_behind"], int) and r["rows_behind"] >= 0 for r in m)
+
+
+def test_offset_scalar_parses_source_offset_shapes():
+    """_offset_scalar must handle the offset encodings real sources emit:
+    file ({'logOffset': N} as a Python-repr string), rate (plain int / str
+    int), Kafka-style per-topic-partition JSON maps (summed), pyspark's
+    literal 'None' string, and opaque payloads (None)."""
+    from pipeflow_spark.streaming.engine import _offset_scalar
+
+    assert _offset_scalar({"logOffset": 7}) == 7
+    assert _offset_scalar(12) == 12
+    assert _offset_scalar("12") == 12
+    assert _offset_scalar("{'logOffset': 0}") == 0  # Python repr, not JSON
+    assert _offset_scalar('{"logOffset": 3}') == 3
+    assert _offset_scalar({"topic": {"0": 10, "1": 5}}) == 15
+    assert _offset_scalar('{"t": {"0": 10, "1": 5}}') == 15
+    assert _offset_scalar("None") is None
+    assert _offset_scalar("not-json") is None
+    assert _offset_scalar('"opaque"') is None
+    assert _offset_scalar(True) is None
+    assert _offset_scalar(None) is None
+
+
 def test_stateful_per_key_running_count(spark, clean_dir):
     d, pdf = clean_dir
 
