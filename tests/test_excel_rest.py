@@ -219,6 +219,8 @@ class _ApiHandler(BaseHTTPRequestHandler):
             self._reply({"data": rows})
         elif u.path == "/flat":
             self._reply(self.ITEMS[:2])
+        elif u.path == "/echo":
+            self._reply([{"x_custom": self.headers.get("X-Custom", "")}])
         elif u.path == "/flaky":
             self.server.flaky_hits += 1
             if self.server.flaky_hits <= 2:
@@ -233,7 +235,10 @@ class _ApiHandler(BaseHTTPRequestHandler):
         payload = json.loads(self.rfile.read(n))
         with self.server.lock:
             self.server.posts.append(payload)
+            self.server.methods.append(self.command)
         self._reply({"ok": True})
+
+    do_PUT = do_POST
 
 
 @pytest.fixture(scope="module")
@@ -241,6 +246,7 @@ def api_server():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _ApiHandler)
     srv.flaky_hits = 0
     srv.posts = []
+    srv.methods = []
     srv.lock = threading.Lock()
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -310,3 +316,66 @@ def test_write_api_batched_from_partitions(spark, api_server):
     write_api(df.limit(2), f"{base}/sink", batch_size=1)
     assert all(isinstance(p, dict) for p in srv.posts)
     assert sorted(p["v"] for p in srv.posts) == [0, 1]
+
+
+# -- ApiTests.cs parity ports -------------------------------------------------
+# PipeFlow.Tests/ApiTests.cs: the builder-surface tests.  Our API is
+# keyword-based rather than fluent, so each WithX setter maps to a kwarg;
+# the parity claim is behavioral — each configured option must reach the
+# wire, and the ctor null checks must throw.
+
+
+def test_api_custom_header_reaches_wire(api_server):
+    """ApiTests.cs:29-35 WithHeader / :127-136 chained config: a custom
+    header must be sent on reads (verified by a live echo endpoint)."""
+    base, _ = api_server
+    rows = fetch_api_rows(f"{base}/echo", headers={"X-Custom": "Value"})
+    assert rows == [{"x_custom": "Value"}]
+
+
+def test_api_writer_method_put(spark, api_server):
+    """ApiTests.cs:71-86 WithMethod(HttpMethod.Put): the configured verb is
+    used for every request."""
+    base, srv = api_server
+    df = spark.createDataFrame([(1,), (2,)], "v int").coalesce(1)
+    with srv.lock:
+        srv.posts.clear()
+        srv.methods.clear()
+    write_api(df, f"{base}/sink", method="PUT", batch_size=10)
+    assert srv.methods == ["PUT"]
+    assert sorted(r["v"] for p in srv.posts for r in p) == [1, 2]
+
+
+def test_api_writer_chained_configuration(spark, api_server):
+    """ApiTests.cs:138-149 ApiWriter_ChainedConfiguration: auth + header +
+    method + batch size + bulk endpoint all combine on one call."""
+    base, srv = api_server
+    df = spark.createDataFrame([(i,) for i in range(5)], "v int").coalesce(1)
+    with srv.lock:
+        srv.posts.clear()
+        srv.methods.clear()
+    write_api(
+        df, f"{base}/sink", method="POST", batch_size=100, bulk=True,
+        auth_token="api-key", headers={"X-Custom": "w"},
+    )
+    # bulk=True → exactly one request per partition with all 5 rows
+    assert srv.methods == ["POST"] and len(srv.posts) == 1
+    assert sorted(r["v"] for r in srv.posts[0]) == list(range(5))
+
+
+@pytest.mark.parametrize("bad", [None, ""])
+def test_api_reader_null_url_throws(bad):
+    """ApiTests.cs:14-17 / :56-59 ctor null checks (reader and writer share
+    the URL validation in fetch_with_retry)."""
+    from pipeflow_spark.rest import fetch_with_retry
+
+    with pytest.raises(ValueError):
+        fetch_with_retry(bad, None, None, 1, 0.01)
+
+
+def test_api_reader_invalid_url_raises_after_retries():
+    """ApiTests.cs:151-160 ApiReader_InvalidUrl_ThrowsException: a
+    non-resolvable URL exhausts retries and raises (transport errors raise;
+    HTTP non-success returns default — CloudTests parity pins that half)."""
+    with pytest.raises(Exception):
+        fetch_api_rows("http://127.0.0.1:1/nope", max_retries=1, retry_delay=0.01)
