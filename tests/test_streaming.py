@@ -10,6 +10,8 @@ comparisons.
 """
 
 import datetime as dt
+import json
+import os
 
 import pandas as pd
 import pytest
@@ -774,6 +776,29 @@ def test_exactly_once_kill_resume(spark, clean_dir, tmp_path):
         assert sum(p["rows"] for p in m["partitions"]) == m["rows"]
         assert all(p["file"].endswith(".parquet") for p in m["partitions"])
     assert sum(m["rows"] for m in sink2.metrics()) == out.count()
+
+
+def test_resume_across_parallelism():
+    """Cluster-resize rehearsal: crash the exactly-once stream under
+    local[8]/8 shuffle partitions, resume the SAME checkpoint under
+    local[32].  Must keep the checkpoint-pinned state partitioning (8 dirs
+    under state/0 before and after), replay the crashed batch idempotently,
+    and finish byte-equal to the one-shot batch oracle.  Runs in separate
+    JVMs via tools/resume_across_parallelism.py (parallelism is fixed at
+    session creation — same reason bench_scaling uses subprocesses)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "tools", "resume_across_parallelism.py")],
+        capture_output=True, text=True, timeout=580,
+    )
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+    assert proc.returncode == 0 and lines, proc.stdout[-2000:] + proc.stderr[-2000:]
+    summary = json.loads(lines[-1])
+    assert summary["ok"], summary["checks"]
+    assert summary["state_partitions"] == {"after_crash": 8, "after_resume": 8}
+    assert summary["phase2"]["default_parallelism"] == 32
 
 
 def test_exactly_once_replay_committed_is_noop(spark, clean_dir, tmp_path):
