@@ -7,7 +7,7 @@ exactly-once idempotent sink resumable from checkpoint.
 """
 
 from .engine import StreamingPipeline, TRANSCRIPT_SCHEMA  # noqa: F401
-from .exactly_once import ExactlyOnceSink, QuarantiningSink  # noqa: F401
+from .exactly_once import ExactlyOnceSink, FanoutSink, QuarantiningSink  # noqa: F401
 from .state_reader import (  # noqa: F401
     read_state,
     read_state_changes,

@@ -270,6 +270,131 @@ class ExactlyOnceSink:
         return spark.createDataFrame(rows, "batch_id bigint, file string, rows bigint")
 
 
+class FanoutSink:
+    """``foreachBatch`` hook fanning one micro-batch into N derived tables
+    under a SINGLE atomic commit — the multi-table-transaction analog
+    (Iceberg's single-commit WAP across tables; reference analog: the
+    transaction wrapping PipeFlow's upsert batches,
+    ``PostgreSQL/PostgreSqlWriter.cs:183-216``, generalized to many tables).
+
+    The real-world shape: a curated-corpus table plus its search index plus a
+    metrics rollup must move in lockstep — an index row pointing at a corpus
+    row that isn't visible (or vice versa) is corruption, and the
+    per-side-ledger :class:`QuarantiningSink` protocol explicitly allows that
+    window during replay.  Here there is ONE ledger for the whole group::
+
+        root/
+          <table>/data/batch_id=N/*.parquet   (per-table output partitions)
+          <table>/_metrics/N.json
+          _ledger/N                           (ONE marker for ALL tables)
+
+    Commit order: write every table's partition → write every table's
+    metrics → one atomic marker rename.  A crash anywhere before the marker
+    leaves batch N invisible in EVERY table (readers consult the shared
+    ledger); the replay deterministically rewrites all tables' ``batch_id=N``
+    partitions and commits once.  Visibility is therefore all-or-nothing per
+    batch, across tables.
+
+    ``outputs`` maps table name → pure transform (``DataFrame → DataFrame``)
+    applied to the micro-batch; the batch is persisted so the upstream plan
+    executes once, with each transform a plan over the cached batch.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        outputs: dict[str, "object"],
+        fail_after_table: str | None = None,
+        fail_at_batch: int = 1,
+    ):
+        if not outputs:
+            raise ValueError("FanoutSink needs at least one output table")
+        self.root = root
+        self.outputs = dict(outputs)
+        self.ledger_dir = os.path.join(root, "_ledger")
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        for name in self.outputs:
+            os.makedirs(os.path.join(root, name, "data"), exist_ok=True)
+            os.makedirs(os.path.join(root, name, "_metrics"), exist_ok=True)
+        # fault injection: crash after this table's data write for batch
+        # ``fail_at_batch``, before the group commit
+        self.fail_after_table = fail_after_table
+        self.fail_at_batch = fail_at_batch
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(os.path.join(self.ledger_dir, str(batch_id)))
+
+    def committed_batches(self) -> list[int]:
+        return sorted(
+            int(f) for f in os.listdir(self.ledger_dir) if not f.startswith((".", "_"))
+        )
+
+    def _part_dir(self, name: str, batch_id: int) -> str:
+        return os.path.join(self.root, name, "data", f"batch_id={batch_id}")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replay of a committed batch → exactly-once no-op
+        batch_df.persist()
+        try:
+            per_table: dict[str, list[dict]] = {}
+            for name, fn in self.outputs.items():
+                part_dir = self._part_dir(name, batch_id)
+                if os.path.exists(part_dir):
+                    shutil.rmtree(part_dir)  # partial write from a crashed attempt
+                out = fn(batch_df).withColumn("_batch_id", F.lit(batch_id))
+                out.write.mode("overwrite").parquet(part_dir)
+                per_table[name] = ExactlyOnceSink._footer_counts(part_dir)
+                if self.fail_after_table == name and batch_id >= self.fail_at_batch:
+                    self.fail_after_table = None
+                    raise RuntimeError(
+                        f"injected failure after table {name!r} of batch {batch_id}"
+                    )
+            for name, files in per_table.items():
+                with open(
+                    os.path.join(self.root, name, "_metrics", f"{batch_id}.json"), "w"
+                ) as f:
+                    json.dump(
+                        {
+                            "batch_id": batch_id,
+                            "table": name,
+                            "rows": sum(p["rows"] for p in files),
+                            "partitions": files,
+                        },
+                        f,
+                    )
+            # the ONE atomic commit for the whole table group
+            tmp = os.path.join(self.ledger_dir, f".{batch_id}.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                f.write("committed")
+            os.rename(tmp, os.path.join(self.ledger_dir, str(batch_id)))
+        finally:
+            batch_df.unpersist()
+
+    def read_committed(self, spark, name: str) -> DataFrame:
+        """Snapshot view of one table over group-committed batches only."""
+        if name not in self.outputs:
+            raise KeyError(f"unknown fanout table {name!r}")
+        dirs = [
+            self._part_dir(name, b)
+            for b in self.committed_batches()
+            if os.path.exists(self._part_dir(name, b))
+        ]
+        if not dirs:
+            raise ValueError(f"no committed batches for table {name!r}")
+        return spark.read.parquet(*dirs)
+
+    def metrics(self, name: str) -> list[dict]:
+        out = []
+        mdir = os.path.join(self.root, name, "_metrics")
+        for b in self.committed_batches():
+            p = os.path.join(mdir, f"{b}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    out.append(json.load(f))
+        return out
+
+
 class QuarantiningSink:
     """``foreachBatch`` hook splitting every micro-batch on a
     :class:`..validation.Validator`: valid rows → the main

@@ -778,6 +778,64 @@ def test_exactly_once_kill_resume(spark, clean_dir, tmp_path):
     assert sum(m["rows"] for m in sink2.metrics()) == out.count()
 
 
+def test_fanout_sink_atomic_across_tables(spark, clean_dir, tmp_path):
+    """FanoutSink: one micro-batch → N derived tables under ONE commit.
+    A crash AFTER table 'turns' is written but BEFORE the group commit must
+    leave the batch invisible in BOTH tables (the per-side-ledger
+    QuarantiningSink explicitly allows a half-visible window; the fanout
+    ledger must not), and the replay must complete both."""
+    from pipeflow_spark.streaming.exactly_once import FanoutSink
+
+    d, pdf = clean_dir
+    root, ckpt = str(tmp_path / "fan"), str(tmp_path / "ckpt")
+    outputs = {
+        "turns": lambda b: b.filter(F.col("conv_id") != SENTINEL_CONV),
+        "role_counts": lambda b: (
+            b.filter(F.col("conv_id") != SENTINEL_CONV)
+            .groupBy("role").agg(F.count("*").alias("n"))
+        ),
+    }
+
+    def _stream(sink):
+        return StreamingPipeline.read_transcripts(
+            spark, d, max_files_per_trigger=2
+        ).start_exactly_once(sink, ckpt, output_mode="append")
+
+    sink = FanoutSink(root, outputs, fail_after_table="turns")
+    q = _stream(sink)
+    with pytest.raises(Exception, match="injected failure"):
+        q.awaitTermination()
+
+    crashed = [b for b in range(10) if os.path.isdir(f"{root}/turns/data/batch_id={b}")
+               and b not in sink.committed_batches()]
+    assert crashed, "crash left no orphan partition — injection did not fire"
+    # atomicity: the orphan 'turns' partition exists on disk but is invisible
+    # in BOTH tables because the single group ledger never committed it
+    for name in outputs:
+        vis = {r._batch_id for r in sink.read_committed(spark, name).collect()}
+        assert not vis & set(crashed)
+
+    # replay from the same checkpoint completes both tables
+    sink2 = FanoutSink(root, outputs)
+    q2 = _stream(sink2)
+    q2.awaitTermination()
+    turns = sink2.read_committed(spark, "turns")
+    assert turns.count() == len(pdf)
+    got_roles = {
+        (r.role, r.total)
+        for r in sink2.read_committed(spark, "role_counts")
+        .groupBy("role").agg(F.sum("n").alias("total")).collect()
+    }
+    assert got_roles == {(role, n) for role, n in pdf.role.value_counts().items()}
+    # one shared ledger: per-table metrics exist for every committed batch
+    for name in outputs:
+        assert {m["batch_id"] for m in sink2.metrics(name)} == set(sink2.committed_batches())
+    # replay of a committed batch is a group no-op
+    before = turns.count()
+    sink2(spark.createDataFrame(pdf).limit(3), sink2.committed_batches()[0])
+    assert sink2.read_committed(spark, "turns").count() == before
+
+
 def test_resume_across_parallelism():
     """Cluster-resize rehearsal: crash the exactly-once stream under
     local[8]/8 shuffle partitions, resume the SAME checkpoint under
