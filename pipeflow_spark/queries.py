@@ -2746,6 +2746,40 @@ def embed_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "embed_quantized_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+    q8 AS (SELECT vec_id, v,
+                  CASE WHEN m > 0
+                       THEN list_transform(v, x -> trunc(x * 127.0 / m))
+                       ELSE list_transform(v, x -> 0.0) END AS qv
+           FROM s),
+    qq AS (SELECT qv, v AS fv FROM q8 WHERE vec_id = 0),
+    cand AS (SELECT b.vec_id, b.v
+             FROM q8 b, qq
+             ORDER BY list_dot_product(b.qv, qq.qv) DESC, b.vec_id LIMIT 64)
+    SELECT cand.vec_id, {_COS.format(a="cand.v", b="qq.fv")} AS sim
+    FROM cand, qq
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def embed_quantized_topk(spark, sf_dir):
+    """Int8-quantized two-stage ANN: integer-dot candidate generation over
+    the tinyint vectors (the 4-8x-smaller scan path at 100 TB), exact float
+    cosine rescoring of the 64 finalists only.  The DuckDB oracle is an
+    algorithm twin: same trunc-based symmetric quantization (Spark int cast
+    and DuckDB trunc() both truncate toward zero; DuckDB's ::INT would
+    round), same integer candidate ranking with id tiebreak, same
+    rounded-cosine final ranking — value-exact across engines because every
+    intermediate is exact in float64 (|qdot| ≤ 127·127·64 ≪ 2^53)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    quantized = similarity.quantize_embeddings(emb)
+    return similarity.quantized_topk(quantized, q, k=10, rescore=64)
+
+
+@register(
     "stream_ivf_ingest_oracle",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5022,6 +5056,7 @@ _ORDER = [
     "stream_validate_dlq_oracle",
     "dedup_conversations",
     "stream_ivf_ingest_oracle",
+    "embed_quantized_topk",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "
