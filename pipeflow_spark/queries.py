@@ -4828,6 +4828,64 @@ def stream_validate_dlq_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "stream_fanout_atomic_oracle",
+    """
+    SELECT 'doc:' || doc_id AS key, lang, n_chars AS n
+    FROM documents
+    UNION ALL
+    SELECT 'lang' AS key, lang, count(*) AS n
+    FROM documents GROUP BY lang
+    ORDER BY key, lang
+    """,
+)
+def stream_fanout_atomic_oracle(spark, sf_dir):
+    """One stream, two tables, ONE commit per batch: documents replayed as a
+    file stream through a FanoutSink writing (a) the per-doc projection and
+    (b) a per-lang rollup under a single group ledger — the multi-table-
+    transaction pattern (corpus + index must flip visibility together;
+    crash-window atomicity pinned by
+    tests/test_streaming.py::test_fanout_sink_atomic_across_tables).  Both
+    committed tables must reconstruct the batch twin exactly: per-doc rows
+    row-for-row, and the per-batch partial rollups summing to the global
+    GROUP BY."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+    from .streaming.exactly_once import FanoutSink
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_fanout_")
+    stream = _documents_stream_source(spark, sf_dir, work)
+    real = F.col("doc_id") < 4_000_000_000  # exclude the heartbeat sentinel
+    sink = FanoutSink(
+        f"{work}/fan",
+        {
+            "docs": lambda b: b.filter(real).select("doc_id", "lang", "n_chars"),
+            "lang_counts": lambda b: b.filter(real).groupBy("lang").agg(
+                F.count("*").alias("n")
+            ),
+        },
+    )
+    q = StreamingPipeline(stream).start_exactly_once(sink, f"{work}/ckpt")
+    q.awaitTermination()
+    docs = sink.read_committed(spark, "docs").select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("key"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n"),
+    )
+    langs = (
+        sink.read_committed(spark, "lang_counts")
+        .groupBy("lang")
+        .agg(F.sum("n").alias("n"))
+        .select(F.lit("lang").alias("key"), "lang", "n")
+    )
+    out = docs.unionByName(langs).orderBy("key", "lang")
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _stream_curation_oracle_sql() -> str:
     """Batch twin of the streaming curation chain, built from the SAME rule
     tables the Spark side uses (text.PII_RULES / _QUALITY_SQL /
@@ -5057,6 +5115,7 @@ _ORDER = [
     "dedup_conversations",
     "stream_ivf_ingest_oracle",
     "embed_quantized_topk",
+    "stream_fanout_atomic_oracle",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "
