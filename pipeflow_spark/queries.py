@@ -2894,6 +2894,63 @@ def percentiles_by_type(spark, sf_dir):
 
 
 @register(
+    "reply_latency_profile",
+    """
+    WITH nxt AS (
+      SELECT event_type, ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS pts
+      FROM events)
+    SELECT hour(ts) AS hr,
+           count(*) AS n_converted,
+           round(quantile_cont(epoch_us(pts) - epoch_us(ts), 0.5) / 1e6, 4) AS p50_sec,
+           round(quantile_cont(epoch_us(pts) - epoch_us(ts), 0.9) / 1e6, 4) AS p90_sec,
+           round(quantile_cont(epoch_us(pts) - epoch_us(ts), 0.99) / 1e6, 4) AS p99_sec
+    FROM nxt
+    WHERE event_type = 'view' AND pts IS NOT NULL
+    GROUP BY hr ORDER BY hr
+    """,
+)
+def reply_latency_profile(spark, sf_dir):
+    """Time-to-next-matching-event latency percentiles — the transcripts
+    analytic "how long until the assistant's reply" expressed on the events
+    stand-in as view → next purchase per user, percentiled by hour of day.
+    The "next event of type Y" lookup is a conditional MIN over a forward
+    rows frame (one shuffle on user_id, no self-join); latency arithmetic is
+    pinned to exact integer microseconds (`unix_micros` ≡ DuckDB
+    `epoch_us`) so the interpolated exact percentiles agree bit-for-bit
+    across engines.  Scale shape: window + groupBy reuse the same hash
+    partitioning; the percentile here is the exact twin — a stream swaps in
+    percentile_approx."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    pts = F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w)
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast preserves
+    # wall values and unix_micros agrees exactly with DuckDB epoch_us
+    lat_us = (
+        F.unix_micros(F.col("pts").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ).cast("double")
+    return (
+        ev.withColumn("pts", pts)
+        .filter((F.col("event_type") == "view") & F.col("pts").isNotNull())
+        .groupBy(F.hour("ts").alias("hr"))
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.percentile(lat_us, F.lit(0.5)) / 1e6, 4).alias("p50_sec"),
+            F.round(F.percentile(lat_us, F.lit(0.9)) / 1e6, 4).alias("p90_sec"),
+            F.round(F.percentile(lat_us, F.lit(0.99)) / 1e6, 4).alias("p99_sec"),
+        )
+        .orderBy("hr")
+    )
+
+
+@register(
     "distinct_users_exact",
     """
     SELECT event_type, count(DISTINCT user_id) AS n_users
@@ -5116,6 +5173,7 @@ _ORDER = [
     "stream_ivf_ingest_oracle",
     "embed_quantized_topk",
     "stream_fanout_atomic_oracle",
+    "reply_latency_profile",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "
