@@ -383,12 +383,20 @@ def quantize_embeddings(
     Zero vectors quantize to all-zero (guarded division).
     """
     v = F.col(vec_col).cast("array<double>")
-    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # materialize the scale as a real column first: Catalyst does not
+    # common-subexpression-eliminate inside higher-order-function lambdas,
+    # so referencing the array_max expression inside the per-element lambda
+    # would recompute the O(d) max for every element (O(d^2) per row)
+    m = F.col("_qmax")
     q8 = F.transform(
         v,
         lambda x: F.when(m > 0, (x * 127.0 / m).cast("int")).otherwise(F.lit(0)),
     ).cast("array<tinyint>")
-    return df.withColumn("qvec", q8)
+    return (
+        df.withColumn("_qmax", F.array_max(F.transform(v, lambda x: F.abs(x))))
+        .withColumn("qvec", q8)
+        .drop("_qmax")
+    )
 
 
 def quantized_topk(

@@ -676,10 +676,13 @@ def progress_metrics(query: StreamingQuery) -> list[dict]:
     pipeline-side complement of :func:`state_metrics`: one dict per
     micro-batch with input/processing rates, trigger wall time, and the
     per-phase breakdown (`addBatch` = plan execution, `commitOffsets` =
-    checkpoint commit).  ``rows_behind`` surfaces source backlog where the
-    source reports it (file/Kafka-style `latestOffset − endOffset`; None
-    otherwise).  This is the consumer-lag dashboard a 10^12-turn deployment
-    watches: processing rate durably below input rate ⇒ the stream is
+    checkpoint commit).  ``offsets_behind`` surfaces source backlog as
+    `latestOffset − endOffset` in the source's NATIVE offset units — rows
+    for Kafka-style per-partition message offsets, *seconds* for the rate
+    source; None where the source publishes no comparable latest offset
+    (the file source stringifies ``latestOffset`` as ``'None'``).  This is
+    the consumer-lag dashboard a 10^12-turn deployment watches: a durably
+    positive backlog (or processing rate below input rate) ⇒ the stream is
     falling behind its arrival rate and needs more executors or a wider
     `maxFilesPerTrigger`."""
     out = []
@@ -698,7 +701,7 @@ def progress_metrics(query: StreamingQuery) -> list[dict]:
                 "get_batch_ms": dur.get("getBatch"),
                 "watermark": (p.get("eventTime") or {}).get("watermark"),
                 "n_sources": len(srcs),
-                "rows_behind": _rows_behind(srcs),
+                "offsets_behind": _offsets_behind(srcs),
             }
         )
     return out
@@ -732,17 +735,16 @@ def _offset_scalar(raw):
     if isinstance(raw, dict):
         if isinstance(raw.get("logOffset"), int):
             return raw["logOffset"]
-        vals = [v for v in raw.values() for v in
-                ([_offset_scalar(v)] if not isinstance(v, dict)
-                 else [_offset_scalar(x) for x in v.values()])]
-        vals = [v for v in vals if v is not None]
+        vals = [s for v in raw.values() if (s := _offset_scalar(v)) is not None]
         return sum(vals) if vals else None
     return None
 
 
-def _rows_behind(srcs) -> int | None:
+def _offsets_behind(srcs) -> int | None:
     """Backlog = sum over sources of ``latestOffset − endOffset`` where both
-    parse to integers; None when no source exposes comparable offsets."""
+    parse to integers — in each source's native offset units (messages for
+    Kafka, seconds for rate); None when no source exposes comparable
+    offsets."""
     total, seen = 0, False
     for s in srcs:
         latest = _offset_scalar(s.get("latestOffset"))

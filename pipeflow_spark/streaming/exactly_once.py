@@ -30,31 +30,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-class ExactlyOnceSink:
-    """Idempotent per-batch parquet committer.
+class BatchLedger:
+    """Commit-marker ledger shared by the exactly-once sinks: one marker
+    file per committed batch (write-temp + atomic rename) plus a
+    contiguous-prefix high-water fold so a forever-running stream never
+    degrades ``is_committed`` into a listdir over millions of entries.
+    Extracted so :class:`ExactlyOnceSink` and :class:`FanoutSink` share ONE
+    commit protocol (a group ledger is the same object, pointed at the
+    fanout root)."""
 
-    Layout::
-
-        root/
-          data/batch_id=N/*.parquet    (committed output partitions)
-          _ledger/N                    (commit markers, atomic rename)
-          _metrics/N.json              (per-batch metrics)
-    """
-
-    def __init__(self, root: str, fail_after_write_batch_id: int | None = None):
-        self.root = root
-        self.data_dir = os.path.join(root, "data")
-        self.ledger_dir = os.path.join(root, "_ledger")
-        self.metrics_dir = os.path.join(root, "_metrics")
-        for d in (self.data_dir, self.ledger_dir, self.metrics_dir):
-            os.makedirs(d, exist_ok=True)
-        # fault injection for tests: crash between data write and ledger commit
-        self.fail_after_write_batch_id = fail_after_write_batch_id
-
-    # -- commit protocol ----------------------------------------------------
     _HIGH_WATER = "_committed_through"
 
-    def _high_water_mark(self) -> int:
+    def __init__(self, ledger_dir: str):
+        self.ledger_dir = ledger_dir
+        os.makedirs(ledger_dir, exist_ok=True)
+
+    def high_water(self) -> int:
         p = os.path.join(self.ledger_dir, self._HIGH_WATER)
         if os.path.exists(p):
             with open(p) as f:
@@ -62,18 +53,25 @@ class ExactlyOnceSink:
         return -1
 
     def is_committed(self, batch_id: int) -> bool:
-        return batch_id <= self._high_water_mark() or os.path.exists(
+        return batch_id <= self.high_water() or os.path.exists(
             os.path.join(self.ledger_dir, str(batch_id))
         )
 
     def committed_batches(self) -> list[int]:
-        hw = self._high_water_mark()
+        hw = self.high_water()
         markers = {
             int(f) for f in os.listdir(self.ledger_dir) if not f.startswith((".", "_"))
         }
         return sorted(set(range(hw + 1)) | markers)
 
-    def compact_ledger(self, keep_last: int = 100) -> int:
+    def commit(self, batch_id: int) -> None:
+        """Atomic commit marker: write-temp + rename."""
+        tmp = os.path.join(self.ledger_dir, f".{batch_id}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write("committed")
+        os.rename(tmp, os.path.join(self.ledger_dir, str(batch_id)))
+
+    def compact(self, keep_last: int = 100) -> int:
         """Fold the contiguous committed prefix into ONE high-water marker
         and delete the per-batch files it covers (except the newest
         ``keep_last``).
@@ -95,8 +93,8 @@ class ExactlyOnceSink:
             else:
                 break
         new_hw = contiguous - keep_last
-        if new_hw <= self._high_water_mark():
-            return self._high_water_mark()
+        if new_hw <= self.high_water():
+            return self.high_water()
         tmp = os.path.join(self.ledger_dir, f".{self._HIGH_WATER}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(str(new_hw))
@@ -106,6 +104,43 @@ class ExactlyOnceSink:
             if os.path.exists(p):
                 os.remove(p)
         return new_hw
+
+
+class ExactlyOnceSink:
+    """Idempotent per-batch parquet committer.
+
+    Layout::
+
+        root/
+          data/batch_id=N/*.parquet    (committed output partitions)
+          _ledger/N                    (commit markers, atomic rename)
+          _metrics/N.json              (per-batch metrics)
+    """
+
+    def __init__(self, root: str, fail_after_write_batch_id: int | None = None):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self._ledger = BatchLedger(os.path.join(root, "_ledger"))
+        self.ledger_dir = self._ledger.ledger_dir
+        self.metrics_dir = os.path.join(root, "_metrics")
+        for d in (self.data_dir, self.metrics_dir):
+            os.makedirs(d, exist_ok=True)
+        # fault injection for tests: crash between data write and ledger commit
+        self.fail_after_write_batch_id = fail_after_write_batch_id
+
+    # -- commit protocol (delegated to the shared BatchLedger) ---------------
+    def _high_water_mark(self) -> int:
+        return self._ledger.high_water()
+
+    def is_committed(self, batch_id: int) -> bool:
+        return self._ledger.is_committed(batch_id)
+
+    def committed_batches(self) -> list[int]:
+        return self._ledger.committed_batches()
+
+    def compact_ledger(self, keep_last: int = 100) -> int:
+        """See :meth:`BatchLedger.compact`."""
+        return self._ledger.compact(keep_last)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         """The ``foreachBatch`` hook."""
@@ -134,11 +169,7 @@ class ExactlyOnceSink:
         with open(os.path.join(self.metrics_dir, f"{batch_id}.json"), "w") as f:
             json.dump({"batch_id": batch_id, "rows": n, "partitions": files}, f)
 
-        # atomic commit marker: write-temp + rename
-        tmp = os.path.join(self.ledger_dir, f".{batch_id}.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            f.write("committed")
-        os.rename(tmp, os.path.join(self.ledger_dir, str(batch_id)))
+        self._ledger.commit(batch_id)
 
     @staticmethod
     def _footer_counts(part_dir: str) -> list[dict]:
@@ -311,8 +342,8 @@ class FanoutSink:
             raise ValueError("FanoutSink needs at least one output table")
         self.root = root
         self.outputs = dict(outputs)
-        self.ledger_dir = os.path.join(root, "_ledger")
-        os.makedirs(self.ledger_dir, exist_ok=True)
+        self._ledger = BatchLedger(os.path.join(root, "_ledger"))
+        self.ledger_dir = self._ledger.ledger_dir
         for name in self.outputs:
             os.makedirs(os.path.join(root, name, "data"), exist_ok=True)
             os.makedirs(os.path.join(root, name, "_metrics"), exist_ok=True)
@@ -322,12 +353,15 @@ class FanoutSink:
         self.fail_at_batch = fail_at_batch
 
     def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(os.path.join(self.ledger_dir, str(batch_id)))
+        return self._ledger.is_committed(batch_id)
 
     def committed_batches(self) -> list[int]:
-        return sorted(
-            int(f) for f in os.listdir(self.ledger_dir) if not f.startswith((".", "_"))
-        )
+        return self._ledger.committed_batches()
+
+    def compact_ledger(self, keep_last: int = 100) -> int:
+        """Fold the group ledger's contiguous prefix — one call compacts the
+        commit history for ALL fanout tables (see :meth:`BatchLedger.compact`)."""
+        return self._ledger.compact(keep_last)
 
     def _part_dir(self, name: str, batch_id: int) -> str:
         return os.path.join(self.root, name, "data", f"batch_id={batch_id}")
@@ -364,10 +398,7 @@ class FanoutSink:
                         f,
                     )
             # the ONE atomic commit for the whole table group
-            tmp = os.path.join(self.ledger_dir, f".{batch_id}.{uuid.uuid4().hex}.tmp")
-            with open(tmp, "w") as f:
-                f.write("committed")
-            os.rename(tmp, os.path.join(self.ledger_dir, str(batch_id)))
+            self._ledger.commit(batch_id)
         finally:
             batch_df.unpersist()
 
@@ -385,6 +416,8 @@ class FanoutSink:
         return spark.read.parquet(*dirs)
 
     def metrics(self, name: str) -> list[dict]:
+        if name not in self.outputs:  # fail fast, same contract as read_committed
+            raise KeyError(f"unknown fanout table {name!r}")
         out = []
         mdir = os.path.join(self.root, name, "_metrics")
         for b in self.committed_batches():

@@ -525,7 +525,7 @@ def test_state_metrics_surface(spark, clean_dir):
 
 def test_progress_metrics_surface(spark, clean_dir):
     """progress_metrics must expose per-batch throughput/latency; the file
-    source reports latestOffset='None' so rows_behind is honestly None
+    source reports latestOffset='None' so offsets_behind is honestly None
     there (no comparable offsets) — the backlog path is covered by the
     rate-source test below and the shape test on _offset_scalar."""
     from pipeflow_spark.streaming.engine import await_drained, progress_metrics
@@ -545,12 +545,13 @@ def test_progress_metrics_surface(spark, clean_dir):
     for r in m:
         assert r["batch_id"] is not None and r["n_sources"] == 1
         assert r["trigger_ms"] is None or r["trigger_ms"] >= 0
-        assert r["rows_behind"] is None  # file source exposes no latestOffset
+        assert r["offsets_behind"] is None  # file source exposes no latestOffset
 
 
-def test_progress_metrics_rows_behind_rate_source(spark):
-    """The rate source reports integer latest/end offsets, so rows_behind
-    must come back as a non-negative int — the consumer-lag number."""
+def test_progress_metrics_offsets_behind_rate_source(spark):
+    """The rate source reports integer latest/end offsets, so offsets_behind
+    must come back as a non-negative int — in the source's native units
+    (seconds for rate; messages ≈ rows only for Kafka-style sources)."""
     from pipeflow_spark.streaming.engine import progress_metrics
 
     q = (
@@ -573,7 +574,7 @@ def test_progress_metrics_rows_behind_rate_source(spark):
     finally:
         q.stop()
     assert m, "rate source produced no non-empty batches in 60s"
-    assert all(isinstance(r["rows_behind"], int) and r["rows_behind"] >= 0 for r in m)
+    assert all(isinstance(r["offsets_behind"], int) and r["offsets_behind"] >= 0 for r in m)
 
 
 def test_offset_scalar_parses_source_offset_shapes():
@@ -830,6 +831,13 @@ def test_fanout_sink_atomic_across_tables(spark, clean_dir, tmp_path):
     # one shared ledger: per-table metrics exist for every committed batch
     for name in outputs:
         assert {m["batch_id"] for m in sink2.metrics(name)} == set(sink2.committed_batches())
+    with pytest.raises(KeyError):  # typo'd table name fails fast, not []
+        sink2.metrics("role_count")
+    # group-ledger compaction: one fold covers all tables, history unchanged
+    before_batches = sink2.committed_batches()
+    hw = sink2.compact_ledger(keep_last=1)
+    assert hw >= 0 and sink2.committed_batches() == before_batches
+    assert sink2.is_committed(before_batches[0])
     # replay of a committed batch is a group no-op
     before = turns.count()
     sink2(spark.createDataFrame(pdf).limit(3), sink2.committed_batches()[0])
@@ -847,9 +855,12 @@ def test_resume_across_parallelism():
     import subprocess
     import sys
 
+    # outer budget > 2 × the tool's per-child subprocess timeout (480 s), so
+    # a slow child surfaces as the tool's own diagnosable RuntimeError, not
+    # as TimeoutExpired killing the parent without its stdout tail
     proc = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..", "tools", "resume_across_parallelism.py")],
-        capture_output=True, text=True, timeout=580,
+        capture_output=True, text=True, timeout=1100,
     )
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
     assert proc.returncode == 0 and lines, proc.stdout[-2000:] + proc.stderr[-2000:]

@@ -100,7 +100,7 @@ def _run_child(env_extra: dict[str, str]) -> dict:
     env = {**os.environ, **env_extra}
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--child"],
-        env=env, capture_output=True, text=True, timeout=600,
+        env=env, capture_output=True, text=True, timeout=480,
     )
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
     if proc.returncode != 0 or not lines:
