@@ -870,6 +870,29 @@ def test_resume_across_parallelism():
     assert summary["phase2"]["default_parallelism"] == 32
 
 
+def test_repartition_state_changeover():
+    """State-repartitioning via bounded-replay changeover: run 1 (8 state
+    partitions) stops mid-corpus; the safe horizon is derived from its final
+    watermark; run 2 (fresh checkpoint, 32 state partitions) replays ONLY
+    the tail files; stitched output (run 1's closed windows + run 2's
+    fully-covered windows) must equal the full-corpus batch oracle, with
+    recompute-consistency on the overlap.  Separate JVMs via
+    tools/repartition_state_changeover.py."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "tools", "repartition_state_changeover.py")],
+        capture_output=True, text=True, timeout=1100,
+    )
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+    assert proc.returncode == 0 and lines, proc.stdout[-2000:] + proc.stderr[-2000:]
+    summary = json.loads(lines[-1])
+    assert summary["ok"], summary["checks"]
+    assert summary["replay_files"] < summary["total_files"]
+    assert summary["state_partitions"] == {"run1": 8, "run2": 32}
+
+
 def test_exactly_once_replay_committed_is_noop(spark, clean_dir, tmp_path):
     d, pdf = clean_dir
     root, ckpt = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
