@@ -46,6 +46,7 @@ HEADLINE = [
     "json_path_props",
     "embed_cosine_topk",
     "embed_ivf_topk",
+    "embed_quantized_topk",
     "decontaminate_ngram",
     "pack_sequences",
     "session_transcripts",

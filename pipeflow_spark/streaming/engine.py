@@ -46,6 +46,9 @@ class StreamingPipeline:
         if not df.isStreaming:
             raise ValueError("StreamingPipeline needs a streaming DataFrame")
         self._df = df
+        # per-micro-batch transforms applied inside foreachBatch (see
+        # refreshing_join) — NOT part of the streaming plan
+        self._batch_ops: list = []
 
     # -- sources ---------------------------------------------------------------
     @classmethod
@@ -101,7 +104,30 @@ class StreamingPipeline:
         return self._df
 
     def _wrap(self, df: DataFrame) -> "StreamingPipeline":
+        if self._batch_ops:
+            raise ValueError(
+                "refreshing_join is terminal-stage: a later streaming stage "
+                "would run BEFORE the per-batch join (which happens inside "
+                "foreachBatch, after the streaming plan) — chain "
+                "refreshing_join last, just before start_*"
+            )
         return StreamingPipeline(df)
+
+    def _batch_sink(self, sink):
+        """Compose pending per-batch ops (refreshing_join) in front of a
+        foreachBatch sink.  Ops run on the materialized micro-batch, so the
+        streaming plan stays unchanged; replay safety is unaffected because
+        ledgered sinks skip committed batch ids before any write."""
+        ops = list(self._batch_ops)
+        if not ops:
+            return sink
+
+        def _fn(batch_df: DataFrame, batch_id: int) -> None:
+            for op in ops:
+                batch_df = op(batch_df)
+            sink(batch_df, batch_id)
+
+        return _fn
 
     # -- stateless stages (vectorized, same semantics as batch Pipeline) --------
     def filter(self, cond: Column | str) -> "StreamingPipeline":
@@ -370,11 +396,61 @@ class StreamingPipeline:
         A dim read from slow storage should be ``.cache()``-ed by the caller
         (it is re-scanned per batch otherwise); dims too big to broadcast
         should pass ``broadcast=False`` and accept the per-batch shuffle.
+
+        CAVEAT — the static side is re-PLANNED per batch but its file
+        listing is NOT re-resolved: Spark pins the ``InMemoryFileIndex``
+        when the DataFrame is created, so files appended to a file-backed
+        dim mid-stream stay invisible (pinned by
+        ``test_enrich_static_file_index_pinned``).  A dim that must
+        pick up updates without a restart (dynamic blocklist, rotating
+        config) belongs in ``foreachBatch`` where it is re-READ per batch —
+        use :meth:`refreshing_join`.
         """
         if dim.isStreaming:
             raise ValueError("enrich_static: dimension side must be a batch DataFrame")
         right = F.broadcast(dim) if broadcast else dim
         return self._wrap(self._df.join(right, on, how))
+
+    def refreshing_join(
+        self,
+        load_dim,
+        on,
+        how: str = "inner",
+        broadcast: bool = True,
+    ) -> "StreamingPipeline":
+        """Join against a dimension that CHANGES mid-stream (dynamic
+        blocklist, rotating config) — the remedy for :meth:`enrich_static`'s
+        pinned-file-index caveat.
+
+        ``load_dim`` is a zero-arg callable returning a FRESH batch
+        DataFrame (e.g. ``lambda: spark.read.schema(s).parquet(path)``);
+        it is invoked once per micro-batch inside ``foreachBatch``, so rows
+        appended to the dim are visible from the NEXT batch with no query
+        restart.  The join runs on the materialized micro-batch rather than
+        in the streaming plan — one extra batch-side job per trigger is the
+        price of freshness; still no state store, and ``broadcast=True``
+        keeps it a map-only hash join.  Exactly-once is preserved: ledgered
+        sinks skip committed batch ids before the op runs, so a replayed
+        batch never re-joins against a newer dim.  Terminal-stage only —
+        later *streaming* stages cannot see foreachBatch output, so chain
+        this last before ``start_*`` (enforced: ANY further streaming stage
+        raises, as does the memory sink, which has no foreachBatch).
+        """
+        if not callable(load_dim):
+            raise TypeError(
+                "refreshing_join: load_dim must be a zero-arg callable "
+                "returning a batch DataFrame (a plain DataFrame would be "
+                "plan-pinned — that is enrich_static)"
+            )
+
+        def _op(batch_df: DataFrame) -> DataFrame:
+            dim = load_dim()
+            right = F.broadcast(dim) if broadcast else dim
+            return batch_df.join(right, on, how)
+
+        p = StreamingPipeline(self._df)  # not _wrap: chaining refreshing_joins is legal
+        p._batch_ops = self._batch_ops + [_op]
+        return p
 
     def decontaminate(
         self,
@@ -499,7 +575,7 @@ class StreamingPipeline:
         replays are no-ops (see ExactlyOnceSink)."""
         writer = (
             self._df.writeStream.outputMode(output_mode)
-            .foreachBatch(sink)
+            .foreachBatch(self._batch_sink(sink))
             .option("checkpointLocation", checkpoint_dir)
             .queryName(query_name)
         )
@@ -527,7 +603,7 @@ class StreamingPipeline:
         sink = QuarantiningSink(main, dlq, validator)
         writer = (
             self._df.writeStream.outputMode(output_mode)
-            .foreachBatch(sink)
+            .foreachBatch(self._batch_sink(sink))
             .option("checkpointLocation", checkpoint_dir)
             .queryName(query_name)
         )
@@ -576,7 +652,7 @@ class StreamingPipeline:
 
         writer = (
             self._df.writeStream.outputMode(output_mode)
-            .foreachBatch(_merge)
+            .foreachBatch(self._batch_sink(_merge))
             .option("checkpointLocation", checkpoint_dir)
             .queryName(query_name)
         )
@@ -586,6 +662,12 @@ class StreamingPipeline:
 
     def start_memory(self, name: str, output_mode: str = "append") -> StreamingQuery:
         """Memory sink for tests."""
+        if self._batch_ops:
+            raise ValueError(
+                "refreshing_join requires a foreachBatch sink "
+                "(start_exactly_once / start_validated / start_upsert) — "
+                "the memory sink cannot apply per-batch ops"
+            )
         return (
             self._df.writeStream.outputMode(output_mode)
             .format("memory")

@@ -142,6 +142,121 @@ def test_enrich_static_matches_batch_join(spark, clean_dir):
         StreamingPipeline.read_transcripts(spark, d).enrich_static(stream_dim, on="role")
 
 
+def test_enrich_static_file_index_pinned(spark, clean_dir, tmp_path):
+    """The dynamic-blocklist ops pattern, both halves pinned side by side.
+
+    Spark re-PLANS the static side of a stream-static join per micro-batch
+    but the file listing is resolved once (``InMemoryFileIndex`` at
+    DataFrame creation), so a file-backed blocklist updated mid-stream is
+    INVISIBLE to ``enrich_static`` — and picked up from the next batch by
+    ``refreshing_join``, which re-reads the dim inside foreachBatch.  Both
+    proven on the SAME staged source via each sink's ``_batch_id`` lineage:
+    a conv blocked from t0 never appears in either; a conv blocked between
+    batches keeps flowing through the pinned join but disappears from the
+    refreshing one."""
+    import shutil as _sh
+
+    from pipeflow_spark.streaming.exactly_once import ExactlyOnceSink
+
+    d, pdf = clean_dir
+    src_files = sorted(f for f in os.listdir(d) if f.startswith("part-") and "99999" not in f)
+    # conv_b must appear in BOTH halves of the arrival sequence (the
+    # Zipf-hot conversation spans the file-3 boundary); conv_a (blocked
+    # from the start) just needs first-half rows
+    half = set(pdf[pdf.arrival_file < 3].conv_id.unique())
+    later = set(pdf[pdf.arrival_file >= 3].conv_id.unique())
+    conv_b = sorted(half & later)[0]
+    conv_a = sorted(half - {conv_b})[0]
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for f in src_files[:3]:
+        _sh.copy(os.path.join(d, f), stage / f)
+    bl = tmp_path / "blocklist"
+    bl.mkdir()
+    spark.createDataFrame([(conv_a,)], "conv_id string").write.mode("append").parquet(str(bl))
+
+    pinned_dim = spark.read.schema("conv_id string").parquet(str(bl))
+    pinned_sink = ExactlyOnceSink(str(tmp_path / "sink_pinned"))
+    fresh_sink = ExactlyOnceSink(str(tmp_path / "sink_fresh"))
+    q_pin = (
+        StreamingPipeline.read_transcripts(spark, str(stage), max_files_per_trigger=1)
+        .enrich_static(pinned_dim, on="conv_id", how="left_anti")
+        .start_exactly_once(
+            pinned_sink, str(tmp_path / "ckpt_pinned"), available_now=False, query_name="bl_pinned"
+        )
+    )
+    q_fresh = (
+        StreamingPipeline.read_transcripts(spark, str(stage), max_files_per_trigger=1)
+        .refreshing_join(
+            lambda: spark.read.schema("conv_id string").parquet(str(bl)),
+            on="conv_id",
+            how="left_anti",
+        )
+        .start_exactly_once(
+            fresh_sink, str(tmp_path / "ckpt_fresh"), available_now=False, query_name="bl_fresh"
+        )
+    )
+    try:
+        q_pin.processAllAvailable()
+        q_fresh.processAllAvailable()
+        cut_pin = max(pinned_sink.committed_batches())
+        cut_fresh = max(fresh_sink.committed_batches())
+        # mid-stream ops change: block conv_b, then feed the second half
+        spark.createDataFrame([(conv_b,)], "conv_id string").write.mode("append").parquet(str(bl))
+        for f in src_files[3:]:
+            _sh.copy(os.path.join(d, f), stage / f)
+        q_pin.processAllAvailable()
+        q_fresh.processAllAvailable()
+    finally:
+        q_pin.stop()
+        q_fresh.stop()
+
+    expect_early = {(c, t) for c, t in zip(pdf[pdf.arrival_file < 3].conv_id, pdf[pdf.arrival_file < 3].turn_idx) if c != conv_a}
+    expect_late_all = {(c, t) for c, t in zip(pdf[pdf.arrival_file >= 3].conv_id, pdf[pdf.arrival_file >= 3].turn_idx) if c != conv_a}
+    expect_late_refreshed = {(c, t) for (c, t) in expect_late_all if c != conv_b}
+
+    # pinned join: conv_b keeps flowing after the blocklist update
+    out = pinned_sink.read_committed(spark)
+    assert out.filter(F.col("conv_id") == conv_a).count() == 0  # blocked from t0
+    late = out.filter(F.col("_batch_id") > cut_pin)
+    assert late.filter(F.col("conv_id") == conv_b).count() > 0  # update invisible
+    kept = {(r.conv_id, r.turn_idx) for r in out.select("conv_id", "turn_idx").collect()}
+    assert kept == expect_early | expect_late_all
+
+    # refreshing join: conv_b gone from the batch after the update
+    out = fresh_sink.read_committed(spark)
+    assert out.filter(F.col("conv_id") == conv_a).count() == 0  # blocked from t0
+    early = out.filter(F.col("_batch_id") <= cut_fresh)
+    late = out.filter(F.col("_batch_id") > cut_fresh)
+    assert early.filter(F.col("conv_id") == conv_b).count() > 0  # visible before
+    assert late.filter(F.col("conv_id") == conv_b).count() == 0  # gone after
+    assert late.count() > 0  # the second half actually flowed
+    # and nothing else was lost: every kept row matches the batch anti-join
+    kept = {(r.conv_id, r.turn_idx) for r in out.select("conv_id", "turn_idx").collect()}
+    assert kept == expect_early | expect_late_refreshed
+
+
+def test_refreshing_join_is_terminal_stage(spark, clean_dir):
+    """refreshing_join runs inside foreachBatch, AFTER the streaming plan —
+    a later streaming stage would silently reorder in front of it, so any
+    further stage raises, as does the foreachBatch-less memory sink."""
+    d, _ = clean_dir
+    sp = StreamingPipeline.read_transcripts(spark, d).refreshing_join(
+        lambda: None, on="conv_id", how="left_anti"
+    )
+    with pytest.raises(ValueError, match="terminal-stage"):
+        sp.filter(F.col("role") == "user")
+    with pytest.raises(ValueError, match="terminal-stage"):
+        sp.tumbling_agg("ts", "5 minutes", ["role"], F.count("*").alias("n"))
+    with pytest.raises(ValueError, match="foreachBatch sink"):
+        sp.start_memory("never")
+    with pytest.raises(TypeError, match="zero-arg callable"):
+        StreamingPipeline.read_transcripts(spark, d).refreshing_join(
+            spark.range(1), on="conv_id"
+        )
+
+
 def test_salted_tumbling_counts_match_plain(spark, clean_dir):
     """Skew-salted two-phase windowed count (chained stateful aggs) must be
     value-identical to the single-phase groupBy(window, conv_id) — salting
