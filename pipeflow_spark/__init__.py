@@ -9,6 +9,7 @@ watermarks / windows / stateful joins, and an exactly-once idempotent sink.
 
 from .catalog import TableCatalog
 from .datarow import DataRow
+from .gensource import register_python_sources
 from .pipeline import Pipeline, PipelineResult
 from .session import get_spark, load_table
 from .validation import ValidationError, ValidationStrategy, Validator
@@ -24,6 +25,7 @@ __all__ = [
     "get_spark",
     "load_table",
     "read",
+    "register_python_sources",
 ]
 
 __version__ = "0.1.0"

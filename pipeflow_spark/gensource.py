@@ -1,0 +1,264 @@
+"""Python DataSource generators: transcripts synthesized ON THE EXECUTORS.
+
+Two PySpark-4 custom data sources (``pyspark.sql.datasource``) that
+materialize the BASELINE.json ``input_hint`` table — ``(conv_id:string,
+turn_idx:int32, role:string, text:string, tool:string, ts:timestamp)`` —
+without any file ever being written:
+
+* ``pipeflow.transcripts`` — batch: ``spark.read.format(...)`` over conv-range
+  partitions; each partition synthesizes its own slice as Arrow RecordBatches
+  inside the Python worker, so a 10^12-turn benchmark load never crosses the
+  driver and never touches disk (contrast
+  :func:`..streaming.transcripts.synthesize_transcripts`, which builds the
+  whole table in driver pandas and writes parquet — right for small replay
+  fixtures, wrong as the load generator at cluster scale).
+* ``pipeflow.transcripts_stream`` — streaming: a rate-controlled unbounded
+  source (a Kafka stand-in) whose offsets are conversation counts
+  (``{"conv": n}``); ``latestOffset`` admits ``convs_per_batch`` new
+  conversations per trigger and ``partitions(start, end)`` splits the admitted
+  range into executor-side generator partitions.  Replay is exact by
+  construction: every row is a pure function of ``(seed, conv_k, turn)``, so a
+  re-planned ``(start, end)`` range regenerates bit-identical rows — the
+  property checkpoint recovery and exactly-once sinks need from a source.
+
+Purity is the load-bearing design decision.  The generator keeps NO cross-call
+state that affects row content: conversation length, start time, text, and
+tool are all counter-based hashes (splitmix64) of the conversation index, so
+any partition, any retry, any cluster size, and any batch boundary yields the
+same rows.  This is what makes the source usable as scaling-benchmark input —
+`local[8]` and `local[32]` see byte-identical data (reference analog: the
+reference benchmarks generate rows in a driver loop,
+``PipeFlow.Benchmarks/Program.cs``; there is no distributed-generation
+equivalent to cite).
+
+Restart semantics (stream): Spark restores the checkpointed offset and our
+reader object starts fresh, so its admission counter can lag the checkpoint.
+``partitions`` therefore fast-forwards the counter to ``start`` and treats a
+non-advancing range as an empty micro-batch rather than regressing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .streaming.transcripts import BASE_TS, ROLES, TOOLS, _WORDS
+
+_MASK = (1 << 64) - 1
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a vectorized counter-based hash (uint64 in/out)."""
+    with np.errstate(over="ignore"):  # modular 2^64 arithmetic is the point
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(_MASK)
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(_MASK)
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(_MASK)
+        return x ^ (x >> np.uint64(31))
+
+
+def _hash_u01(seed: int, stream: int, k: np.ndarray) -> np.ndarray:
+    """Uniform (0, 1] from hash(seed, stream, k) — pure, partition-independent."""
+    h = _mix64(k.astype(np.uint64) ^ _mix64(np.uint64((seed * 1315423911 + stream) & _MASK)))
+    # map to (0,1]: (h+1) / 2^64 — never 0, so the power-law inverse is finite
+    return (h.astype(np.float64) + 1.0) / float(1 << 64)
+
+
+def conv_sizes(seed: int, lo: int, hi: int, zipf_a: float = 1.6, max_turns: int = 400) -> np.ndarray:
+    """Turn count per conversation k in [lo, hi) — Zipf-tailed via inverse
+    transform: P(X >= x) ~ x^-(a-1), matching the skew shape of the driver
+    synthesizer without its sequential RNG stream (sequential draws can't be
+    computed per-partition)."""
+    k = np.arange(lo, hi, dtype=np.int64)
+    u = _hash_u01(seed, 1, k)
+    raw = np.ceil(u ** (-1.0 / (zipf_a - 1.0))).astype(np.int64)
+    return np.minimum(raw * 3, max_turns)
+
+
+def gen_conv_block(
+    seed: int,
+    lo: int,
+    hi: int,
+    zipf_a: float = 1.6,
+    max_turns: int = 400,
+    turn_step_sec: int = 20,
+    start_window_sec: int = 6 * 3600,
+):
+    """Synthesize conversations [lo, hi) as one Arrow RecordBatch.
+
+    Same text/role/tool laws as the driver synthesizer (affine word hash,
+    role = turn mod 3, tool on tool-turns) so downstream operators see the
+    same value distributions; sizes/starts come from counter hashes instead
+    of a sequential RNG so any sub-range is computable in isolation.
+    """
+    import pyarrow as pa
+
+    sizes = conv_sizes(seed, lo, hi, zipf_a, max_turns)
+    ks = np.arange(lo, hi, dtype=np.int64)
+    starts = (_hash_u01(seed, 2, ks) * start_window_sec).astype(np.int64)
+
+    conv_k = np.repeat(ks, sizes)
+    t = (
+        np.concatenate([np.arange(s) for s in sizes])
+        if len(sizes)
+        else np.array([], dtype=np.int64)
+    )
+    conv_names = np.array([f"conv_{k:07d}" for k in ks])
+    conv_ids = conv_names[conv_k - lo]
+    roles = np.array(ROLES)[t % 3]
+    base = (conv_k * 31 + t * 7) % len(_WORDS)
+    suffix_table = np.array(
+        [" ".join(_WORDS[(b + 13 * j) % len(_WORDS)] for j in range(6)) for b in range(len(_WORDS))]
+    )
+    texts = np.fromiter(
+        (f"{c}#{ti} {s}" for c, ti, s in zip(conv_ids, t, suffix_table[base])),
+        dtype=object,
+        count=len(t),
+    )
+    tools = np.where(roles == "tool", np.array(TOOLS)[base % len(TOOLS)], None)
+    epoch_us = np.int64(int(BASE_TS.timestamp() * 1_000_000))
+    ts_us = epoch_us + (np.repeat(starts, sizes) + t * turn_step_sec) * 1_000_000
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(conv_ids, pa.string()),
+            pa.array(t.astype(np.int32), pa.int32()),
+            pa.array(roles, pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(tools, pa.string()),
+            pa.array(ts_us, pa.timestamp("us")),
+        ],
+        names=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+
+
+TRANSCRIPT_DDL = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+# one generator partition per this many conversations unless the caller pins
+# `partitions`; ~64 convs * avg ~6 turns keeps Arrow batches comfortably sized
+_DEFAULT_CONVS_PER_PART = 4096
+
+
+class _ConvRange(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+def _opts(options) -> dict:
+    return {
+        "seed": int(options.get("seed", 42)),
+        "zipf_a": float(options.get("zipf_a", 1.6)),
+        "max_turns": int(options.get("max_turns", 400)),
+        "turn_step_sec": int(options.get("turn_step_sec", 20)),
+        "start_window_sec": int(options.get("start_window_sec", 6 * 3600)),
+    }
+
+
+def _split(lo: int, hi: int, parts: int) -> list[_ConvRange]:
+    if hi <= lo:
+        return [_ConvRange(lo, lo)]
+    parts = max(1, min(parts, hi - lo))
+    step = (hi - lo + parts - 1) // parts
+    return [_ConvRange(i, min(i + step, hi)) for i in range(lo, hi, step)]
+
+
+class _GenBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_convs = int(options.get("n_convs", 1000))
+        self.parts = int(
+            options.get("partitions", max(1, self.n_convs // _DEFAULT_CONVS_PER_PART))
+        )
+        self.gen = _opts(options)
+
+    def partitions(self):
+        return _split(0, self.n_convs, self.parts)
+
+    def read(self, partition: _ConvRange):
+        # chunk within the partition so one huge range still streams through
+        # bounded Arrow batches instead of one giant allocation
+        for lo in range(partition.lo, partition.hi, _DEFAULT_CONVS_PER_PART):
+            hi = min(lo + _DEFAULT_CONVS_PER_PART, partition.hi)
+            yield gen_conv_block(lo=lo, hi=hi, **self.gen)
+
+
+class TranscriptGenSource(DataSource):
+    """``spark.read.format("pipeflow.transcripts")`` — executor-side synthetic
+    transcripts.  Options: ``n_convs``, ``partitions``, ``seed``, ``zipf_a``,
+    ``max_turns``, ``turn_step_sec``, ``start_window_sec``."""
+
+    @classmethod
+    def name(cls):
+        return "pipeflow.transcripts"
+
+    def schema(self):
+        return TRANSCRIPT_DDL
+
+    def reader(self, schema):
+        return _GenBatchReader(self.options)
+
+
+class _GenStreamReader(DataSourceStreamReader):
+    """Offsets are conversation counts; each trigger admits
+    ``convs_per_batch`` more conversations (bounded by ``n_convs`` unless 0 =
+    unbounded).  All state that matters for row CONTENT lives in the hash
+    laws; the only mutable state is the admission counter, which checkpoint
+    offsets dominate (fast-forwarded in ``partitions``)."""
+
+    def __init__(self, options):
+        self.n_convs = int(options.get("n_convs", 0))  # 0 = unbounded
+        self.cpb = int(options.get("convs_per_batch", 1024))
+        self.parts = int(options.get("partitions", 8))
+        self.gen = _opts(options)
+        self._cur = 0
+
+    def initialOffset(self):
+        return {"conv": 0}
+
+    def latestOffset(self):
+        nxt = self._cur + self.cpb
+        if self.n_convs:
+            nxt = min(nxt, self.n_convs)
+        self._cur = nxt
+        return {"conv": self._cur}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["conv"]), int(end["conv"])
+        # restart: a fresh reader's counter can lag the checkpointed offset —
+        # adopt it so admission resumes from where the query actually is
+        self._cur = max(self._cur, lo, hi)
+        return _split(lo, hi, self.parts)
+
+    def read(self, partition: _ConvRange):
+        for lo in range(partition.lo, partition.hi, _DEFAULT_CONVS_PER_PART):
+            hi = min(lo + _DEFAULT_CONVS_PER_PART, partition.hi)
+            yield gen_conv_block(lo=lo, hi=hi, **self.gen)
+
+    def commit(self, end):
+        pass
+
+
+class TranscriptStreamGenSource(DataSource):
+    """``spark.readStream.format("pipeflow.transcripts_stream")`` — the
+    rate-controlled unbounded twin (options of ``pipeflow.transcripts`` plus
+    ``convs_per_batch``; ``n_convs=0`` streams forever)."""
+
+    @classmethod
+    def name(cls):
+        return "pipeflow.transcripts_stream"
+
+    def schema(self):
+        return TRANSCRIPT_DDL
+
+    def streamReader(self, schema):
+        return _GenStreamReader(self.options)
+
+
+def register_python_sources(spark) -> None:
+    """Register both generator sources on the session (idempotent)."""
+    spark.dataSource.register(TranscriptGenSource)
+    spark.dataSource.register(TranscriptStreamGenSource)

@@ -5019,6 +5019,54 @@ def stream_curation_gate_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "gen_transcripts_profile",
+    # literal-pinned oracle (same pattern as the LSH/quantized algorithm
+    # twins): the generator is a pure counter-hash function of
+    # (seed=42, conv, turn), so its per-role profile at n_convs=400 is a
+    # constant — pinned from a hand run and re-derived by
+    # tests/test_gensource.py; any change to the hash laws must re-pin here
+    """
+    SELECT * FROM (VALUES
+      ('assistant', 6327, 746040, 397, 400, 1735689626, 1735716356),
+      ('tool',      6327, 752367, 398, 400, 1735689646, 1735716376),
+      ('user',      6347, 747693, 399, 400, 1735689606, 1735716396)
+    ) AS t(role, n_turns, sum_turn, max_turn, n_convs, min_ts_epoch, max_ts_epoch)
+    ORDER BY role
+    """,
+)
+def gen_transcripts_profile(spark, sf_dir):
+    """Per-role profile of the executor-side transcript GENERATOR source
+    (``pipeflow.transcripts``, gensource.py): the 10^12-turn benchmark load
+    path — conversations are synthesized as Arrow batches inside the scan's
+    Python workers from counter-based hashes, so no bytes cross the driver
+    and no file is written.  The profile (counts, turn sums, distinct convs,
+    event-time span) pins the generation laws cross-engine; partition count
+    provably cannot change the rows (pure function of (seed, conv, turn) —
+    ``test_batch_gen_partition_invariance``)."""
+    from .gensource import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("pipeflow.transcripts")
+        .option("n_convs", 400)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy("role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("turn_idx").alias("sum_turn"),
+            F.max("turn_idx").alias("max_turn"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.min(F.col("ts").cast("long")).alias("min_ts_epoch"),
+            F.max(F.col("ts").cast("long")).alias("max_ts_epoch"),
+        )
+        .orderBy("role")
+    )
+
+
 _ORDER = [
     # TPC-H shapes (scan/filter/join/agg plan quality)
     "q1_pricing_summary",
@@ -5174,6 +5222,7 @@ _ORDER = [
     "embed_quantized_topk",
     "stream_fanout_atomic_oracle",
     "reply_latency_profile",
+    "gen_transcripts_profile",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

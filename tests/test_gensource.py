@@ -1,0 +1,170 @@
+"""Python DataSource generators (pipeflow_spark/gensource.py).
+
+The load-bearing property is PURITY: every row is a counter-based hash of
+(seed, conv, turn), so partitioning, batch boundaries, retries, and cluster
+size cannot change content.  Tests pin that directly — same data under
+different partition counts, stream ≡ batch, and checkpoint-resume with no
+duplicates through the exactly-once sink.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeflow_spark.gensource import conv_sizes, register_python_sources
+from pipeflow_spark.streaming import ExactlyOnceSink, TRANSCRIPT_SCHEMA
+from pipeflow_spark.streaming.engine import StreamingPipeline
+
+
+@pytest.fixture(scope="module")
+def gen(spark):
+    register_python_sources(spark)
+    return spark
+
+
+def _read_gen(spark, n_convs, partitions, **opts):
+    r = spark.read.format("pipeflow.transcripts").option("n_convs", n_convs).option(
+        "partitions", partitions
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def _rows(df):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts)
+        for r in df.collect()
+    )
+
+
+def test_batch_gen_schema_and_shape(gen):
+    df = _read_gen(gen, 300, 4)
+    # same names and types as the file-backed transcript schema (data-source
+    # columns are nullable by API contract, so nullability is not compared)
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in TRANSCRIPT_SCHEMA.fields
+    ]
+    n = df.count()
+    assert n == int(conv_sizes(42, 0, 300).sum())
+    assert df.select("conv_id").distinct().count() == 300
+    # roles follow turn mod 3; tool set only on tool turns
+    bad = df.filter(
+        ((F.col("turn_idx") % 3 == 0) & (F.col("role") != "user"))
+        | ((F.col("role") == "tool") == F.col("tool").isNull())
+    )
+    assert bad.count() == 0
+
+
+def test_batch_gen_partition_invariance(gen):
+    """Same table at 1, 3, and 8 partitions — partitioning is physical only."""
+    base = _rows(_read_gen(gen, 200, 1))
+    assert base == _rows(_read_gen(gen, 200, 3))
+    assert base == _rows(_read_gen(gen, 200, 8))
+    assert len(base) > 600  # avg ~4+ turns/conv: the zipf tail actually fired
+
+
+def test_batch_gen_partitions_honored_and_executor_side(gen):
+    df = _read_gen(gen, 1000, 8)
+    assert df.rdd.getNumPartitions() == 8
+    # the scan is a Python data-source batch scan — generation happens in the
+    # scan itself (executor-side), not via a driver createDataFrame
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan pipeflow.transcripts" in plan
+
+
+def test_batch_gen_seed_changes_data(gen):
+    a = _read_gen(gen, 100, 2).agg(F.sum("turn_idx")).first()[0]
+    b = _read_gen(gen, 100, 2, seed=7).agg(F.sum("turn_idx")).first()[0]
+    assert a != b
+
+
+def test_stream_gen_equals_batch_and_resumes(gen, tmp_path):
+    """Bounded stream through the exactly-once sink == batch generator read,
+    across a mid-stream stop/restart from checkpoint (offsets dominate the
+    fresh reader's admission counter, so no range is re-admitted)."""
+    n_convs, cpb = 600, 150
+    sink = ExactlyOnceSink(str(tmp_path / "sink"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        df = (
+            gen.readStream.format("pipeflow.transcripts_stream")
+            .option("n_convs", n_convs)
+            .option("convs_per_batch", cpb)
+            .option("partitions", 4)
+            .load()
+        )
+        return (
+            StreamingPipeline(df)
+            .start_exactly_once(sink, ckpt, available_now=False, query_name="gen_stream")
+        )
+
+    q = start()
+    # let at least one batch commit, then kill mid-run
+    import time
+
+    for _ in range(200):
+        if sink.committed_batches():
+            break
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination()
+
+    q = start()
+    # bounded source: once the offset reaches n_convs nothing new arrives
+    for _ in range(400):
+        got = sink.read_committed(gen).count()
+        if got >= 0 and max(sink.committed_batches(), default=-1) >= 0:
+            # stop when the full conv range has been committed
+            n_expected = int(conv_sizes(42, 0, n_convs).sum())
+            if got == n_expected:
+                break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination()
+
+    out = sink.read_committed(gen)
+    batch = _read_gen(gen, n_convs, 4)
+    assert out.count() == batch.count()  # no dupes, no loss across restart
+    assert _rows(out.select(*[f.name for f in TRANSCRIPT_SCHEMA.fields])) == _rows(batch)
+
+
+def test_stream_gen_rate_control(gen, tmp_path):
+    """convs_per_batch bounds admission: with 100 convs/batch over 300 convs,
+    at least 3 distinct micro-batches carry data."""
+    sink = ExactlyOnceSink(str(tmp_path / "sink_rate"))
+    df = (
+        gen.readStream.format("pipeflow.transcripts_stream")
+        .option("n_convs", 300)
+        .option("convs_per_batch", 100)
+        .option("partitions", 2)
+        .load()
+    )
+    q = StreamingPipeline(df).start_exactly_once(
+        sink, str(tmp_path / "ckpt_rate"), available_now=False, query_name="gen_rate"
+    )
+    import time
+
+    n_expected = int(conv_sizes(42, 0, 300).sum())
+    try:
+        for _ in range(400):
+            if sink.committed_batches() and sink.read_committed(gen).count() == n_expected:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    out = sink.read_committed(gen)
+    assert out.count() == n_expected
+    data_batches = (
+        out.select("_batch_id").distinct().count()
+    )
+    assert data_batches >= 3
+    # per-batch conv ranges are disjoint: no conv spans two micro-batches
+    spans = (
+        out.groupBy("conv_id").agg(F.countDistinct("_batch_id").alias("nb"))
+        .filter(F.col("nb") > 1)
+    )
+    assert spans.count() == 0
