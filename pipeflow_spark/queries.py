@@ -5067,6 +5067,76 @@ def gen_transcripts_profile(spark, sf_dir):
     )
 
 
+_SPIKES_ORACLE = """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, user_id, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT ws, user_id, n,
+             count(*) OVER p AS n_prev,
+             coalesce(sum(n) OVER p, 0) AS sum_prev,
+             coalesce(max(n) OVER p, 0) AS max_prev
+      FROM w
+      WINDOW p AS (PARTITION BY user_id ORDER BY ws
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT ws, user_id, n, n_prev, sum_prev, max_prev,
+           (n_prev >= 3 AND n * n_prev > 2 * sum_prev AND n > max_prev) AS spike
+    FROM s ORDER BY ws, user_id
+    """
+
+
+@register("turn_rate_spikes", _SPIKES_ORACLE)
+def turn_rate_spikes(spark, sf_dir):
+    """Per-user event-rate spike detection, batch form (operators/anomaly.py):
+    tumbling hourly counts, then each window judged against the user's OWN
+    preceding windows with an ALL-INTEGER criterion (count > 2× historical
+    mean via cross-multiplication, AND > historical max, after a 3-window
+    warm-up) — integer-exact, so the streaming state machine
+    (``stream_turn_rate_spikes_oracle``) and the SQL oracle agree
+    bit-for-bit.  One shuffle for the windowed count; the history pass is a
+    frame-bounded window function over each user's few window rows."""
+    from .operators.anomaly import turn_rate_spikes as _spikes
+
+    return _spikes(_t(spark, sf_dir, "events"), "ts", "user_id", "1 hour")
+
+
+@register("stream_turn_rate_spikes_oracle", _SPIKES_ORACLE)
+def stream_turn_rate_spikes_oracle(spark, sf_dir):
+    """The streaming twin of ``turn_rate_spikes``: an
+    ``applyInPandasWithState`` machine (EventTimeTimeout) that buckets events
+    into open tumbling windows and, as the watermark closes each bucket,
+    judges it against the key's running (count, sum, max) history — three
+    longs per key, open buckets bounded by the watermark horizon.  Committed
+    exactly-once output over the events replay must equal the batch twin's
+    full-history answer — the strongest equality the north rule asks for
+    ("is this conversation suddenly hot?" answered identically online and
+    offline)."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_spk_")
+    sp = (
+        StreamingPipeline(_events_stream_source(spark, sf_dir, work))
+        .with_watermark("ts", "10 minutes")
+        .tumbling_spikes("ts", 3_600_000_000, "user_id")
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("k") >= 0)  # sentinel key is -1
+        .select(
+            "ws", F.col("k").alias("user_id"), "n",
+            "n_prev", "sum_prev", "max_prev", "spike",
+        )
+        .orderBy("ws", "user_id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _ORDER = [
     # TPC-H shapes (scan/filter/join/agg plan quality)
     "q1_pricing_summary",
@@ -5223,6 +5293,8 @@ _ORDER = [
     "stream_fanout_atomic_oracle",
     "reply_latency_profile",
     "gen_transcripts_profile",
+    "turn_rate_spikes",
+    "stream_turn_rate_spikes_oracle",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

@@ -375,6 +375,55 @@ class StreamingPipeline:
             )
         )
 
+    def tumbling_spikes(
+        self,
+        ts_col: str,
+        size_us: int,
+        key_col: str,
+        key_type: str = "long",
+        min_prev: int = 3,
+        factor: int = 2,
+    ) -> "StreamingPipeline":
+        """Per-key turn-rate spike detection: count events per (key, tumbling
+        window) and flag windows whose count clears an integer criterion over
+        the key's OWN closed-window history (see
+        :mod:`..operators.anomaly` — all-integer so the batch twin and the
+        streaming machine agree bit-for-bit).  State per key: three longs +
+        open buckets within the watermark horizon.  Requires
+        ``with_watermark`` upstream.
+
+        Output: ``(k, ws, n, n_prev, sum_prev, max_prev, spike)``.
+        """
+        from ..operators.anomaly import (
+            SPIKE_STATE_SCHEMA,
+            spike_output_schema,
+            spike_stream_fn,
+        )
+
+        proj = self._df.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("ts"),  # keep the watermark column itself
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        )
+        out = proj.groupBy("k").applyInPandasWithState(
+            spike_stream_fn(size_us, min_prev=min_prev, factor=factor),
+            spike_output_schema(key_type),
+            SPIKE_STATE_SCHEMA,
+            "append",
+            "EventTimeTimeout",
+        )
+        return self._wrap(
+            out.select(
+                "k",
+                F.timestamp_micros(F.col("ws_us")).alias("ws"),
+                "n",
+                "n_prev",
+                "sum_prev",
+                "max_prev",
+                "spike",
+            )
+        )
+
     # -- stream-static enrichment -------------------------------------------------------------
     def enrich_static(
         self,

@@ -257,6 +257,66 @@ def test_refreshing_join_is_terminal_stage(spark, clean_dir):
         )
 
 
+def test_tumbling_spikes_history_survives_idle(spark, tmp_path):
+    """The spike machine's history must persist across batches where the key
+    is ABSENT (timeout-driven flush) — an idle-TTL state drop would reset the
+    warm-up and diverge from the batch twin's full-history frame.
+
+    Arrival: file0 = conv A in hours 0,1,2 (2 rows each); file1 = conv B far
+    ahead (advances the watermark while A is idle → A's h2 closes via
+    EventTimeTimeout); file2 = A again with 9 rows in hour 12; sentinel.
+    Hand math for A@h12: n_prev=3, sum_prev=6, max_prev=2 → 9·3 > 2·6 and
+    9 > 2 after a full warm-up: spike."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pipeflow_spark.streaming.transcripts import (
+        write_sentinel_file,
+        write_transcript_parquet,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    h = lambda hh, mm=0: dt.datetime(2025, 1, 1, hh, mm)  # noqa: E731
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def rows(conv, stamps, base_turn=0):
+        return pd.DataFrame(
+            [(conv, base_turn + i, "user", "x", None, t) for i, t in enumerate(stamps)],
+            columns=cols,
+        )
+
+    a_early = [h(0), h(0, 30), h(1), h(1, 30), h(2), h(2, 30)]
+    write_transcript_parquet(rows("A", a_early), str(d / "part-00000.parquet"))
+    write_transcript_parquet(rows("B", [h(9)]), str(d / "part-00001.parquet"))
+    a_late = [h(12, i) for i in range(9)]
+    write_transcript_parquet(rows("A", a_late, 100), str(d / "part-00002.parquet"))
+    write_sentinel_file(str(d), dt.datetime(2026, 1, 1))
+
+    q = (
+        StreamingPipeline.read_transcripts(spark, str(d), max_files_per_trigger=1)
+        .with_watermark("ts", "1 minute")
+        .tumbling_spikes("ts", 3_600_000_000, "conv_id", key_type="string")
+        .start_memory("spikes_idle")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.k, r.ws.hour): (r.n, r.n_prev, r.sum_prev, r.max_prev, r.spike)
+        for r in spark.sql("select * from spikes_idle").collect()
+        if r.k == "A"
+    }
+    assert got[("A", 0)] == (2, 0, 0, 0, False)
+    assert got[("A", 1)] == (2, 1, 2, 2, False)  # 2·1 > 2·2 fails
+    assert got[("A", 2)] == (2, 2, 4, 2, False)  # warm-up < 3
+    assert got[("A", 12)] == (9, 3, 6, 2, True)  # history survived the idle gap
+    assert len(got) == 4
+
+
 def test_salted_tumbling_counts_match_plain(spark, clean_dir):
     """Skew-salted two-phase windowed count (chained stateful aggs) must be
     value-identical to the single-phase groupBy(window, conv_id) — salting
