@@ -390,27 +390,26 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash_pairs(
+def simhash_blocks(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 3,
     blocks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
-
-    Pigeonhole blocking: split the 64-bit sketch into ``blocks`` 16-bit blocks;
-    any pair within distance ``max_hamming < blocks`` agrees on ≥1 block →
-    equi-join on (block_idx, block_value), then verify the true Hamming
-    distance with ``bit_count(xor)`` JVM-side.
-    """
+    """Per-doc SimHash sketch exploded into pigeonhole blocks:
+    ``(id, sk, blk, bval)`` — ``blocks`` rows per doc, ``bval`` the 64/blocks-
+    bit slice at block index ``blk``.  The candidate-retrieval table both
+    :func:`simhash_pairs` (batch self-join) and the streaming near-dup guard
+    (batch-vs-store join, ``streaming/neardup.py``) equi-join on
+    ``(blk, bval)``; any pair within Hamming ``< blocks`` must agree on at
+    least one block."""
     from ..session import ensure_shipped, spread
 
     ensure_shipped(df.sparkSession)  # pandas_udf below needs the package on workers
     width = 64 // blocks
     sk = spread(df).select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sk"))
     mask = (1 << width) - 1
-    blocked = sk.select(
+    return sk.select(
         "id",
         "sk",
         F.explode(
@@ -425,6 +424,23 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("id", "sk", "b.blk", "b.bval")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit sketch into ``blocks`` 16-bit blocks;
+    any pair within distance ``max_hamming < blocks`` agrees on ≥1 block →
+    equi-join on (block_idx, block_value), then verify the true Hamming
+    distance with ``bit_count(xor)`` JVM-side.
+    """
+    blocked = simhash_blocks(df, text_col, id_col, blocks)
     x, y = blocked.alias("x"), blocked.alias("y")
     return (
         x.join(

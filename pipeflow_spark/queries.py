@@ -5067,6 +5067,82 @@ def gen_transcripts_profile(spark, sf_dir):
     )
 
 
+@register(
+    "stream_neardup_guard_oracle",
+    # DuckDB reproduces the md5-token SimHash bit-for-bit (same CTE as the
+    # dedup_simhash oracle); kept = docs with NO earlier doc within Hamming 3
+    # — arrival is staged in doc_id order, so "earlier" ≡ smaller doc_id
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))) AS tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM th, range(64) r(b) GROUP BY doc_id, b
+    ), sk0 AS (
+      SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS sk
+      FROM bits GROUP BY doc_id
+    ), sk AS (
+      SELECT d.doc_id, coalesce(s.sk, 0)::UBIGINT AS sk
+      FROM documents d LEFT JOIN sk0 s ON d.doc_id = s.doc_id
+    )
+    SELECT a.doc_id AS doc_id FROM sk a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sk b
+      WHERE b.doc_id < a.doc_id AND bit_count(xor(a.sk, b.sk)) <= 3
+    )
+    ORDER BY doc_id
+    """,
+)
+def stream_neardup_guard_oracle(spark, sf_dir):
+    """Streaming near-dup ingest guard (``streaming/neardup.py``): documents
+    replayed in doc_id order across 4 arrival files; each micro-batch is
+    novelty-gated against the accumulated SimHash signature store
+    (pigeonhole-block candidate join + ``bit_count`` verify, never
+    all-pairs), survivors committed exactly-once, ALL signatures appended to
+    the store (novelty is vs ingest history, not vs the survivor set — the
+    chain-dependent survivor-set variant is the batch
+    ``dedup_clusters``/``keep_list`` path).  Committed kept set must equal
+    the batch "no earlier doc within Hamming 3" anti-join."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+    from .streaming.neardup import NearDupGuardSink
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_nd_")
+    docs = _t(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    lo = -1
+    for i in range(4):
+        b = (hi * (i + 1)) // 4 if i < 3 else hi
+        stage = _os.path.join(work, f"stage{i}")
+        docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= b)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
+        shutil.copy(_os.path.join(stage, part), _os.path.join(src, f"part-{i:05d}.parquet"))
+        lo = b
+
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    guard = NearDupGuardSink(_os.path.join(work, "guard"))
+    q = StreamingPipeline(stream).start_exactly_once(
+        guard,  # the guard IS the foreachBatch sink (it owns the kept ledger)
+        _os.path.join(work, "ckpt"),
+        query_name="neardup_guard",
+    )
+    q.awaitTermination()
+    out = guard.read_kept(spark).select("doc_id").orderBy("doc_id")
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _SPIKES_ORACLE = """
     WITH w AS (
       SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, user_id, count(*) AS n
@@ -5295,6 +5371,7 @@ _ORDER = [
     "gen_transcripts_profile",
     "turn_rate_spikes",
     "stream_turn_rate_spikes_oracle",
+    "stream_neardup_guard_oracle",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

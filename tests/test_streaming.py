@@ -317,6 +317,81 @@ def test_tumbling_spikes_history_survives_idle(spark, tmp_path):
     assert len(got) == 4
 
 
+def _neardup_docs_src(spark, tmp_path):
+    """Three arrival files of documents-shaped rows: novel docs, an exact dup
+    across batches, and an intra-batch dup pair."""
+    schema = "doc_id long, text string, lang string, source string, n_tokens int"
+    uniq = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet pink brown black",
+        "north south east west up down left right front back",
+    ]
+    files = [
+        # batch 0: two novel docs
+        [(0, uniq[0]), (1, uniq[1])],
+        # batch 1: cross-batch dup of doc 0, one novel
+        [(10, uniq[0]), (11, uniq[2])],
+        # batch 2: intra-batch dup pair (21 drops), one novel
+        [(20, uniq[3]), (21, uniq[3]), (22, "solo unique words nothing shared here with others at all")],
+    ]
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(
+            [(d, t, "en", "s", len(t.split())) for d, t in rows], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"nd_stage{i}"))
+        part = next(
+            f for f in os.listdir(tmp_path / f"nd_stage{i}") if f.endswith(".parquet")
+        )
+        import shutil as _sh
+
+        _sh.copy(str(tmp_path / f"nd_stage{i}" / part), str(src / f"part-{i:05d}.parquet"))
+    return str(src), schema
+
+
+def test_neardup_guard_drops_and_resumes(spark, tmp_path):
+    """The streaming near-dup guard: cross-batch dup and intra-batch dup drop,
+    novel docs keep — and a crash between the store append and the kept
+    ledger commit replays to the identical kept set (the store's own
+    batch_id dir is excluded from candidate retrieval, so a replayed batch
+    never self-matches)."""
+    from pipeflow_spark.streaming.neardup import NearDupGuardSink
+
+    src, schema = _neardup_docs_src(spark, tmp_path)
+    expected = {0, 1, 11, 20, 22}  # 10 = cross-batch dup, 21 = intra-batch dup
+
+    def run(root, ckpt, fail_batch=None):
+        guard = NearDupGuardSink(str(tmp_path / root))
+        if fail_batch is not None:
+            guard.kept.fail_after_write_batch_id = fail_batch
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = StreamingPipeline(stream).start_exactly_once(
+            guard, str(tmp_path / ckpt), query_name=f"nd_{root}"
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass  # injected crash surfaces through awaitTermination
+        finally:
+            q.stop()
+        return guard
+
+    g1 = run("g1", "ck1")
+    assert {r.doc_id for r in g1.read_kept(spark).collect()} == expected
+
+    g2 = run("g2", "ck2", fail_batch=1)  # crash after batch 1's kept write
+    assert 1 not in g2.kept.committed_batches()
+    g2b = run("g2", "ck2")  # resume from checkpoint, same root
+    kept = {r.doc_id for r in g2b.read_kept(spark).collect()}
+    assert kept == expected
+    # exactly-once: no doc appears twice even though batch 1 was written twice
+    all_rows = g2b.read_kept(spark).groupBy("doc_id").count()
+    assert all_rows.filter(F.col("count") > 1).count() == 0
+
+
 def test_salted_tumbling_counts_match_plain(spark, clean_dir):
     """Skew-salted two-phase windowed count (chained stateful aggs) must be
     value-identical to the single-phase groupBy(window, conv_id) — salting
