@@ -5143,6 +5143,67 @@ def stream_neardup_guard_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+_BUDGET_ORACLE = """
+    WITH s AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, cum, cum <= 4000 AS kept
+    FROM s ORDER BY source, doc_id
+    """
+
+
+@register("budget_cap", _BUDGET_ORACLE)
+def budget_cap(spark, sf_dir):
+    """Per-source byte-budget truncation, batch form (operators/quota.py):
+    inclusive running sum of n_chars per source in doc_id order, kept while
+    the cumulative total fits 4000 chars — the corpus-mixture enforcement
+    step (a per-source token/byte quota), PREFIX semantics so the streaming
+    machine (``stream_budget_cap_oracle``) and the one-line SQL window frame
+    agree bit-for-bit.  One shuffle on the key."""
+    from .operators.quota import budget_cap as _cap
+
+    return _cap(_t(spark, sf_dir, "documents"), "source", "doc_id", "n_chars", 4000)
+
+
+@register("stream_budget_cap_oracle", _BUDGET_ORACLE)
+def stream_budget_cap_oracle(spark, sf_dir):
+    """The streaming twin of ``budget_cap``: a watermark-buffered
+    ``applyInPandasWithState`` machine — a row is only judged once the
+    watermark passes its event time (no earlier-ordered row can still
+    arrive), flushed in (event-time, id) order against a one-long running
+    total per key, so the spent-budget decision is identical to the batch
+    window frame no matter how arrival interleaves.  Committed exactly-once
+    output over the documents replay ≡ the batch twin."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_bc_")
+    sp = (
+        StreamingPipeline(_documents_stream_source(spark, sf_dir, work))
+        .with_watermark("ts", "10 minutes")
+        .budget_cap("ts", "source", "doc_id", "n_chars", 4000)
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("k") != "__sentinel__")
+        .select(
+            F.col("k").alias("source"),
+            F.col("id").alias("doc_id"),
+            F.col("w").alias("n_chars"),
+            "cum",
+            "kept",
+        )
+        .orderBy("source", "doc_id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _SPIKES_ORACLE = """
     WITH w AS (
       SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, user_id, count(*) AS n
@@ -5372,6 +5433,8 @@ _ORDER = [
     "turn_rate_spikes",
     "stream_turn_rate_spikes_oracle",
     "stream_neardup_guard_oracle",
+    "budget_cap",
+    "stream_budget_cap_oracle",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

@@ -424,6 +424,45 @@ class StreamingPipeline:
             )
         )
 
+    def budget_cap(
+        self,
+        ts_col: str,
+        key_col: str,
+        id_col: str,
+        weight_col: str,
+        quota: int,
+        key_type: str = "string",
+    ) -> "StreamingPipeline":
+        """Per-key prefix budget truncation on a stream (see
+        :mod:`..operators.quota`): rows buffer until the watermark passes
+        their event time, then flush in (event-time, id) order against a
+        one-long running total — ``kept = cum <= quota``, bit-identical to
+        the batch window-frame twin.  Requires ``with_watermark`` upstream.
+
+        Output: ``(k, id, w, cum, kept)``.
+        """
+        from ..operators.quota import (
+            QUOTA_STATE_SCHEMA,
+            quota_output_schema,
+            quota_stream_fn,
+        )
+
+        proj = self._df.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("ts"),  # keep the watermark column itself
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(id_col).cast("long").alias("id"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        out = proj.groupBy("k").applyInPandasWithState(
+            quota_stream_fn(quota),
+            quota_output_schema(key_type),
+            QUOTA_STATE_SCHEMA,
+            "append",
+            "EventTimeTimeout",
+        )
+        return self._wrap(out)
+
     # -- stream-static enrichment -------------------------------------------------------------
     def enrich_static(
         self,

@@ -392,6 +392,65 @@ def test_neardup_guard_drops_and_resumes(spark, tmp_path):
     assert all_rows.filter(F.col("count") > 1).count() == 0
 
 
+def test_budget_cap_judges_in_event_time_order(spark, tmp_path):
+    """The budget machine must judge rows in EVENT-TIME order, not arrival
+    order: a big row arriving late (but within the watermark delay) spends
+    the budget at its event-time position, cutting a smaller row that
+    ARRIVED earlier but happened later.  Arrival: file0 = A@10:00 (w=5),
+    A@10:30 (w=5); file1 = A@10:10 (w=4000, out of order) + a watermark
+    mover; quota 4005 → kept = {10:00, 10:10}, cut = {10:30}.  Arrival-order
+    processing would keep 10:30 and cut 10:10 instead."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pipeflow_spark.streaming.transcripts import (
+        write_sentinel_file,
+        write_transcript_parquet,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    t = lambda mm: dt.datetime(2025, 1, 1, 10, mm)  # noqa: E731
+    f0 = pd.DataFrame(
+        [("A", 0, "user", "x" * 5, None, t(0)), ("A", 2, "user", "y" * 5, None, t(30))],
+        columns=cols,
+    )
+    f1 = pd.DataFrame(
+        [
+            ("A", 1, "user", "z" * 4000, None, t(10)),
+            ("B", 0, "user", "w", None, dt.datetime(2025, 1, 1, 11, 30)),
+        ],
+        columns=cols,
+    )
+    write_transcript_parquet(f0, str(d / "part-00000.parquet"))
+    write_transcript_parquet(f1, str(d / "part-00001.parquet"))
+    write_sentinel_file(str(d), dt.datetime(2026, 1, 1))
+
+    q = (
+        StreamingPipeline.read_transcripts(spark, str(d), max_files_per_trigger=1)
+        .with_watermark("ts", "1 hour")
+        .add_column("w8", F.length("text"))
+        .budget_cap("ts", "conv_id", "turn_idx", "w8", 4005)
+        .start_memory("budget_evt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.id: (r.w, r.cum, r.kept)
+        for r in spark.sql("select * from budget_evt where k = 'A'").collect()
+    }
+    assert got == {
+        0: (5, 5, True),
+        1: (4000, 4005, True),  # event-time position 2, despite arriving last
+        2: (5, 4010, False),  # cut: the late-arriving big row spent the budget
+    }
+
+
 def test_salted_tumbling_counts_match_plain(spark, clean_dir):
     """Skew-salted two-phase windowed count (chained stateful aggs) must be
     value-identical to the single-phase groupBy(window, conv_id) — salting
