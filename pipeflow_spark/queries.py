@@ -5143,6 +5143,54 @@ def stream_neardup_guard_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "stream_window_topk_oracle",
+    """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT ws, event_type, n,
+             row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT ws, event_type, n FROM r WHERE rk <= 2 ORDER BY ws, event_type
+    """,
+)
+def stream_window_topk_oracle(spark, sf_dir):
+    """Exact top-k per closed window on a stream (``windowed_topk`` — the
+    ``per_batch`` mechanism): tumbling hourly counts per event_type, then
+    the top-2 types per window ranked INSIDE foreachBatch.  Correct because
+    append-mode emission is all-at-once per window — every row of a window
+    arrives in the single micro-batch where the watermark passes its end, so
+    the per-batch ``row_number`` over (window) sees each window complete,
+    exactly once.  Streaming can't rank in the plan (no window functions on
+    unbounded input); ranking the CLOSED windows per batch is the scalable
+    escape hatch.  Ties broken by event_type for replay determinism."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_tk_")
+    sp = (
+        StreamingPipeline(_events_stream_source(spark, sf_dir, work))
+        .with_watermark("ts", "10 minutes")
+        .tumbling_agg("ts", "1 hour", ["event_type"], F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .windowed_topk(["ws"], [F.col("n").desc(), F.col("event_type")], 2)
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("ws", "event_type", "n")
+        .orderBy("ws", "event_type")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _BUDGET_ORACLE = """
     WITH s AS (
       SELECT source, doc_id, n_chars,
@@ -5435,6 +5483,7 @@ _ORDER = [
     "stream_neardup_guard_oracle",
     "budget_cap",
     "stream_budget_cap_oracle",
+    "stream_window_topk_oracle",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

@@ -499,6 +499,48 @@ class StreamingPipeline:
         right = F.broadcast(dim) if broadcast else dim
         return self._wrap(self._df.join(right, on, how))
 
+    def per_batch(self, op) -> "StreamingPipeline":
+        """Attach a batch-DataFrame transform that runs INSIDE ``foreachBatch``
+        on each materialized micro-batch, after the streaming plan —
+        unlocking batch-only operators (window functions / rank, fresh
+        re-reads, arbitrary joins) that Structured Streaming rejects in the
+        plan itself.  Terminal-stage: any later *streaming* stage raises
+        (it would silently reorder in front of this), as does the
+        foreachBatch-less memory sink.  Exactly-once is preserved — ledgered
+        sinks skip committed batch ids before the op runs.
+
+        The load-bearing use: anything keyed on CLOSED windows.  An
+        append-mode windowed aggregate emits ALL of a window's rows in the
+        single micro-batch where the watermark passes the window end, so a
+        per-batch rank/top-k partitioned by window sees each window complete
+        exactly once (see ``windowed_topk``)."""
+        if not callable(op):
+            raise TypeError("per_batch: op must be a callable DataFrame -> DataFrame")
+        p = StreamingPipeline(self._df)  # not _wrap: chaining per-batch ops is legal
+        p._batch_ops = self._batch_ops + [op]
+        return p
+
+    def windowed_topk(
+        self, partition_cols: Sequence[str], order_by: Sequence[Column], k: int
+    ) -> "StreamingPipeline":
+        """Exact top-k per closed window on a stream: chain after a windowed
+        aggregate; ranks each micro-batch's rows per ``partition_cols`` (the
+        window start) and keeps the top ``k``.  Correct because append-mode
+        emission is all-at-once per window (see :meth:`per_batch`) — a
+        window is ranked exactly once, over its complete row set.  Ties must
+        be broken deterministically by ``order_by`` for replay stability."""
+        from pyspark.sql import Window as W
+
+        def _op(batch_df: DataFrame) -> DataFrame:
+            w = W.partitionBy(*partition_cols).orderBy(*order_by)
+            return (
+                batch_df.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= k)
+                .drop("rk")
+            )
+
+        return self.per_batch(_op)
+
     def refreshing_join(
         self,
         load_dim,
@@ -536,9 +578,7 @@ class StreamingPipeline:
             right = F.broadcast(dim) if broadcast else dim
             return batch_df.join(right, on, how)
 
-        p = StreamingPipeline(self._df)  # not _wrap: chaining refreshing_joins is legal
-        p._batch_ops = self._batch_ops + [_op]
-        return p
+        return self.per_batch(_op)
 
     def decontaminate(
         self,
