@@ -5191,6 +5191,111 @@ def stream_window_topk_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "stream_multi_source_union_oracle",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_multi_source_union_oracle(spark, sf_dir):
+    """Multi-source ingest merge: the events table split into TWO overlapping
+    file streams (odd/even event_id, each side also carrying a slice of the
+    other's rows — the duplicated-delivery shape of a mirrored Kafka topic or
+    a backfill racing live ingest), unioned, globally deduped by event_id
+    within the watermark, then windowed.  Committed output must equal the
+    batch aggregate over the clean table — union + dedupe erased both the
+    split and the double-delivery.  No new operator: ``union`` of two
+    streaming sources is plan-level, dedupe is the watermark-bounded state
+    op; the proof is that the COMPOSITION holds under exactly-once."""
+    import datetime as _dt
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_mu_")
+    batch = _t(spark, sf_dir, "events")
+    srcs = []
+    for side in (0, 1):
+        src = _os.path.join(work, f"src{side}")
+        _os.makedirs(src)
+        # own half plus a 10% slice of the other half = duplicated delivery
+        own = F.col("event_id") % 2 == side
+        leak = (F.col("event_id") % 2 != side) & (F.col("event_id") % 10 == side)
+        stage = _os.path.join(work, f"stage{side}")
+        batch.filter(own | leak).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
+        shutil.copy(_os.path.join(stage, part), _os.path.join(src, "part-00000.parquet"))
+        sentinel = spark.createDataFrame(
+            [(-1 - side, _dt.datetime(2099, 1, 1), -1, "__sentinel__", 0.0, "{}")],
+            batch.schema,
+        )
+        sstage = _os.path.join(work, f"sentinel{side}")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(sstage)
+        part = next(f for f in _os.listdir(sstage) if f.endswith(".parquet"))
+        shutil.copy(_os.path.join(sstage, part), _os.path.join(src, "part-99999.parquet"))
+        srcs.append(
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    sp = (
+        StreamingPipeline(srcs[0].unionByName(srcs[1]))
+        .with_watermark("ts", "10 minutes")
+        .dedupe_within_watermark(["event_id"])
+        .tumbling_distinct_count("ts", "1 hour", [], "user_id", alias="n_users", count_alias="n")
+        .select(F.col("w.start").alias("ws"), "n", "n_users")
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("ws") < "2099-01-01")
+        .select("ws", "n", "n_users")
+        .orderBy("ws")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT event_type AS from_type, to_type, count(*) AS n
+    FROM s WHERE to_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """Turn-taking structure: the first-order transition matrix of each
+    user's event sequence (the transcripts analog is the role bigram
+    user→assistant→tool) — ``lead`` over (ts, event_id) per user, then one
+    count per (from, to) pair.  One shuffle for the per-user sort window,
+    one partial-aggregated count; ties in ts broken by event_id so the
+    sequence (and therefore the matrix) is engine-independent."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
 _BUDGET_ORACLE = """
     WITH s AS (
       SELECT source, doc_id, n_chars,
@@ -5484,6 +5589,8 @@ _ORDER = [
     "budget_cap",
     "stream_budget_cap_oracle",
     "stream_window_topk_oracle",
+    "stream_multi_source_union_oracle",
+    "event_transition_matrix",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "
