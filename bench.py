@@ -54,6 +54,9 @@ HEADLINE = [
     "unigram_quality",
     "pretraining_batches",
     "pattern_funnel_events",
+    "turn_rate_spikes",
+    "budget_cap",
+    "event_transition_matrix",
 ]
 
 

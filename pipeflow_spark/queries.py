@@ -5465,15 +5465,20 @@ _ORDER = [
     "validate_skip_counts",
     "validate_with_results",
     "json_path_props",
-    # window functions / pivot / grouping
-    "window_topn_per_group",
     # change-data-feed on the snapshot table (new in r3; took ntile's slot —
     # ntile stays oracle-green past the boundary)
     "change_feed_orders",
-    "unpivot_lineitem_measures",
-    "grouping_multi",
-    "set_ops_multi",
-    "percentiles_by_type",
+    # late-r3 flagships promoted into the window, funded by demoting five
+    # plain relational shapes (window_topn_per_group / percentiles_by_type —
+    # driver-green in CORRECTNESS_r02 under the same names;
+    # unpivot_lineitem_measures / grouping_multi / set_ops_multi —
+    # judge-verified pass* in r2; all five still oracle-checked past the
+    # boundary by tools/check_oracles.py):
+    "stream_neardup_guard_oracle",
+    "stream_budget_cap_oracle",
+    "stream_turn_rate_spikes_oracle",
+    "stream_window_topk_oracle",
+    "stream_multi_source_union_oracle",
     # event-time windows / sessions / skew
     "sessionize_events",
     "session_transcripts",
@@ -5490,7 +5495,9 @@ _ORDER = [
     # manifest-based file skipping (driver-side min/max prune).
     "stream_left_join_unanswered_oracle",
     "mmr_diverse_topk",
-    "pruned_scan_orders",
+    # the executor-side Python DataSource generator profile (pruned_scan's
+    # slot — a plan-shape proof whose assertions test_plans.py also gates)
+    "gen_transcripts_profile",
     "hybrid_rrf_search",
     # training-data prep (new in r3: chunking and the
     # dedupe→quality→chunk→pack composite flagship)
@@ -5510,6 +5517,12 @@ _ORDER = [
     #  just past the boundary: both are plain group-agg shapes whose oracle
     #  runs in tools/check_oracles.py; the boundary slots go to the two CEP
     #  queries, which certify a genuinely new operator class.)
+    "window_topn_per_group",
+    "unpivot_lineitem_measures",
+    "grouping_multi",
+    "set_ops_multi",
+    "percentiles_by_type",
+    "pruned_scan_orders",
     "vocab_topk",
     "unigram_quality",
     "window_lag_running",
@@ -5582,14 +5595,11 @@ _ORDER = [
     "embed_quantized_topk",
     "stream_fanout_atomic_oracle",
     "reply_latency_profile",
-    "gen_transcripts_profile",
+    # batch twins of the promoted late-r3 streaming flagships (each stream
+    # twin's oracle IS the batch semantics, so these certify via
+    # tools/check_oracles.py past the boundary)
     "turn_rate_spikes",
-    "stream_turn_rate_spikes_oracle",
-    "stream_neardup_guard_oracle",
     "budget_cap",
-    "stream_budget_cap_oracle",
-    "stream_window_topk_oracle",
-    "stream_multi_source_union_oracle",
     "event_transition_matrix",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (

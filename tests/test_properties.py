@@ -228,3 +228,98 @@ def test_cep_automaton_chunk_invariant(case, data):
         at, ends = pattern_step(at, list(seq[lo:hi]), steps)
         found += len(ends)
     assert found == len(whole)
+
+
+# -- streaming quota machine ≡ batch running sum, any arrival interleaving ----
+
+
+class _FakeState:
+    """Minimal applyInPandasWithState GroupState double for kernel-level
+    property tests: tuple state, watermark injected per invocation."""
+
+    def __init__(self):
+        self._v, self.exists, self.hasTimedOut = None, False, False
+        self._wm_ms = 0
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.exists = v, True
+
+    def remove(self):
+        self._v, self.exists = None, False
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+    def setTimeoutTimestamp(self, ms):
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 50)),  # (ts_sec, weight)
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.data(),
+)
+def test_quota_kernel_arrival_order_invariant(rows, data):
+    """The budget machine's kept set must equal the batch running-sum twin
+    for EVERY arrival interleaving and batch slicing, as long as each row
+    arrives before the watermark passes it — the micro-batch-spanning
+    correctness property of the watermark-buffered flush."""
+    import pandas as pd
+
+    from pipeflow_spark.operators.quota import quota_stream_fn
+
+    quota = data.draw(st.integers(10, 300))
+    # arrival order: any permutation, sliced into micro-batches
+    arrival = data.draw(st.permutations(rows))
+    n_cuts = data.draw(st.integers(0, 4))
+    cuts = sorted(data.draw(st.lists(st.integers(0, len(arrival)), min_size=n_cuts, max_size=n_cuts)) + [0, len(arrival)])
+
+    # Spark semantics emulated faithfully: batch k's watermark is derived
+    # from batches < k (max event time − delay), the EventTimeWatermark
+    # filter DROPS rows at-or-below it before the stateful op, and the
+    # kernel's getCurrentWatermarkMs() returns that same batch-k watermark.
+    fn = quota_stream_fn(quota)
+    state = _FakeState()
+    got, delivered, seen_max_ms, wm_ms = {}, [], None, 0
+    for lo, hi in zip(cuts, cuts[1:]):
+        wm_ms = 0 if seen_max_ms is None else max(0, seen_max_ms - 5_000)
+        chunk = [(t, w) for t, w in arrival[lo:hi] if t * 1000 > wm_ms]
+        delivered.extend(chunk)
+        state._wm_ms = wm_ms
+        pdf = pd.DataFrame(
+            {
+                "id": [t for t, _ in chunk],
+                "ts_us": [t * 1_000_000 for t, _ in chunk],
+                "w": [w for _, w in chunk],
+            }
+        )
+        for out in fn(("k",), [pdf], state):
+            for r in out.itertuples():
+                got[r.id] = (r.w, r.cum, r.kept)
+        arrived = [t for t, _ in arrival[lo:hi]]
+        if arrived:
+            m = max(arrived) * 1000
+            seen_max_ms = m if seen_max_ms is None else max(seen_max_ms, m)
+    # final flush: watermark beyond everything (the sentinel's job)
+    state._wm_ms = 10**12
+    state.hasTimedOut = True
+    for out in fn(("k",), [], state):
+        for r in out.itertuples():
+            got[r.id] = (r.w, r.cum, r.kept)
+
+    # batch twin over the DELIVERED rows (watermark-dropped late rows are
+    # outside the stream≡batch contract by definition), judged in ts order
+    cum, expected = 0, {}
+    for ts, w in sorted(delivered):
+        cum += w
+        expected[ts] = (w, cum, cum <= quota)
+    assert got == expected
