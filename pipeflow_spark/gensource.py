@@ -31,13 +31,28 @@ reference benchmarks generate rows in a driver loop,
 ``PipeFlow.Benchmarks/Program.cs``; there is no distributed-generation
 equivalent to cite).
 
-Restart semantics (stream): Spark restores the checkpointed offset and our
-reader object starts fresh, so its admission counter can lag the checkpoint.
-``partitions`` therefore fast-forwards the counter to ``start`` and treats a
-non-advancing range as an empty micro-batch rather than regressing.
+Restart semantics (stream): Spark restores the checkpointed offset but a
+fresh reader object starts with its admission counter at zero — and the
+DataSourceStreamReader API never hands the reader the checkpointed position
+before the first ``latestOffset()`` call.  Verified behavior on this engine
+(Spark 4.1, pinned by ``test_stream_gen_clean_restart_no_duplicates``): the
+micro-batch engine does NOT plan a batch whose end offset is behind the
+checkpoint — the restarted query idles while the counter re-advances over
+empty triggers, then resumes exactly where the checkpoint left off, zero
+duplicates.  The ``progress_path`` option (a tiny file atomically replaced
+on every ``latestOffset``) removes that catch-up lag by restoring the
+counter at-or-above the checkpoint on restart; an over-advanced counter
+(query died between admission and commit) is harmless because the next
+batch's START still comes from the checkpoint and content is pure.  As
+belt-and-suspenders against a future engine that DOES plan a regressed
+range, ``partitions`` fails fast on ``end < start`` instead of silently
+re-generating.
 """
 
 from __future__ import annotations
+
+import datetime as dt
+import os
 
 import numpy as np
 
@@ -121,7 +136,11 @@ def gen_conv_block(
         count=len(t),
     )
     tools = np.where(roles == "tool", np.array(TOOLS)[base % len(TOOLS)], None)
-    epoch_us = np.int64(int(BASE_TS.timestamp() * 1_000_000))
+    # BASE_TS is naive; .timestamp() alone would interpret it in the OS-local
+    # timezone, making generated epochs (and the literal-pinned
+    # gen_transcripts_profile oracle) machine-dependent — pin it to UTC,
+    # matching the Spark session's pinned UTC timezone
+    epoch_us = np.int64(int(BASE_TS.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000))
     ts_us = epoch_us + (np.repeat(starts, sizes) + t * turn_step_sec) * 1_000_000
 
     return pa.RecordBatch.from_arrays(
@@ -214,23 +233,45 @@ class _GenStreamReader(DataSourceStreamReader):
         self.cpb = int(options.get("convs_per_batch", 1024))
         self.parts = int(options.get("partitions", 8))
         self.gen = _opts(options)
+        self.progress_path = options.get("progress_path")
         self._cur = 0
+        if self.progress_path and os.path.exists(self.progress_path):
+            with open(self.progress_path) as f:
+                self._cur = int(f.read().strip() or 0)
 
     def initialOffset(self):
         return {"conv": 0}
+
+    def _persist(self) -> None:
+        if not self.progress_path:
+            return
+        tmp = f"{self.progress_path}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(self._cur))
+        os.replace(tmp, self.progress_path)  # atomic on POSIX
 
     def latestOffset(self):
         nxt = self._cur + self.cpb
         if self.n_convs:
             nxt = min(nxt, self.n_convs)
         self._cur = nxt
+        self._persist()
         return {"conv": self._cur}
 
     def partitions(self, start, end):
         lo, hi = int(start["conv"]), int(end["conv"])
-        # restart: a fresh reader's counter can lag the checkpointed offset —
-        # adopt it so admission resumes from where the query actually is
-        self._cur = max(self._cur, lo, hi)
+        if hi < lo:
+            # a fresh reader's counter lagged the checkpoint: latestOffset
+            # already returned a regressed end, and Spark would chain the
+            # NEXT batch off it — silently re-admitting committed convs.
+            # Fail fast with the remedy instead of duplicating.
+            raise ValueError(
+                f"pipeflow.transcripts_stream offset regressed ({lo} -> {hi}): "
+                "restarting from a checkpoint requires the progress_path "
+                "option (a small file persisting the admission counter) so "
+                "the reader resumes at-or-above the committed offset"
+            )
+        self._cur = max(self._cur, hi)
         return _split(lo, hi, self.parts)
 
     def read(self, partition: _ConvRange):
@@ -245,7 +286,8 @@ class _GenStreamReader(DataSourceStreamReader):
 class TranscriptStreamGenSource(DataSource):
     """``spark.readStream.format("pipeflow.transcripts_stream")`` — the
     rate-controlled unbounded twin (options of ``pipeflow.transcripts`` plus
-    ``convs_per_batch``; ``n_convs=0`` streams forever)."""
+    ``convs_per_batch``; ``n_convs=0`` streams forever; set ``progress_path``
+    to make the admission counter survive query restarts)."""
 
     @classmethod
     def name(cls):

@@ -27,7 +27,7 @@ downstream.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # running stats over CLOSED windows (the key's history) + open buckets
@@ -44,11 +44,13 @@ def spike_output_schema(key_type: str = "long") -> str:
     )
 
 
-def _spike_flag(n, n_prev, sum_prev, max_prev, min_prev: int, factor: int) -> Column:
+def spike_rule(n, n_prev, sum_prev, max_prev, min_prev: int = 3, factor: int = 2):
+    """THE criterion, defined once — polymorphic over plain ints (the
+    streaming kernel) and Columns (the batch twin): every operator is one of
+    ``>=``, ``>``, ``*``, ``&``, which Column overloads and Python ints both
+    support, so the two engines cannot drift apart by editing one copy."""
     return (
-        (n_prev >= F.lit(min_prev))
-        & (n * n_prev > F.lit(factor) * sum_prev)
-        & (n > max_prev)
+        (n_prev >= min_prev) & (n * n_prev > factor * sum_prev) & (n > max_prev)
     )
 
 
@@ -83,7 +85,7 @@ def turn_rate_spikes(
         )
         .withColumn(
             "spike",
-            _spike_flag(
+            spike_rule(
                 F.col("n"), F.col("n_prev"), F.col("sum_prev"), F.col("max_prev"),
                 min_prev, factor,
             ),
@@ -135,9 +137,7 @@ def spike_stream_fn(window_us: int, min_prev: int = 3, factor: int = 2):
         rows = []
         for ws in sorted(w for w in buckets if w + window_us <= wm_us):
             n = buckets.pop(ws)
-            spike = (
-                n_prev >= min_prev and n * n_prev > factor * sum_prev and n > max_prev
-            )
+            spike = bool(spike_rule(n, n_prev, sum_prev, max_prev, min_prev, factor))
             rows.append((k, ws, n, n_prev, sum_prev, max_prev, spike))
             n_prev += 1
             sum_prev += n

@@ -3243,6 +3243,18 @@ def stream_join_replies_e2e(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def _stage_single_parquet(df, stage_dir: str, dest_path: str) -> None:
+    """Write ``df`` as exactly ONE parquet file at ``dest_path`` (via a
+    coalesce(1) stage dir): arrival files must be single-file so
+    ``maxFilesPerTrigger=1`` replays one deterministic micro-batch each."""
+    import os as _os
+    import shutil as _shutil
+
+    df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+    part = next(f for f in _os.listdir(stage_dir) if f.endswith(".parquet"))
+    _shutil.copy(_os.path.join(stage_dir, part), dest_path)
+
+
 def _events_stream_source(spark, sf_dir: str, work: str):
     """Bounded replay of the driver's events table as a file-source stream:
     symlink the real parquet as batch 1, then a far-future ``__sentinel__``
@@ -3269,10 +3281,9 @@ def _events_stream_source(spark, sf_dir: str, work: str):
     sentinel = spark.createDataFrame(
         [(-1, _dt.datetime(2099, 1, 1), -1, "__sentinel__", 0.0, "{}")], batch.schema
     )
-    stage = _os.path.join(work, "sentinel_stage")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
-    _shutil.copy(_os.path.join(stage, part), _os.path.join(src, "part-99999.parquet"))
+    _stage_single_parquet(
+        sentinel, _os.path.join(work, "sentinel_stage"), _os.path.join(src, "part-99999.parquet")
+    )
     return (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
@@ -4752,10 +4763,9 @@ def _documents_stream_source(spark, sf_dir: str, work: str):
     sentinel = spark.createDataFrame(
         [(4_000_000_000, _stxt, "en", "__sentinel__", len(_stxt))], batch.schema
     )
-    stage = _os.path.join(work, "sentinel_stage")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
-    _shutil.copy(_os.path.join(stage, part), _os.path.join(src, "part-99999.parquet"))
+    _stage_single_parquet(
+        sentinel, _os.path.join(work, "sentinel_stage"), _os.path.join(src, "part-99999.parquet")
+    )
     return (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
@@ -5121,12 +5131,11 @@ def stream_neardup_guard_oracle(spark, sf_dir):
     lo = -1
     for i in range(4):
         b = (hi * (i + 1)) // 4 if i < 3 else hi
-        stage = _os.path.join(work, f"stage{i}")
-        docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= b)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
-        shutil.copy(_os.path.join(stage, part), _os.path.join(src, f"part-{i:05d}.parquet"))
+        _stage_single_parquet(
+            docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= b)),
+            _os.path.join(work, f"stage{i}"),
+            _os.path.join(src, f"part-{i:05d}.parquet"),
+        )
         lo = b
 
     stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
@@ -5222,21 +5231,26 @@ def stream_multi_source_union_oracle(spark, sf_dir):
     for side in (0, 1):
         src = _os.path.join(work, f"src{side}")
         _os.makedirs(src)
-        # own half plus a 10% slice of the other half = duplicated delivery
+        # own half plus a ~10% slice of the OTHER half = duplicated delivery
+        # (ids ending in 1 are odd = side 1's rows leaked to side 0; ids
+        # ending in 2 are even = side 0's rows leaked to side 1 — a parity-
+        # consistent predicate; `% 10 == side` would select the empty set)
         own = F.col("event_id") % 2 == side
-        leak = (F.col("event_id") % 2 != side) & (F.col("event_id") % 10 == side)
-        stage = _os.path.join(work, f"stage{side}")
-        batch.filter(own | leak).coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
-        shutil.copy(_os.path.join(stage, part), _os.path.join(src, "part-00000.parquet"))
+        leak = F.col("event_id") % 10 == side + 1
+        _stage_single_parquet(
+            batch.filter(own | leak),
+            _os.path.join(work, f"stage{side}"),
+            _os.path.join(src, "part-00000.parquet"),
+        )
         sentinel = spark.createDataFrame(
             [(-1 - side, _dt.datetime(2099, 1, 1), -1, "__sentinel__", 0.0, "{}")],
             batch.schema,
         )
-        sstage = _os.path.join(work, f"sentinel{side}")
-        sentinel.coalesce(1).write.mode("overwrite").parquet(sstage)
-        part = next(f for f in _os.listdir(sstage) if f.endswith(".parquet"))
-        shutil.copy(_os.path.join(sstage, part), _os.path.join(src, "part-99999.parquet"))
+        _stage_single_parquet(
+            sentinel,
+            _os.path.join(work, f"sentinel{side}"),
+            _os.path.join(src, "part-99999.parquet"),
+        )
         srcs.append(
             spark.readStream.schema(batch.schema)
             .option("maxFilesPerTrigger", 1)

@@ -106,10 +106,10 @@ class StreamingPipeline:
     def _wrap(self, df: DataFrame) -> "StreamingPipeline":
         if self._batch_ops:
             raise ValueError(
-                "refreshing_join is terminal-stage: a later streaming stage "
-                "would run BEFORE the per-batch join (which happens inside "
-                "foreachBatch, after the streaming plan) — chain "
-                "refreshing_join last, just before start_*"
+                "per-batch ops (per_batch / windowed_topk / refreshing_join) "
+                "are terminal-stage: a later streaming stage would run BEFORE "
+                "them (they happen inside foreachBatch, after the streaming "
+                "plan) — chain them last, just before start_*"
             )
         return StreamingPipeline(df)
 
@@ -792,9 +792,10 @@ class StreamingPipeline:
         """Memory sink for tests."""
         if self._batch_ops:
             raise ValueError(
-                "refreshing_join requires a foreachBatch sink "
-                "(start_exactly_once / start_validated / start_upsert) — "
-                "the memory sink cannot apply per-batch ops"
+                "per-batch ops (per_batch / windowed_topk / refreshing_join) "
+                "require a foreachBatch sink (start_exactly_once / "
+                "start_validated / start_upsert) — the memory sink cannot "
+                "apply per-batch ops"
             )
         return (
             self._df.writeStream.outputMode(output_mode)

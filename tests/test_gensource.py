@@ -94,6 +94,7 @@ def test_stream_gen_equals_batch_and_resumes(gen, tmp_path):
             .option("n_convs", n_convs)
             .option("convs_per_batch", cpb)
             .option("partitions", 4)
+            .option("progress_path", str(tmp_path / "progress"))
             .load()
         )
         return (
@@ -129,6 +130,103 @@ def test_stream_gen_equals_batch_and_resumes(gen, tmp_path):
     batch = _read_gen(gen, n_convs, 4)
     assert out.count() == batch.count()  # no dupes, no loss across restart
     assert _rows(out.select(*[f.name for f in TRANSCRIPT_SCHEMA.fields])) == _rows(batch)
+
+
+def test_stream_gen_clean_restart_no_duplicates(gen, tmp_path):
+    """The offset-regression bug class: a CLEAN restart (checkpoint at a
+    committed boundary) with a fresh reader must not re-admit committed
+    conversations.  With progress_path the counter resumes at-or-above the
+    checkpoint immediately; without it the engine (verified: Spark 4.1
+    plans no batch whose end is behind the checkpoint) idles until the
+    fresh counter catches up, then continues — both paths proven
+    duplicate-free by growing the bounded range across restarts."""
+    import time
+
+    from pipeflow_spark.gensource import conv_sizes
+
+    sink = ExactlyOnceSink(str(tmp_path / "sink_cr"))
+    ckpt = str(tmp_path / "ckpt_cr")
+
+    def start(n_convs, progress=True):
+        r = (
+            gen.readStream.format("pipeflow.transcripts_stream")
+            .option("n_convs", n_convs)
+            .option("convs_per_batch", 100)
+            .option("partitions", 2)
+        )
+        if progress:
+            r = r.option("progress_path", str(tmp_path / "progress_cr"))
+        return StreamingPipeline(r.load()).start_exactly_once(
+            sink, ckpt, available_now=False, query_name="gen_cr"
+        )
+
+    def drain(q, n_expected):
+        for _ in range(400):
+            if (
+                sink.committed_batches()
+                and sink.read_committed(gen).count() == n_expected
+            ):
+                break
+            time.sleep(0.25)
+        q.stop()
+        q.awaitTermination()
+
+    n1 = int(conv_sizes(42, 0, 300).sum())
+    q = start(300)
+    drain(q, n1)  # runs to the bounded end: checkpoint at a clean boundary
+    assert sink.read_committed(gen).count() == n1
+
+    # restart with a larger bound: fresh reader, counter restored from the
+    # progress file — only convs 300..600 are admitted, no re-generation
+    n2 = int(conv_sizes(42, 0, 600).sum())
+    q = start(600)
+    drain(q, n2)
+    out = sink.read_committed(gen)
+    assert out.count() == n2
+    dupes = out.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1)
+    assert dupes.count() == 0
+
+    # without progress_path, the same clean restart self-heals: the engine
+    # plans no regressed batch while the fresh counter idles back up, then
+    # resumes from the checkpoint — still zero duplicates
+    sink2 = ExactlyOnceSink(str(tmp_path / "sink_cr2"))
+    r = (
+        gen.readStream.format("pipeflow.transcripts_stream")
+        .option("n_convs", 300)
+        .option("convs_per_batch", 100)
+        .option("partitions", 2)
+    )
+    q = StreamingPipeline(r.load()).start_exactly_once(
+        sink2, str(tmp_path / "ckpt_cr2"), available_now=False, query_name="gen_cr2"
+    )
+    n1b = int(conv_sizes(42, 0, 300).sum())
+    for _ in range(400):
+        if sink2.committed_batches() and sink2.read_committed(gen).count() == n1b:
+            break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination()
+    r2 = (
+        gen.readStream.format("pipeflow.transcripts_stream")
+        .option("n_convs", 600)
+        .option("convs_per_batch", 100)
+        .option("partitions", 2)
+    )
+    q = StreamingPipeline(r2.load()).start_exactly_once(
+        sink2, str(tmp_path / "ckpt_cr2"), available_now=False, query_name="gen_cr2b"
+    )
+    for _ in range(400):
+        if sink2.read_committed(gen).count() == n2:
+            break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination()
+    out2 = sink2.read_committed(gen)
+    assert out2.count() == n2
+    assert (
+        out2.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
+        == 0
+    )
 
 
 def test_stream_gen_rate_control(gen, tmp_path):
