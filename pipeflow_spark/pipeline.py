@@ -363,6 +363,33 @@ class Pipeline:
         drops = keep.filter(~F.col("keep")).select(F.col("node").alias(id_col))
         return self._wrap(self._df.join(drops, id_col, "left_anti"))
 
+    def budget_cap(
+        self, key_col: str, order_col: str, weight_col: str, quota: int,
+        kept_only: bool = True,
+    ) -> "Pipeline":
+        """Fluent per-key prefix budget truncation
+        (:func:`..operators.quota.budget_cap`): keep each key's rows, in
+        ``order_col`` order, while the inclusive running ``weight_col`` total
+        fits ``quota``.  ``kept_only=False`` returns all rows with the
+        ``cum``/``kept`` audit columns instead of filtering."""
+        from .operators.quota import budget_cap as _cap
+
+        out = _cap(self._df, key_col, order_col, weight_col, quota)
+        return self._wrap(out.filter("kept").drop("cum", "kept") if kept_only else out)
+
+    def turn_rate_spikes(
+        self, ts_col: str, key_col: str, window: str = "1 hour",
+        min_prev: int = 3, factor: int = 2,
+    ) -> "Pipeline":
+        """Fluent per-key rate-spike detection
+        (:func:`..operators.anomaly.turn_rate_spikes`): tumbling counts
+        judged against the key's own history with the all-integer
+        ``spike_rule`` — the same criterion the streaming machine applies
+        online."""
+        from .operators.anomaly import turn_rate_spikes as _spikes
+
+        return self._wrap(_spikes(self._df, ts_col, key_col, window, min_prev, factor))
+
     # -- validation (reference: PipeFlow.cs:509-574) --------------------------
     def validate(self, validator: Validator, strategy: ValidationStrategy = ValidationStrategy.SKIP) -> "Pipeline":
         """``Validate(rules, strategy)`` — PipeFlow.cs:509-557.

@@ -151,3 +151,33 @@ def test_fluent_curation_chain(spark):
     assert ids == [1, 5]
     r1 = next(r for r in out if r.doc_id == 1)
     assert "<EMAIL>" in r1.text and r1.n_email >= 1 and r1.q > 0.45
+
+
+def test_fluent_budget_and_spike_bridges(spark):
+    """The late-r3 bridges compose in the same fluent style: budget_cap
+    truncates each key's prefix by weight; turn_rate_spikes flags the burst
+    window (hand math mirrors test_tumbling_spikes_history_survives_idle)."""
+    import datetime as dt
+
+    rows = [
+        ("s1", 1, 30), ("s1", 2, 30), ("s1", 3, 50),  # cum 30/60/110: 3 cut at quota 100
+        ("s2", 1, 100), ("s2", 2, 1),                 # cum 100/101: 2 cut
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id bigint, w bigint")
+    kept = (
+        Pipeline(docs).budget_cap("source", "doc_id", "w", 100).to_list()
+    )
+    assert sorted((r.source, r.doc_id) for r in kept) == [("s1", 1), ("s1", 2), ("s2", 1)]
+    audit = Pipeline(docs).budget_cap("source", "doc_id", "w", 100, kept_only=False).to_list()
+    assert {(r.source, r.doc_id): (r.cum, r.kept) for r in audit}[("s1", 3)] == (110, False)
+
+    h = lambda hh, mm=0: dt.datetime(2025, 1, 1, hh, mm)  # noqa: E731
+    ev = [("A", h(0)), ("A", h(0, 30)), ("A", h(1)), ("A", h(1, 30)),
+          ("A", h(2)), ("A", h(2, 30))] + [("A", h(12, i)) for i in range(9)]
+    edf = spark.createDataFrame(ev, "conv_id string, ts timestamp")
+    out = {
+        (r.conv_id, r.ws.hour): (r.n, r.n_prev, r.sum_prev, r.max_prev, r.spike)
+        for r in Pipeline(edf).turn_rate_spikes("ts", "conv_id").to_list()
+    }
+    assert out[("A", 12)] == (9, 3, 6, 2, True)
+    assert out[("A", 2)] == (2, 2, 4, 2, False)
