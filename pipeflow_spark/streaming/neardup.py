@@ -17,7 +17,7 @@ plain batch DataFrame algebra):
 1. SimHash the batch (one Arrow pass, ``operators/dedupe.simhash64``) and
    explode into pigeonhole blocks (``simhash_blocks``).
 2. Candidate-join the batch's blocks against the accumulated signature STORE
-   (parquet, ``store/batch_id=K`` dirs, only ``K < current`` read — see
+   (parquet, ``store/<namespace>/batch_id=K`` dirs, only ``K < current`` read — see
    replay safety) on ``(blk, bval)``; verify ``bit_count(xor) ≤ max_hamming``
    JVM-side.  Any match ⇒ drop.
 3. Intra-batch: the same pigeonhole self-join within the batch; the LARGER id
@@ -68,24 +68,55 @@ class NearDupGuardSink:
         id_col: str = "doc_id",
         max_hamming: int = 3,
         blocks: int = 4,
+        store_dir: str | None = None,
+        namespace: str = "main",
     ):
+        """``store_dir`` defaults under ``root`` but may point at a SHARED
+        signature store so several ingest queries gate against one combined
+        novelty history (each query keeps its own ledger/kept output under
+        its own root).  Each query writes under its own ``namespace``
+        subdirectory — batch ids are only monotone per query, so namespaces
+        prevent two queries' ``batch_id=N`` dirs from colliding.  Candidate
+        retrieval reads the own namespace with the strictly-earlier batch
+        exclusion (exact within-query semantics) plus EVERY committed dir of
+        other namespaces (cross-query novelty is best-effort by arrival —
+        the race window is the other query's in-flight batch, unavoidable
+        without cross-query coordination)."""
         self.root = root
         self.kept = ExactlyOnceSink(os.path.join(root, "kept"))
-        self.store_dir = os.path.join(root, "store")
-        os.makedirs(self.store_dir, exist_ok=True)
+        self.store_dir = store_dir or os.path.join(root, "store")
+        self.namespace = namespace
+        self.ns_dir = os.path.join(self.store_dir, namespace)
+        os.makedirs(self.ns_dir, exist_ok=True)
         self.text_col, self.id_col = text_col, id_col
         self.max_hamming, self.blocks = max_hamming, blocks
 
     # -- store ----------------------------------------------------------------
-    def _store_batches(self, below: int) -> list[str]:
+    @staticmethod
+    def _committed_dirs(ns_dir: str, below: int | None) -> list[str]:
+        """Committed ``batch_id=K`` dirs in one namespace; ``below`` bounds K
+        (None = all).  Negative ids are compacted segments — strictly-older
+        batches by construction, so they always pass the bound."""
         out = []
-        for d in os.listdir(self.store_dir):
+        if not os.path.isdir(ns_dir):
+            return out
+        for d in os.listdir(ns_dir):
             if not d.startswith("batch_id="):
                 continue
             k = int(d.split("=")[1])
-            if k < below and os.path.exists(os.path.join(self.store_dir, d, "_SUCCESS")):
-                out.append(os.path.join(self.store_dir, d))
+            if (k < 0 or below is None or k < below) and os.path.exists(
+                os.path.join(ns_dir, d, "_SUCCESS")
+            ):
+                out.append(os.path.join(ns_dir, d))
         return sorted(out)
+
+    def _store_batches(self, below: int) -> list[str]:
+        dirs = self._committed_dirs(self.ns_dir, below)
+        for ns in os.listdir(self.store_dir):
+            full = os.path.join(self.store_dir, ns)
+            if ns != self.namespace and os.path.isdir(full):
+                dirs.extend(self._committed_dirs(full, None))
+        return dirs
 
     def _read_store(self, spark, below: int) -> DataFrame | None:
         dirs = self._store_batches(below)
@@ -143,7 +174,7 @@ class NearDupGuardSink:
 
             # store append FIRST (idempotent overwrite of our own dir), so a
             # crash between store write and kept-commit replays cleanly
-            part = os.path.join(self.store_dir, f"batch_id={batch_id}")
+            part = os.path.join(self.ns_dir, f"batch_id={batch_id}")
             if os.path.exists(part):
                 shutil.rmtree(part)
             blocked.write.mode("overwrite").parquet(part)
@@ -154,6 +185,43 @@ class NearDupGuardSink:
             self.kept(kept_rows, batch_id)
         finally:
             blocked.unpersist()
+
+    def compact_store(self, spark) -> int:
+        """Fold the committed per-batch signature dirs into ONE compacted
+        segment (``batch_id=-<seq>``) — without this the store grows a
+        directory per micro-batch forever (a day at 1 s triggers = 86 k
+        dirs; file listing, not data, becomes the bottleneck).
+
+        Only dirs for batches ≤ the kept ledger's high-water mark are folded
+        (those batches can never replay — the ledger skips them — so no
+        future read needs their per-batch identity).  Crash-safety is
+        BY SEMANTICS, not by atomicity: the new segment is committed
+        (``_SUCCESS``) before any old dir is removed, and a crash anywhere
+        leaves signatures present POSSIBLY TWICE — duplicate candidate rows
+        change nothing (the drop set is a semi-join; dups add candidates that
+        verify identically).  Signatures are never absent at any crash
+        point, which is the direction that would corrupt results
+        (a re-admitted near-dup).  Returns the number of dirs folded."""
+        hi = max(self.kept.committed_batches(), default=-1)
+        if hi < 0:
+            return 0
+        # own namespace only: k <= hi plus prior compacted segments
+        olds = self._committed_dirs(self.ns_dir, hi + 1)
+        if len(olds) <= 1:
+            return 0
+        seq = min(
+            (int(os.path.basename(p).split("=")[1]) for p in olds), default=0
+        )
+        seg = os.path.join(self.ns_dir, f"batch_id={min(seq, 0) - 1}")
+        (
+            spark.read.schema("id long, sk long, blk int, bval long")
+            .parquet(*olds)
+            .write.mode("overwrite")
+            .parquet(seg)
+        )
+        for p in olds:
+            shutil.rmtree(p, ignore_errors=True)
+        return len(olds)
 
     # -- read-back ---------------------------------------------------------------
     def read_kept(self, spark) -> DataFrame:

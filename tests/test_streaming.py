@@ -392,6 +392,47 @@ def test_neardup_guard_drops_and_resumes(spark, tmp_path):
     assert all_rows.filter(F.col("count") > 1).count() == 0
 
 
+def test_neardup_guard_store_compaction(spark, tmp_path):
+    """compact_store folds the committed per-batch signature dirs into one
+    negative-id segment without changing ANY future decision: run the guard,
+    compact, then replay the same source into a fresh checkpoint against the
+    compacted store root — decisions must be unchanged (here: re-ingesting
+    the same docs drops everything, since every doc now matches history)."""
+    import os as _os
+
+    from pipeflow_spark.streaming.neardup import NearDupGuardSink
+
+    src, schema = _neardup_docs_src(spark, tmp_path)
+    guard = NearDupGuardSink(str(tmp_path / "gc"))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = StreamingPipeline(stream).start_exactly_once(
+        guard, str(tmp_path / "gc_ck"), query_name="nd_gc"
+    )
+    q.awaitTermination()
+    kept_before = {r.doc_id for r in guard.read_kept(spark).collect()}
+
+    folded = guard.compact_store(spark)
+    assert folded == 3  # one store dir per micro-batch
+    assert sorted(_os.listdir(guard.ns_dir)) == ["batch_id=-1"]
+    assert guard.compact_store(spark) == 0  # idempotent: single segment left
+    assert kept_before == {0, 1, 11, 20, 22}
+
+    # the compacted store must drive identical decisions: re-ingest the same
+    # docs through a SECOND query sharing the store (own root + namespace) —
+    # every doc now matches history, so NOTHING survives the novelty gate
+    guard2 = NearDupGuardSink(
+        str(tmp_path / "gc2"), store_dir=guard.store_dir, namespace="q2"
+    )
+    stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 3).parquet(src)
+    q = StreamingPipeline(stream2).start_exactly_once(
+        guard2, str(tmp_path / "gc_ck2"), query_name="nd_gc2"
+    )
+    q.awaitTermination()
+    assert guard2.read_kept(spark).count() == 0
+    # and the first query's kept output is untouched
+    assert {r.doc_id for r in guard.read_kept(spark).collect()} == kept_before
+
+
 def test_budget_cap_judges_in_event_time_order(spark, tmp_path):
     """The budget machine must judge rows in EVENT-TIME order, not arrival
     order: a big row arriving late (but within the watermark delay) spends
