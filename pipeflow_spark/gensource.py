@@ -287,7 +287,13 @@ class TranscriptStreamGenSource(DataSource):
     """``spark.readStream.format("pipeflow.transcripts_stream")`` — the
     rate-controlled unbounded twin (options of ``pipeflow.transcripts`` plus
     ``convs_per_batch``; ``n_convs=0`` streams forever; set ``progress_path``
-    to make the admission counter survive query restarts)."""
+    to make the admission counter survive query restarts).
+
+    Trigger caveat: Python stream sources don't support
+    ``Trigger.AvailableNow`` — Spark logs a warning and falls back to
+    single-batch execution, which ignores ``convs_per_batch`` pacing.  For
+    rate-controlled runs use a continuous trigger (``available_now=False``
+    on the ``start_*`` helpers) and drain by watching source offsets."""
 
     @classmethod
     def name(cls):
