@@ -103,6 +103,9 @@ def gen_conv_block(
     max_turns: int = 400,
     turn_step_sec: int = 20,
     start_window_sec: int = 6 * 3600,
+    roles: frozenset | None = None,
+    t_lo: int = 0,
+    t_hi: int | None = None,
 ):
     """Synthesize conversations [lo, hi) as one Arrow RecordBatch.
 
@@ -110,6 +113,12 @@ def gen_conv_block(
     role = turn mod 3, tool on tool-turns) so downstream operators see the
     same value distributions; sizes/starts come from counter hashes instead
     of a sequential RNG so any sub-range is computable in isolation.
+
+    ``roles`` / ``t_lo`` / ``t_hi`` are the PUSHED-DOWN predicates (see
+    ``_GenBatchReader.pushFilters``): turn bounds clamp the per-conv ranges
+    before any row materializes (generation work shrinks, not just output);
+    the role filter masks post-hoc (role is t mod 3, so it cannot shrink the
+    arange but does shrink every downstream array and the Arrow transfer).
     """
     import pyarrow as pa
 
@@ -117,15 +126,25 @@ def gen_conv_block(
     ks = np.arange(lo, hi, dtype=np.int64)
     starts = (_hash_u01(seed, 2, ks) * start_window_sec).astype(np.int64)
 
-    conv_k = np.repeat(ks, sizes)
+    if t_hi is not None:
+        sizes = np.minimum(sizes, max(t_hi, 0))
+    t_lo = max(t_lo, 0)
+    counts = np.maximum(sizes - t_lo, 0)
+    conv_k = np.repeat(ks, counts)
     t = (
-        np.concatenate([np.arange(s) for s in sizes])
-        if len(sizes)
+        np.concatenate([np.arange(t_lo, s) for s in sizes if s > t_lo])
+        if counts.sum()
         else np.array([], dtype=np.int64)
     )
+    if roles is not None:
+        # role = t mod 3: the pushed role set is a residue-class mask on t
+        res = np.array([i for i, r in enumerate(ROLES) if r in roles])
+        keep = np.isin(t % 3, res)
+        conv_k, t = conv_k[keep], t[keep]
+
     conv_names = np.array([f"conv_{k:07d}" for k in ks])
     conv_ids = conv_names[conv_k - lo]
-    roles = np.array(ROLES)[t % 3]
+    role_col = np.array(ROLES)[t % 3]
     base = (conv_k * 31 + t * 7) % len(_WORDS)
     suffix_table = np.array(
         [" ".join(_WORDS[(b + 13 * j) % len(_WORDS)] for j in range(6)) for b in range(len(_WORDS))]
@@ -135,19 +154,21 @@ def gen_conv_block(
         dtype=object,
         count=len(t),
     )
-    tools = np.where(roles == "tool", np.array(TOOLS)[base % len(TOOLS)], None)
+    tools = np.where(role_col == "tool", np.array(TOOLS)[base % len(TOOLS)], None)
     # BASE_TS is naive; .timestamp() alone would interpret it in the OS-local
     # timezone, making generated epochs (and the literal-pinned
     # gen_transcripts_profile oracle) machine-dependent — pin it to UTC,
     # matching the Spark session's pinned UTC timezone
     epoch_us = np.int64(int(BASE_TS.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000))
-    ts_us = epoch_us + (np.repeat(starts, sizes) + t * turn_step_sec) * 1_000_000
+    # gather per-row (conv_k-indexed) instead of repeat: stays correct under
+    # both the turn-bound clamps and the role residue mask
+    ts_us = epoch_us + (starts[conv_k - lo] + t * turn_step_sec) * 1_000_000
 
     return pa.RecordBatch.from_arrays(
         [
             pa.array(conv_ids, pa.string()),
             pa.array(t.astype(np.int32), pa.int32()),
-            pa.array(roles, pa.string()),
+            pa.array(role_col, pa.string()),
             pa.array(texts, pa.string()),
             pa.array(tools, pa.string()),
             pa.array(ts_us, pa.timestamp("us")),
@@ -193,6 +214,46 @@ class _GenBatchReader(DataSourceReader):
             options.get("partitions", max(1, self.n_convs // _DEFAULT_CONVS_PER_PART))
         )
         self.gen = _opts(options)
+        # pushed-down predicates (pushFilters): consumed filters MUST be
+        # fully enforced here — Spark will not re-apply them
+        self.roles_pushed: frozenset | None = None
+        self.t_lo: int = 0
+        self.t_hi: int | None = None
+
+    def pushFilters(self, filters):
+        """Absorb the predicates the generator can enforce at the source
+        (requires ``spark.sql.python.filterPushdown.enabled=true``): role
+        equality/membership (role is ``turn mod 3`` — a residue-class mask)
+        and ``turn_idx`` bounds (clamp the per-conv ranges BEFORE any row
+        materializes — generation work shrinks, not just output).  Everything
+        else is yielded back for Spark to evaluate."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if col == "role" and isinstance(f, (EqualTo, In)):
+                vals = {f.value} if isinstance(f, EqualTo) else set(f.value)
+                cur = self.roles_pushed if self.roles_pushed is not None else frozenset(ROLES)
+                self.roles_pushed = frozenset(cur & vals)
+            elif col == "turn_idx" and isinstance(f, LessThan) and isinstance(f.value, int):
+                self.t_hi = f.value if self.t_hi is None else min(self.t_hi, f.value)
+            elif col == "turn_idx" and isinstance(f, LessThanOrEqual) and isinstance(f.value, int):
+                v = f.value + 1
+                self.t_hi = v if self.t_hi is None else min(self.t_hi, v)
+            elif col == "turn_idx" and isinstance(f, GreaterThanOrEqual) and isinstance(f.value, int):
+                self.t_lo = max(self.t_lo, f.value)
+            elif col == "turn_idx" and isinstance(f, GreaterThan) and isinstance(f.value, int):
+                self.t_lo = max(self.t_lo, f.value + 1)
+            else:
+                yield f
 
     def partitions(self):
         return _split(0, self.n_convs, self.parts)
@@ -202,7 +263,14 @@ class _GenBatchReader(DataSourceReader):
         # bounded Arrow batches instead of one giant allocation
         for lo in range(partition.lo, partition.hi, _DEFAULT_CONVS_PER_PART):
             hi = min(lo + _DEFAULT_CONVS_PER_PART, partition.hi)
-            yield gen_conv_block(lo=lo, hi=hi, **self.gen)
+            yield gen_conv_block(
+                lo=lo,
+                hi=hi,
+                roles=self.roles_pushed,
+                t_lo=self.t_lo,
+                t_hi=self.t_hi,
+                **self.gen,
+            )
 
 
 class TranscriptGenSource(DataSource):
@@ -307,6 +375,12 @@ class TranscriptStreamGenSource(DataSource):
 
 
 def register_python_sources(spark) -> None:
-    """Register both generator sources on the session (idempotent)."""
+    """Register both generator sources on the session (idempotent).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime-settable
+    SQL conf): Spark REFUSES to plan a Python reader that implements
+    ``pushFilters`` while the conf is off, so registration without it would
+    arm a delayed AnalysisException on first read."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TranscriptGenSource)
     spark.dataSource.register(TranscriptStreamGenSource)

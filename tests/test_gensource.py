@@ -80,6 +80,39 @@ def test_batch_gen_seed_changes_data(gen):
     assert a != b
 
 
+def test_batch_gen_filter_pushdown(gen):
+    """With spark.sql.python.filterPushdown.enabled, role equality/membership
+    and turn_idx bounds are CONSUMED by the generator (role is turn mod 3 —
+    a residue mask; turn bounds clamp the per-conv ranges before any row
+    materializes).  Results must equal post-hoc filtering of the full table,
+    and the residual plan Filter must not contain the consumed predicates."""
+    prev = gen.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    gen.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        base = _read_gen(gen, 300, 4)
+        full = base.collect()
+        flt = base.filter(
+            (F.col("role").isin("user", "tool"))
+            & (F.col("turn_idx") < 9)
+            & (F.col("turn_idx") > 2)
+        )
+        got = sorted((r.conv_id, r.turn_idx, r.role) for r in flt.collect())
+        want = sorted(
+            (r.conv_id, r.turn_idx, r.role)
+            for r in full
+            if r.role in ("user", "tool") and 2 < r.turn_idx < 9
+        )
+        assert got == want and len(got) > 0
+        plan = flt._jdf.queryExecution().executedPlan().toString()
+        post_filters = [l for l in plan.splitlines() if "Filter " in l]
+        assert all("= user" not in l and "< 9" not in l for l in post_filters), post_filters
+        # consumed-but-unsatisfiable predicates generate nothing (and fast)
+        assert base.filter(F.col("role") == "nonexistent").count() == 0
+        assert base.filter(F.col("turn_idx") < 0).count() == 0
+    finally:
+        gen.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
 def test_stream_gen_equals_batch_and_resumes(gen, tmp_path):
     """Bounded stream through the exactly-once sink == batch generator read,
     across a mid-stream stop/restart from checkpoint (offsets dominate the
