@@ -106,6 +106,8 @@ def gen_conv_block(
     roles: frozenset | None = None,
     t_lo: int = 0,
     t_hi: int | None = None,
+    late_frac: float = 0.0,
+    late_part: str | None = None,
 ):
     """Synthesize conversations [lo, hi) as one Arrow RecordBatch.
 
@@ -136,6 +138,15 @@ def gen_conv_block(
         if counts.sum()
         else np.array([], dtype=np.int64)
     )
+    if late_part is not None:
+        # turn-level late selection — a pure hash of (conv, turn), so the
+        # on-time and late halves partition the row set exactly and any
+        # reader computes either half in isolation (max_turns < 512 keeps
+        # conv*512+t collision-free)
+        is_late = _hash_u01(seed, 3, conv_k * 512 + t) < late_frac
+        keep = is_late if late_part == "late" else ~is_late
+        conv_k, t = conv_k[keep], t[keep]
+
     if roles is not None:
         # role = t mod 3: the pushed role set is a residue-class mask on t
         res = np.array([i for i, r in enumerate(ROLES) if r in roles])
@@ -301,6 +312,13 @@ class _GenStreamReader(DataSourceStreamReader):
         self.cpb = int(options.get("convs_per_batch", 1024))
         self.parts = int(options.get("partitions", 8))
         self.gen = _opts(options)
+        # late-arrival emulation: a pure-hash late_frac of turns is DUE
+        # late_delay_convs conversations after its home position, so
+        # arrival is genuinely out of event-time order (what a watermark
+        # engine must actually be fed) while replay stays exact — every
+        # row's due position is a pure function of (seed, conv, turn)
+        self.late_frac = float(options.get("late_frac", 0.0))
+        self.late_delay = int(options.get("late_delay_convs", 0))
         self.progress_path = options.get("progress_path")
         self._cur = 0
         if self.progress_path and os.path.exists(self.progress_path):
@@ -321,7 +339,9 @@ class _GenStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         nxt = self._cur + self.cpb
         if self.n_convs:
-            nxt = min(nxt, self.n_convs)
+            # the offset range extends past n_convs by the late-delay horizon
+            # so the final conversations' delayed turns still get a due batch
+            nxt = min(nxt, self.n_convs + (self.late_delay if self.late_frac else 0))
         self._cur = nxt
         self._persist()
         return {"conv": self._cur}
@@ -342,10 +362,32 @@ class _GenStreamReader(DataSourceStreamReader):
         self._cur = max(self._cur, hi)
         return _split(lo, hi, self.parts)
 
+    def _clamp(self, lo: int, hi: int) -> tuple[int, int]:
+        n = self.n_convs or None
+        lo, hi = max(lo, 0), (min(hi, n) if n else hi)
+        return lo, max(hi, lo)
+
     def read(self, partition: _ConvRange):
         for lo in range(partition.lo, partition.hi, _DEFAULT_CONVS_PER_PART):
             hi = min(lo + _DEFAULT_CONVS_PER_PART, partition.hi)
-            yield gen_conv_block(lo=lo, hi=hi, **self.gen)
+            if not self.late_frac:
+                yield gen_conv_block(lo=lo, hi=hi, **self.gen)
+                continue
+            # due-position semantics: on-time turns of convs [lo,hi) plus the
+            # LATE turns of convs [lo-delay, hi-delay) — each row appears in
+            # exactly one due range, so replay and restart stay exact
+            on_lo, on_hi = self._clamp(lo, hi)
+            if on_hi > on_lo:
+                yield gen_conv_block(
+                    lo=on_lo, hi=on_hi,
+                    late_frac=self.late_frac, late_part="on_time", **self.gen,
+                )
+            lt_lo, lt_hi = self._clamp(lo - self.late_delay, hi - self.late_delay)
+            if lt_hi > lt_lo:
+                yield gen_conv_block(
+                    lo=lt_lo, hi=lt_hi,
+                    late_frac=self.late_frac, late_part="late", **self.gen,
+                )
 
     def commit(self, end):
         pass

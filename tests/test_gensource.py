@@ -262,6 +262,70 @@ def test_stream_gen_clean_restart_no_duplicates(gen, tmp_path):
     )
 
 
+def test_stream_gen_late_arrivals(gen, tmp_path):
+    """late_frac delays a pure-hash subset of turns by late_delay_convs due
+    positions: the stream is genuinely out of event-time order (what a
+    watermark engine must be fed), rows partition exactly between on-time
+    and late halves (union ≡ the batch table, no dupes, no loss), and the
+    late rows arrive in strictly later batches than their home convs."""
+    import time
+
+    from pipeflow_spark.gensource import conv_sizes
+
+    n_convs, cpb, delay = 600, 150, 300
+    sink = ExactlyOnceSink(str(tmp_path / "sink_late"))
+    df = (
+        gen.readStream.format("pipeflow.transcripts_stream")
+        .option("n_convs", n_convs)
+        .option("convs_per_batch", cpb)
+        .option("partitions", 4)
+        .option("late_frac", 0.3)
+        .option("late_delay_convs", delay)
+        .load()
+    )
+    q = StreamingPipeline(df).start_exactly_once(
+        sink, str(tmp_path / "ckpt_late"), available_now=False, query_name="gen_late"
+    )
+    n_expected = int(conv_sizes(42, 0, n_convs).sum())
+    try:
+        for _ in range(400):
+            if sink.committed_batches() and sink.read_committed(gen).count() == n_expected:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    out = sink.read_committed(gen)
+    assert out.count() == n_expected  # exact partition: no dupes, no loss
+    assert _rows(out.select(*[f.name for f in out.schema.fields if f.name != "_batch_id"])) == _rows(
+        _read_gen(gen, n_convs, 4)
+    )
+    # disorder is real: some batch contains a row older than an earlier
+    # batch's maximum event time
+    per_batch = {
+        r._batch_id: (r.mn, r.mx)
+        for r in out.groupBy("_batch_id").agg(
+            F.min("ts").alias("mn"), F.max("ts").alias("mx")
+        ).collect()
+    }
+    bs = sorted(per_batch)
+    assert any(
+        per_batch[b][0] < max(per_batch[a][1] for a in bs if a < b)
+        for b in bs[1:]
+    )
+    # and the lateness is structural, not just overlapping conv starts: rows
+    # exist whose conversation is OLDER than their batch's due range (the
+    # delayed half), including in the extension batches past n_convs
+    conv_idx = F.regexp_extract("conv_id", r"(\d+)", 1).cast("long")
+    displaced = out.withColumn("ci", conv_idx).filter(
+        F.col("ci") < F.col("_batch_id") * cpb
+    )
+    assert displaced.count() > 0
+    tail = out.filter(F.col("_batch_id") >= n_convs // cpb)
+    assert tail.count() > 0  # the extension horizon carried the last late rows
+
+
 def test_stream_gen_rate_control(gen, tmp_path):
     """convs_per_batch bounds admission: with 100 convs/batch over 300 convs,
     at least 3 distinct micro-batches carry data."""
