@@ -79,19 +79,21 @@ class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
         return Pipeline(spark.read.options(wholetext=whole_text, **options).text(path))
 
     @staticmethod
-    def avro(spark, path: str, **options) -> Pipeline:
-        """Avro — row format for streaming interchange.  The ``spark-avro``
-        module is external since Spark 2.4; without the jar on the classpath
-        this raises with the spark-submit flag to add."""
-        try:
-            return Pipeline(spark.read.format("avro").options(**options).load(path))
-        except Exception as ex:  # AnalysisException: data source not found
-            if "avro" in str(ex).lower():
-                raise RuntimeError(
-                    "spark-avro is not on the classpath; launch with "
-                    "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
-                ) from ex
-            raise
+    def avro(spark, path: str, split_mb: float | None = None, **options) -> Pipeline:
+        """Avro — row format for streaming interchange.  Prefers the JVM
+        ``spark-avro`` module (external since Spark 2.4) when its jar is on
+        the classpath; otherwise falls back to the repo's stdlib-only OCF
+        codec (:mod:`pipeflow_spark.avro_py` — distributed ``binaryFile`` +
+        ``mapInPandas`` decode, sync-marker splittable via ``split_mb``)."""
+        from . import avro_py
+
+        if split_mb is None:
+            try:
+                return Pipeline(spark.read.format("avro").options(**options).load(path))
+            except Exception as ex:  # AnalysisException: data source not found
+                if "avro" not in str(ex).lower():
+                    raise
+        return Pipeline(avro_py.read_avro(spark, path, split_mb=split_mb))
 
     @staticmethod
     def jdbc(spark, url: str, table: str, **options) -> Pipeline:

@@ -5441,6 +5441,52 @@ def stream_turn_rate_spikes_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "avro_roundtrip_events",
+    """
+    SELECT event_type,
+           count(*)                 AS n,
+           count(DISTINCT user_id)  AS n_users,
+           min(ts)                  AS first_ts,
+           max(ts)                  AS last_ts,
+           round(sum(value), 4)     AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def avro_roundtrip_events(spark, sf_dir):
+    """Avro OCF round-trip (stdlib codec, `avro_py.py`): events → executor-
+    encoded deflate part files → distributed decode → aggregate.  The oracle
+    aggregates the original parquet table, so a green row proves the
+    round-trip is value-exact (timestamps to the microsecond, doubles
+    bit-for-bit) — the spark-avro-jar gap closed with from-scratch code."""
+    import shutil
+    import tempfile
+
+    from .avro_py import read_avro, write_avro
+
+    work = tempfile.mkdtemp(prefix="pipeflow_avro_rt_")
+    try:
+        write_avro(_t(spark, sf_dir, "events"), work, codec="deflate")
+        back = read_avro(spark, work)
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .orderBy("event_type")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _ORDER = [
     # TPC-H shapes (scan/filter/join/agg plan quality)
     "q1_pricing_summary",
@@ -5615,6 +5661,8 @@ _ORDER = [
     "turn_rate_spikes",
     "budget_cap",
     "event_transition_matrix",
+    # Avro OCF round-trip through the stdlib codec (avro_py.py)
+    "avro_roundtrip_events",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

@@ -153,17 +153,18 @@ class write:  # noqa: N801 — fluent exit, mirrors reference `.ToCsv/.ToJson/..
         w.saveAsTable(table)
 
     @staticmethod
-    def avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-        """Gated like :meth:`read.avro` — external module since Spark 2.4."""
+    def avro(df: DataFrame, path: str, mode: str = "overwrite", codec: str = "deflate") -> None:
+        """Prefers JVM ``spark-avro`` when its jar is present; otherwise the
+        stdlib OCF writer (:func:`pipeflow_spark.avro_py.write_avro` — one
+        executor-encoded part file per partition)."""
         try:
             df.write.mode(mode).format("avro").save(path)
         except Exception as ex:
-            if "avro" in str(ex).lower():
-                raise RuntimeError(
-                    "spark-avro is not on the classpath; launch with "
-                    "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
-                ) from ex
-            raise
+            if "avro" not in str(ex).lower():
+                raise
+            from . import avro_py
+
+            avro_py.write_avro(df, path, codec=codec, mode=mode)
 
 
 _CURRENT = "_CURRENT"
