@@ -90,9 +90,18 @@ class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
         if split_mb is None:
             try:
                 return Pipeline(spark.read.format("avro").options(**options).load(path))
-            except Exception as ex:  # AnalysisException: data source not found
-                if "avro" not in str(ex).lower():
+            except Exception as ex:
+                # only the jar-absent failure falls back; real read errors
+                # (bad schema, bad path, conversion) propagate unmasked
+                if not avro_py.jar_missing(ex):
                     raise
+        if options:
+            raise ValueError(
+                "the stdlib Avro codec (spark-avro jar absent or split_mb "
+                "set) supports no reader options; got %s — drop them or add "
+                "the jar via --packages org.apache.spark:spark-avro_2.13:<ver>"
+                % sorted(options)
+            )
         return Pipeline(avro_py.read_avro(spark, path, split_mb=split_mb))
 
     @staticmethod

@@ -32,7 +32,16 @@ Scale design
     scans forward to the next sync marker, and decodes exactly the blocks
     that *start* inside its range — standard split ownership, so every block
     is decoded exactly once and a single 10 GB file fans out across the
-    cluster.
+    cluster.  Per-task I/O is bounded to the split plus one block overhang
+    (streamed, consumed bytes dropped) — never the whole file.  Files over
+    1 GB auto-route through the split plan (``binaryFile`` caps a row at
+    2 GB).
+* Kernels run on ``mapInArrow`` (not pandas): the validity bitmap keeps SQL
+  NULL distinct from float NaN, and temporal/decimal values round-trip as
+  native Python objects at any nesting depth — timestamps are true UTC
+  epoch micros regardless of ``spark.sql.session.timeZone`` (the Arrow type
+  carries the zone), decimals convert under an explicit precision-78
+  context so precision-38 values never round.
 * The per-value work is necessarily Python (it is a byte-level codec), but
   it runs Arrow-batched inside the kernels — never ``F.udf`` row-at-a-time
   in a Spark plan.
@@ -47,6 +56,7 @@ writer because Spark has no corresponding type.
 
 from __future__ import annotations
 
+import datetime as _dt
 import decimal as _decimal
 import io
 import json
@@ -60,6 +70,49 @@ from pyspark.sql import types as T
 
 _MAGIC = b"Obj\x01"
 _SYNC_LEN = 16
+
+# Spark DecimalType precision tops out at 38; the default decimal context
+# (prec=28) silently ROUNDS larger unscaled values during scaleb, so every
+# decimal conversion in this module runs under an explicit high-precision
+# context (78 digits covers precision-38 values times any scale shift).
+_HIPREC = _decimal.Context(prec=78)
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_NAIVE = _dt.datetime(1970, 1, 1)
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_MICRO = _dt.timedelta(microseconds=1)
+
+
+def _micros(v) -> int:
+    """Any timestamp representation → exact epoch micros (integer arithmetic,
+    no float round-trip).  tz-aware datetimes convert through UTC; naive ones
+    are taken as already-UTC wall clock (the NTZ path).  Ints pass through."""
+    if isinstance(v, int):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            return (v - _EPOCH_UTC) // _MICRO
+        return (v - _EPOCH_NAIVE) // _MICRO
+    # numpy datetime64 / pandas Timestamp — normalize via the ns value
+    import pandas as pd
+
+    ts = pd.Timestamp(v)
+    if ts.tzinfo is not None:
+        ts = ts.tz_convert("UTC").tz_localize(None)
+    return ts.value // 1000
+
+
+def _days(v) -> int:
+    """date / datetime / int → days since epoch."""
+    if isinstance(v, int):
+        return v
+    if isinstance(v, _dt.datetime):
+        return (v.date() - _EPOCH_DATE).days
+    if isinstance(v, _dt.date):
+        return (v - _EPOCH_DATE).days
+    import pandas as pd
+
+    return (pd.Timestamp(v) - pd.Timestamp("1970-01-01")).days
 
 
 # ---------------------------------------------------------------------------
@@ -285,9 +338,13 @@ def _build_encoder(avsc):
     if t == "boolean":
         return lambda v, out: out.append(1 if v else 0)
     if t in ("int", "long"):
-        if node.get("logicalType") == "date":
-            # value arrives as days-since-epoch int (pre-converted)
-            return lambda v, out: _enc_long(int(v), out)
+        lt = node.get("logicalType")
+        if lt == "date":
+            return lambda v, out: _enc_long(_days(v), out)
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            return lambda v, out: _enc_long(_micros(v), out)
+        if lt in ("timestamp-millis", "local-timestamp-millis"):
+            return lambda v, out: _enc_long(_micros(v) // 1000, out)
         return lambda v, out: _enc_long(int(v), out)
     if t == "float":
         pk = struct.pack
@@ -308,7 +365,11 @@ def _build_encoder(avsc):
 
         def enc_bytes(v, out):
             if scale is not None and isinstance(v, _decimal.Decimal):
-                unscaled = int(v.scaleb(scale).to_integral_value())
+                # high-precision context: the default prec=28 rounds
+                # precision>28 decimals (Spark allows up to 38)
+                unscaled = int(
+                    v.scaleb(scale, _HIPREC).to_integral_value(context=_HIPREC)
+                )
                 blen = max(1, (unscaled.bit_length() + 8) // 8)
                 v = unscaled.to_bytes(blen, "big", signed=True)
             b = bytes(v)
@@ -332,10 +393,12 @@ def _build_encoder(avsc):
         enc_val = _build_encoder(node["values"])
 
         def enc_map(v, out):
+            # Arrow delivers maps as list-of-(k, v) pairs; dicts also accepted
+            items = v.items() if isinstance(v, dict) else v
             n = len(v)
             if n:
                 _enc_long(n, out)
-                for k, item in v.items():
+                for k, item in items:
                     kb = k.encode("utf-8")
                     _enc_long(len(kb), out)
                     out += kb
@@ -379,17 +442,19 @@ def _build_decoder(avsc):
         return dec_bool
     if t == "int":
         if node.get("logicalType") == "date":
-            import datetime as _dt
-
-            epoch = _dt.date(1970, 1, 1)
             day = _dt.timedelta(days=1)
-            return lambda c: epoch + day * c.long()
+            return lambda c: _EPOCH_DATE + day * c.long()
         return lambda c: c.long()
     if t == "long":
         lt = node.get("logicalType")
-        if lt and lt.startswith(("timestamp-", "local-timestamp-")):
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            # tz-aware UTC datetimes: unambiguous at any nesting depth and
+            # under any session timezone (Arrow converts on the way back in)
             mult = 1000 if lt.endswith("-millis") else 1
-            return lambda c: c.long() * mult  # epoch micros; vectorized later
+            return lambda c: _EPOCH_UTC + _MICRO * (c.long() * mult)
+        if lt in ("local-timestamp-micros", "local-timestamp-millis"):
+            mult = 1000 if lt.endswith("-millis") else 1
+            return lambda c: _EPOCH_NAIVE + _MICRO * (c.long() * mult)
         return lambda c: c.long()
     if t == "float":
         unpk = struct.unpack_from
@@ -416,6 +481,16 @@ def _build_decoder(avsc):
         return lambda c: symbols[c.long()]
     if t == "fixed":
         size = node["size"]
+        if node.get("logicalType") == "decimal":
+            # spec-legal: decimal over fixed — maps to DecimalType like the
+            # bytes form, so decode it as one (not as raw bytes)
+            scale = node.get("scale", 0)
+
+            def dec_fixed_dec(c):
+                unscaled = int.from_bytes(c.raw(size), "big", signed=True)
+                return _decimal.Decimal(unscaled).scaleb(-scale, _HIPREC)
+
+            return dec_fixed_dec
         return lambda c: c.raw(size)
     if t == "bytes":
         if node.get("logicalType") == "decimal":
@@ -424,7 +499,7 @@ def _build_decoder(avsc):
             def dec_dec(c):
                 b = c.bytes_()
                 unscaled = int.from_bytes(b, "big", signed=True)
-                return _decimal.Decimal(unscaled).scaleb(-scale)
+                return _decimal.Decimal(unscaled).scaleb(-scale, _HIPREC)
 
             return dec_dec
         return lambda c: c.bytes_()
@@ -593,64 +668,77 @@ def decode_container(buf: bytes, *, start: int | None = None, end: int | None = 
 
 
 # ---------------------------------------------------------------------------
-# pandas bridge (kernel side)
+# Arrow bridge (kernel side)
+#
+# Both kernels run on ``mapInArrow``, not ``mapInPandas``: the pandas hop
+# collapses SQL NULL and float NaN into one value (both become NaN in a
+# float64 Series) and strips timezone fidelity from nested timestamps.
+# Arrow record batches keep the validity bitmap (null ≠ NaN) and carry the
+# session timezone in the type, so ``to_pylist`` / ``from_pylist`` round-trip
+# every supported type exactly — including temporals and decimals nested
+# inside structs/arrays/maps.
 # ---------------------------------------------------------------------------
 
-def _pdf_to_records(pdf, schema: T.StructType):
-    """pandas batch → list of plain-python row dicts matching the Avro
-    encoders (timestamps → epoch micros, dates → days, NaN/NaT → None)."""
-    import numpy as np
-    import pandas as pd
+def _arrow_type(dt: T.DataType, tz: str):
+    import pyarrow as pa
 
-    cols = {}
-    for f in schema.fields:
-        s = pdf[f.name]
-        dt = f.dataType
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            vals = [None if pd.isna(v) else int(pd.Timestamp(v).value // 1000) for v in s]
-        elif isinstance(dt, T.DateType):
-            epoch = pd.Timestamp("1970-01-01")
-            vals = [
-                None if pd.isna(v) else (pd.Timestamp(v) - epoch).days for v in s
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.ByteType):
+        return pa.int8()
+    if isinstance(dt, T.ShortType):
+        return pa.int16()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz=tz)
+    if isinstance(dt, T.TimestampNTZType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(
+            pa.field("element", _arrow_type(dt.elementType, tz), dt.containsNull)
+        )
+    if isinstance(dt, T.MapType):
+        return pa.map_(pa.string(), _arrow_type(dt.valueType, tz))
+    if isinstance(dt, T.StructType):
+        return pa.struct(
+            [
+                pa.field(f.name, _arrow_type(f.dataType, tz), f.nullable)
+                for f in dt.fields
             ]
-        elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
-            out = []
-            for v in s:
-                if v is None or (isinstance(v, float) and np.isnan(v)):
-                    out.append(None)
-                elif isinstance(dt, T.ArrayType):
-                    out.append(list(v))
-                elif isinstance(dt, T.MapType) and not isinstance(v, dict):
-                    out.append(dict(v))  # Arrow maps arrive as [(k, v), ...]
-                elif isinstance(dt, T.StructType) and not isinstance(v, dict):
-                    out.append(v.asDict(recursive=True))
-                else:
-                    out.append(v)
-            vals = out
-        elif isinstance(dt, T.BinaryType):
-            vals = [None if v is None else bytes(v) for v in s]
-        else:
-            vals = [None if pd.isna(v) else v for v in s.tolist()]
-        cols[f.name] = vals
-    names = list(cols)
-    return [dict(zip(names, row)) for row in zip(*(cols[n] for n in names))]
+        )
+    raise TypeError("unsupported Spark type for Arrow bridge: %s" % dt)
 
 
-def _records_to_pdf(rows: list, schema: T.StructType):
-    """row dicts (decoder output) → pandas frame Arrow-convertible to
-    ``schema`` (timestamp columns arrive as epoch micros)."""
-    import pandas as pd
+def _arrow_schema(schema: T.StructType, tz: str):
+    import pyarrow as pa
 
-    data = {}
-    for f in schema.fields:
-        vals = [r[f.name] for r in rows]
-        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
-            data[f.name] = pd.to_datetime(
-                pd.Series(vals, dtype="object"), unit="us"
-            )
-        else:
-            data[f.name] = pd.Series(vals, dtype="object")
-    return pd.DataFrame(data)
+    return pa.schema(
+        [pa.field(f.name, _arrow_type(f.dataType, tz), f.nullable) for f in schema.fields]
+    )
+
+
+def _rows_to_batch(rows: list, arrow_schema):
+    """decoder row dicts → Arrow RecordBatch.  Values are plain Python
+    (tz-aware UTC datetimes, date, Decimal, bytes, NaN-as-float), which Arrow
+    converts losslessly — None stays null, NaN stays NaN."""
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -676,6 +764,11 @@ def write_avro(
     """Write ``df`` as a directory of Avro OCF part files (one per
     partition, encoded on the executors).  Returns the per-part report.
 
+    ``mode`` follows Spark writer semantics: ``overwrite`` clears prior
+    part files, ``append`` adds a new uniquely-named commit generation,
+    ``error``/``errorifexists`` raises on existing output, ``ignore``
+    returns without writing.
+
     Local/NFS filesystem writer — executors use the local file API, like the
     checkpoint and snapshot sinks in this repo.  On an object store you
     would route the same bytes through the store's SDK in the kernel.
@@ -684,28 +777,50 @@ def write_avro(
 
     if codec not in ("null", "deflate"):
         raise ValueError("codec must be 'null' or 'deflate'")
-    spark_schema = df.schema
-    avsc = spark_to_avro_schema(spark_schema)
+    if mode not in ("overwrite", "append", "error", "errorifexists", "ignore"):
+        raise ValueError("unsupported write mode: %r" % mode)
+    existing = (
+        [f for f in os.listdir(path) if f.endswith(".avro")]
+        if os.path.isdir(path)
+        else []
+    )
+    if existing:
+        if mode in ("error", "errorifexists"):
+            raise FileExistsError("Avro output already exists: %s" % path)
+        if mode == "ignore":
+            return []
     if mode == "overwrite" and os.path.isdir(path):
         for fn in os.listdir(path):
             if fn.endswith(".avro") or fn == "_SUCCESS":
                 os.unlink(os.path.join(path, fn))
+        existing = []
     os.makedirs(path, exist_ok=True)
+    # append: a new commit generation — part names carry the generation so
+    # a second write never clobbers the first (task retries within one
+    # write still converge: the name is keyed on (generation, partition))
+    gen = 0
+    if mode == "append" and existing:
+        gen = 1 + max(_part_generations(existing), default=0)
+
+    spark_schema = df.schema
+    avsc = spark_to_avro_schema(spark_schema)
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    report_schema = _arrow_schema(_WRITE_REPORT, tz)
 
     def kernel(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         enc = _build_encoder(avsc)
-        sync = hashlib.md5(("%s#%d" % (path, pid)).encode()).digest()
-        fname = os.path.join(path, "part-%05d.avro" % pid)
+        sync = hashlib.md5(("%s#%d#%d" % (path, gen, pid)).encode()).digest()
+        fname = os.path.join(path, "part-%05d-g%04d.avro" % (pid, gen))
         tmp = fname + ".tmp%d" % TaskContext.get().taskAttemptId()
         nrows = 0
         with open(tmp, "wb") as out:
             _write_header(out, avsc, codec, sync)
             pending = []
-            for pdf in batches:
-                pending.extend(_pdf_to_records(pdf, spark_schema))
+            for batch in batches:
+                pending.extend(batch.to_pylist())
                 while len(pending) >= rows_per_block:
                     chunk, pending = pending[:rows_per_block], pending[rows_per_block:]
                     _flush_block(out, chunk, enc, codec, sync)
@@ -714,16 +829,35 @@ def write_avro(
                 _flush_block(out, pending, enc, codec, sync)
                 nrows += len(pending)
         os.replace(tmp, fname)  # atomic; retries converge on the same name
-        import pandas as pd
-
-        yield pd.DataFrame(
-            {"part": [os.path.basename(fname)], "rows": [nrows], "bytes": [os.path.getsize(fname)]}
+        yield _rows_to_batch(
+            [
+                {
+                    "part": os.path.basename(fname),
+                    "rows": nrows,
+                    "bytes": os.path.getsize(fname),
+                }
+            ],
+            report_schema,
         )
 
-    report = df.mapInPandas(kernel, schema=_WRITE_REPORT).collect()
+    report = df.mapInArrow(kernel, schema=_WRITE_REPORT).collect()
     with open(os.path.join(path, "_SUCCESS"), "w"):
         pass
     return report
+
+
+def _part_generations(names) -> list:
+    """Parse the ``-gNNNN`` generation tag out of part file names (legacy
+    un-tagged parts count as generation 0)."""
+    gens = []
+    for n in names:
+        stem = n[:-5] if n.endswith(".avro") else n
+        tag = stem.rsplit("-g", 1)
+        if len(tag) == 2 and tag[1].isdigit():
+            gens.append(int(tag[1]))
+        else:
+            gens.append(0)
+    return gens
 
 
 def _flush_block(out, chunk, enc, codec, sync):
@@ -766,6 +900,12 @@ def _avro_files(path: str) -> list:
     return [path]
 
 
+# binaryFile materializes each file as ONE row, hard-capped at 2 GB content
+# by Spark; files near/over that route through the split plan automatically.
+_WHOLE_FILE_CAP = 1 << 30  # 1 GB — well under the cap, avoids 2 GB task rows
+_AUTO_SPLIT_MB = 128.0
+
+
 def read_avro(
     spark: SparkSession,
     path: str,
@@ -776,31 +916,39 @@ def read_avro(
 
     Default: ``binaryFile`` + per-file decode.  ``split_mb`` switches to the
     sync-marker range plan — large files fan out into ~``split_mb`` slices,
-    each decoded by its own task (split ownership on the block start).
+    each decoded by its own task (split ownership on the block start, I/O
+    bounded to the slice plus one block overhang — never the whole file).
+    Files over 1 GB take the split plan automatically: Spark's
+    ``binaryFile`` source caps content at 2 GB per row.
     """
     if schema is None:
         schema = avro_schema_of(path)
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
 
+    files = _avro_files(path)
+    if split_mb is None and any(os.path.getsize(f) > _WHOLE_FILE_CAP for f in files):
+        split_mb = _AUTO_SPLIT_MB
     if split_mb is not None:
-        return _read_avro_split(spark, path, schema, split_mb)
+        return _read_avro_split(spark, files, schema, split_mb, tz)
 
     target = os.path.join(path, "*.avro") if os.path.isdir(path) else path
     binf = spark.read.format("binaryFile").load(target).select("content")
+    arrow_out = _arrow_schema(schema, tz)
 
     def kernel(batches):
-        for pdf in batches:
-            for blob in pdf["content"]:
-                _, rows = decode_container(bytes(blob))
+        for batch in batches:
+            for blob in batch.column(0):
+                _, rows = decode_container(blob.as_py())
                 if rows:
-                    yield _records_to_pdf(rows, schema)
+                    yield _rows_to_batch(rows, arrow_out)
 
-    return binf.mapInPandas(kernel, schema=schema)
+    return binf.mapInArrow(kernel, schema=schema)
 
 
-def _read_avro_split(spark, path, schema, split_mb):
+def _read_avro_split(spark, files, schema, split_mb, tz):
     split = max(1, int(split_mb * 1024 * 1024))
     ranges = []
-    for f in _avro_files(path):
+    for f in files:
         size = os.path.getsize(f)
         start = 0
         while start < size:
@@ -809,18 +957,89 @@ def _read_avro_split(spark, path, schema, split_mb):
     plan = spark.createDataFrame(
         ranges, schema="file string, start long, end long"
     ).repartition(max(1, len(ranges)))
+    arrow_out = _arrow_schema(schema, tz)
 
     def kernel(batches):
-        for pdf in batches:
-            for f, s, e in zip(pdf["file"], pdf["start"], pdf["end"]):
-                with open(f, "rb") as fh:
-                    buf = fh.read()  # local-FS simplification; a real
-                    # object-store reader would fetch [s - 16, e + block]
-                _, rows = decode_container(buf, start=int(s), end=int(e))
+        for batch in batches:
+            for r in batch.to_pylist():
+                rows = _decode_ranged(r["file"], int(r["start"]), int(r["end"]))
                 if rows:
-                    yield _records_to_pdf(rows, schema)
+                    yield _rows_to_batch(rows, arrow_out)
 
-    return plan.mapInPandas(kernel, schema=schema)
+    return plan.mapInArrow(kernel, schema=schema)
+
+
+def _decode_ranged(path: str, start: int, end: int) -> list:
+    """Decode exactly the blocks that *start* inside ``[start, end)`` with
+    I/O proportional to the range: seek to the range, scan at most
+    ``end - start + 16`` bytes for the owning sync marker, then stream
+    blocks — reading past ``end`` only for the final owned block's body
+    (the standard Hadoop split-ownership overhang), never the whole file.
+    """
+    avsc, codec, sync, hlen = _read_header_file(path)
+    dec = _build_decoder(avsc)
+    size = os.path.getsize(path)
+    rows: list = []
+    chunk = 1 << 20
+    with open(path, "rb") as fh:
+        if start <= hlen:
+            pos = hlen
+        else:
+            # A block at p is preceded by its sync at p-16; the first block
+            # this split owns has p in [start, end), so its sync starts in
+            # [start-16, end-16).  Scan that window (+15 bytes of sync tail).
+            scan_from = max(hlen, start - _SYNC_LEN)
+            fh.seek(scan_from)
+            window = fh.read(max(0, end - scan_from) + _SYNC_LEN)
+            idx = window.find(sync)
+            if idx < 0:
+                return rows
+            pos = scan_from + idx + _SYNC_LEN
+            if pos >= end:
+                return rows
+        fh.seek(pos)
+        buf = b""
+        base = pos  # absolute file offset of buf[0]
+
+        def ensure(abs_end: int) -> None:
+            nonlocal buf
+            need = abs_end - (base + len(buf))
+            if need > 0:
+                buf += fh.read(max(need, chunk))
+
+        while pos < size and pos < end:
+            ensure(pos + 20)  # two varints, 10 bytes max each
+            c = _Cursor(buf, pos - base)
+            if c.at_end():
+                break
+            n = c.long()
+            bsize = c.long()
+            data_start = base + c.pos
+            ensure(data_start + bsize + _SYNC_LEN)
+            c = _Cursor(buf, data_start - base)
+            data = _decompress(c.raw(bsize), codec)
+            bc = _Cursor(data)
+            for _ in range(n):
+                rows.append(dec(bc))
+            if c.raw(_SYNC_LEN) != sync:
+                raise ValueError("sync marker mismatch — corrupt Avro block")
+            pos = base + c.pos
+            buf = buf[pos - base :]  # drop consumed bytes: memory stays O(split)
+            base = pos
+    return rows
+
+
+def jar_missing(ex: Exception) -> bool:
+    """True only for the 'spark-avro jar not on the classpath' failure —
+    NOT for arbitrary errors whose message happens to contain 'avro'
+    (a conversion error or a path named ``.../avro/...`` must propagate,
+    not silently reroute into the fallback codec)."""
+    msg = str(ex)
+    return (
+        "DATA_SOURCE_NOT_FOUND" in msg
+        or "Failed to find the data source" in msg
+        or "Failed to find data source" in msg
+    )
 
 
 def split_plan_size(path: str, split_mb: float) -> int:

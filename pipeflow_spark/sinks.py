@@ -157,13 +157,16 @@ class write:  # noqa: N801 — fluent exit, mirrors reference `.ToCsv/.ToJson/..
         """Prefers JVM ``spark-avro`` when its jar is present; otherwise the
         stdlib OCF writer (:func:`pipeflow_spark.avro_py.write_avro` — one
         executor-encoded part file per partition)."""
+        from . import avro_py
+
         try:
             df.write.mode(mode).format("avro").save(path)
         except Exception as ex:
-            if "avro" not in str(ex).lower():
+            # fall back ONLY when the jar is absent — a real write failure
+            # (type mapping, permissions, bad path) must not be masked by a
+            # silent stdlib rewrite
+            if not avro_py.jar_missing(ex):
                 raise
-            from . import avro_py
-
             avro_py.write_avro(df, path, codec=codec, mode=mode)
 
 

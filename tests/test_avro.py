@@ -273,3 +273,158 @@ def test_header_parse_and_schema_of(spark, tmp_path):
 def test_writer_rejects_unsupported_codec(spark):
     with pytest.raises(ValueError):
         write_avro(spark.range(1), "/tmp/never", codec="snappy")
+
+
+# ---------------------------------------------------------------------------
+# post-review hardening: precision, nesting, NaN-vs-null, modes, ranged I/O
+# ---------------------------------------------------------------------------
+
+def test_decimal_precision_38_exact(spark, tmp_path):
+    """precision > 28 must not round through the default decimal context."""
+    st = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("d", T.DecimalType(38, 4), True),
+    ])
+    big = decimal.Decimal("9999999999999999999999999999999999.9999")
+    neg = decimal.Decimal("-1234567890123456789012345678901234.5678")
+    df = spark.createDataFrame([(1, big), (2, neg), (3, None)], st)
+    out = str(tmp_path / "dec38")
+    write_avro(df, out)
+    back = read_avro(spark, out)
+    assert back.schema == st
+    assert _sorted_rows(back, "id") == _sorted_rows(df, "id")
+
+
+def test_nested_temporals_round_trip(spark, tmp_path):
+    """timestamps/dates inside structs and arrays must convert, not crash
+    (pre-fix: only top-level columns were converted to epoch units)."""
+    st = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("ev", T.StructType([
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("day", T.DateType(), True),
+        ]), True),
+        T.StructField("times", T.ArrayType(T.TimestampType(), True), True),
+    ])
+    t0 = datetime.datetime(2026, 1, 2, 3, 4, 5, 678901)
+    t1 = datetime.datetime(1969, 12, 31, 23, 59, 59, 1)
+    rows = [
+        (1, (t0, datetime.date(2026, 1, 2)), [t0, t1, None]),
+        (2, (None, None), []),
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(rows, st)
+    out = str(tmp_path / "nested_ts")
+    write_avro(df, out)
+    back = read_avro(spark, out)
+    assert back.schema == st
+    assert _sorted_rows(back, "id") == _sorted_rows(df, "id")
+
+
+def test_nan_distinct_from_null(spark, tmp_path):
+    """float NaN is a VALUE in Avro (and in spark-avro); null is absence.
+    The Arrow kernels keep them distinct where the pandas hop could not."""
+    st = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("x", T.DoubleType(), True),
+    ])
+    df = spark.createDataFrame([(1, float("nan")), (2, None), (3, 2.5)], st)
+    out = str(tmp_path / "nan_null")
+    write_avro(df, out, codec="null")
+    back = read_avro(spark, out).orderBy("id").collect()
+    import math
+    assert math.isnan(back[0]["x"])
+    assert back[1]["x"] is None
+    assert back[2]["x"] == 2.5
+
+
+def test_write_modes(spark, tmp_path):
+    out = str(tmp_path / "modes")
+    df1 = spark.range(0, 10).coalesce(1)
+    df2 = spark.range(100, 105).coalesce(1)
+    write_avro(df1, out)
+    # append adds a generation, never clobbers the first write
+    write_avro(df2, out, mode="append")
+    back = read_avro(spark, out)
+    assert back.count() == 15
+    ids = sorted(r["id"] for r in back.collect())
+    assert ids == list(range(0, 10)) + list(range(100, 105))
+    with pytest.raises(FileExistsError):
+        write_avro(df1, out, mode="error")
+    assert write_avro(df1, out, mode="ignore") == []
+    assert read_avro(spark, out).count() == 15  # ignore wrote nothing
+    write_avro(df2, out, mode="overwrite")
+    assert read_avro(spark, out).count() == 5
+
+
+def test_fixed_decimal_decodes_as_decimal():
+    """spec-legal decimal-over-fixed from an external writer → Decimal,
+    matching the DecimalType the schema mapper declares."""
+    schema_json = (
+        b'{"type": "record", "name": "r", "fields": ['
+        b'{"name": "amt", "type": {"type": "fixed", "name": "f8", "size": 8, '
+        b'"logicalType": "decimal", "precision": 18, "scale": 2}}]}'
+    )
+    sync = b"\x5a" * 16
+    buf = bytearray(b"Obj\x01")
+    buf += _zz(2)
+    for k, v in ((b"avro.codec", b"null"), (b"avro.schema", schema_json)):
+        buf += _zz(len(k)) + k + _zz(len(v)) + v
+    buf += _zz(0) + sync
+    body = (12345).to_bytes(8, "big", signed=True)  # 123.45
+    buf += _zz(1) + _zz(len(body)) + bytes(body) + sync
+    avsc, rows = decode_container(bytes(buf))
+    assert rows == [{"amt": decimal.Decimal("123.45")}]
+    st = avro_py.avro_to_spark_schema(avsc)
+    assert st["amt"].dataType == T.DecimalType(18, 2)
+
+
+def test_timestamps_encode_as_true_utc_micros():
+    """tz-aware input under ANY zone lands as the same UTC epoch micros;
+    the decoder hands back tz-aware UTC datetimes (spec interop, not a
+    session-relative round-trip that would mask a zone offset)."""
+    est = datetime.timezone(datetime.timedelta(hours=-5))
+    aware = datetime.datetime(2026, 3, 1, 7, 30, 0, 250000, tzinfo=est)
+    same_utc = datetime.datetime(2026, 3, 1, 12, 30, 0, 250000,
+                                 tzinfo=datetime.timezone.utc)
+    assert avro_py._micros(aware) == avro_py._micros(same_utc)
+    assert avro_py._micros(aware) == int(aware.timestamp() * 1_000_000)
+
+
+def test_ranged_decode_matches_whole_and_bounds_io(spark, tmp_path):
+    """_decode_ranged over a partition of [0, size) reproduces the whole
+    file exactly — and each call touches only its slice (+ overhang)."""
+    df = spark.range(0, 8000).withColumn("s", F.col("id").cast("string")).coalesce(1)
+    out = str(tmp_path / "ranged")
+    write_avro(df, out, codec="deflate", rows_per_block=128)
+    part = os.path.join(out, sorted(f for f in os.listdir(out) if f.endswith(".avro"))[0])
+    size = os.path.getsize(part)
+    with open(part, "rb") as f:
+        _, whole = decode_container(f.read())
+    step = max(1, size // 7)
+    pieced = []
+    for s in range(0, size, step):
+        pieced.extend(avro_py._decode_ranged(part, s, min(s + step, size)))
+    assert sorted(r["id"] for r in pieced) == sorted(r["id"] for r in whole)
+    assert len(pieced) == len(whole) == 8000
+
+
+def test_jar_missing_narrow():
+    """only the data-source-not-found failure reroutes to the fallback —
+    errors merely MENTIONING avro (e.g. a path) must propagate."""
+    assert avro_py.jar_missing(Exception(
+        "[DATA_SOURCE_NOT_FOUND] Failed to find the data source: avro."))
+    assert not avro_py.jar_missing(Exception(
+        "Path does not exist: file:/data/avro/events"))
+    assert not avro_py.jar_missing(Exception(
+        "Cannot convert SQL type INTERVAL to Avro type"))
+
+
+def test_read_options_rejected_not_dropped(spark, tmp_path):
+    """options the stdlib fallback cannot honor raise instead of silently
+    vanishing (pre-fix: **options were discarded)."""
+    df = spark.range(0, 5)
+    out = str(tmp_path / "optrej")
+    write_avro(df, out)
+    with pytest.raises(ValueError, match="reader options"):
+        read.avro(spark, out, recursiveFileLookup="true")
