@@ -323,3 +323,163 @@ def test_quota_kernel_arrival_order_invariant(rows, data):
         cum += w
         expected[ts] = (w, cum, cum <= quota)
     assert got == expected
+
+
+# -- avro: binary codec round-trip invariants ---------------------------------
+# The OCF codec is a hand-written binary encoder/decoder (avro_py.py);
+# example tests pin known values, these sweep the value space: every zigzag
+# int64, NaN/Inf doubles, full-precision decimals, arbitrary unicode/bytes,
+# nesting, and arbitrary split cut points (ownership partition exactness).
+
+import datetime as _dtm
+import decimal as _dec
+import os as _os
+import tempfile as _tf
+
+from pipeflow_spark import avro_py
+from pipeflow_spark.avro_py import (
+    _Cursor,
+    _build_decoder,
+    _build_encoder,
+    _zigzag_bytes,
+    _EPOCH_DATE,
+    _EPOCH_UTC,
+    _HIPREC,
+    _MICRO,
+)
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_zigzag_varint_roundtrip_full_int64(n):
+    assert _Cursor(_zigzag_bytes(n)).long() == n
+
+
+_AVSC_PROP = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "d", "type": ["null", "double"]},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "b", "type": "bytes"},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": ["null", "string"]}},
+        {
+            "name": "rec",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [
+                        {"name": "x", "type": "double"},
+                        {
+                            "name": "ts",
+                            "type": {"type": "long", "logicalType": "timestamp-micros"},
+                        },
+                    ],
+                },
+            ],
+        },
+        {
+            "name": "dec",
+            "type": {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": 38,
+                "scale": 6,
+            },
+        },
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+    ],
+}
+
+_TS_MIN = -62135596800 * 10**6  # year 1
+_TS_MAX = 253402300799 * 10**6  # year 9999
+
+
+def _ts(us):
+    return _EPOCH_UTC + _MICRO * us
+
+
+_ROW = st.fixed_dictionaries(
+    {
+        "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "d": st.none() | st.floats(allow_nan=True, allow_infinity=True),
+        "s": st.none() | st.text(max_size=40),
+        "b": st.binary(max_size=40),
+        "arr": st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=8),
+        "m": st.dictionaries(st.text(max_size=8), st.none() | st.text(max_size=8), max_size=5),
+        "rec": st.none()
+        | st.fixed_dictionaries(
+            {
+                "x": st.floats(allow_nan=False, allow_infinity=False),
+                "ts": st.integers(min_value=_TS_MIN, max_value=_TS_MAX).map(_ts),
+            }
+        ),
+        "dec": st.integers(min_value=-(10**38 - 1), max_value=10**38 - 1).map(
+            lambda u: _dec.Decimal(u).scaleb(-6, _HIPREC)
+        ),
+        "day": st.integers(min_value=-700000, max_value=2900000).map(
+            lambda n: _EPOCH_DATE + _dtm.timedelta(days=n)
+        ),
+    }
+)
+
+
+def _vals_eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_vals_eq(a[k], b[k]) for k in a)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_vals_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_ROW, min_size=1, max_size=6), st.sampled_from(["null", "deflate"]))
+def test_avro_codec_roundtrip_property(rows, codec):
+    enc = _build_encoder(_AVSC_PROP)
+    dec = _build_decoder(_AVSC_PROP)
+    body = bytearray()
+    for r in rows:
+        enc(r, body)
+    data = avro_py._decompress(avro_py._compress(bytes(body), codec), codec)
+    c = _Cursor(data)
+    back = [dec(c) for _ in rows]
+    assert c.at_end()
+    for orig, got in zip(rows, back):
+        assert _vals_eq(orig, got), (orig, got)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=50),  # rows per block
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=0, max_size=6),
+)
+def test_avro_split_ownership_partitions_exactly(rows_per_block, raw_cuts):
+    """ANY monotone set of cut points over the file partitions the row set
+    exactly — no row lost, no row decoded twice (the invariant the split
+    read plan relies on)."""
+    n = 400
+    avsc = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    enc = _build_encoder(avsc)
+    sync = b"\x7e" * 16
+    with _tf.TemporaryDirectory() as d:
+        path = _os.path.join(d, "t.avro")
+        with open(path, "wb") as out:
+            avro_py._write_header(out, avsc, "null", sync)
+            for lo in range(0, n, rows_per_block):
+                chunk = [{"id": i} for i in range(lo, min(lo + rows_per_block, n))]
+                avro_py._flush_block(out, chunk, enc, "null", sync)
+        size = _os.path.getsize(path)
+        cuts = sorted({min(c, size) for c in raw_cuts} | {0, size})
+        got = []
+        for s, e in zip(cuts, cuts[1:]):
+            got.extend(r["id"] for r in avro_py._decode_ranged(path, s, e))
+        assert sorted(got) == list(range(n))
