@@ -18,6 +18,7 @@ are all surfaced as parameters.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -116,15 +117,38 @@ class StreamingPipeline:
     def _batch_sink(self, sink):
         """Compose pending per-batch ops (refreshing_join) in front of a
         foreachBatch sink.  Ops run on the materialized micro-batch, so the
-        streaming plan stays unchanged; replay safety is unaffected because
-        ledgered sinks skip committed batch ids before any write."""
+        streaming plan stays unchanged.  Replay safety: ledgered sinks skip
+        COMMITTED batch ids before any write, and for the replay of an
+        UNCOMMITTED batch the ops must be deterministic — an op that reads
+        mutable external state (refreshing_join without ``snapshot_dir``)
+        can produce different rows on the replay attempt; see
+        :meth:`refreshing_join` for the pinning remedy.  Ops that accept
+        ``(df, batch_id)`` get the batch id so they can key replay-stable
+        snapshots on it."""
         ops = list(self._batch_ops)
         if not ops:
             return sink
 
+        import inspect
+
+        def _takes_batch_id(op) -> bool:
+            try:
+                params = inspect.signature(op).parameters.values()
+            except (TypeError, ValueError):  # C callables without signatures
+                return False
+            required = [
+                p
+                for p in params
+                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                and p.default is p.empty
+            ]
+            return len(required) >= 2
+
+        takes_id = [_takes_batch_id(op) for op in ops]
+
         def _fn(batch_df: DataFrame, batch_id: int) -> None:
-            for op in ops:
-                batch_df = op(batch_df)
+            for op, with_id in zip(ops, takes_id):
+                batch_df = op(batch_df, batch_id) if with_id else op(batch_df)
             sink(batch_df, batch_id)
 
         return _fn
@@ -240,9 +264,15 @@ class StreamingPipeline:
         partial = self._df.groupBy(
             F.window(ts_col, size).alias("w"), *keys, F.col(distinct_col)
         ).agg(F.count("*").alias("__n"))
+        # COUNT(DISTINCT x) semantics: count(col) skips the NULL group that
+        # groupBy keeps (count("*") would count NULL as a distinct value);
+        # sum(__n) still totals ALL events including NULL-valued ones
         final = partial.groupBy(
             F.window(F.window_time("w"), size).alias("w"), *keys
-        ).agg(F.count("*").alias(alias), F.sum("__n").alias(count_alias))
+        ).agg(
+            F.count(F.col(distinct_col)).alias(alias),
+            F.sum("__n").alias(count_alias),
+        )
         return self._wrap(final)
 
     def sliding_agg(
@@ -314,6 +344,13 @@ class StreamingPipeline:
         if how not in ("inner", "left_outer", "full_outer"):
             raise ValueError(
                 f"join_replies supports inner/left_outer/full_outer, got {how!r}"
+            )
+        if other._batch_ops:
+            raise ValueError(
+                "join_replies: the right-hand pipeline has pending per-batch "
+                "ops, which run inside foreachBatch AFTER the streaming plan "
+                "— they cannot execute before a stream-stream join.  Apply "
+                "them to the JOINED pipeline instead"
             )
         l = self._df.select([F.col(c).alias(f"{left_prefix}_{c}") for c in self._df.columns])
         r = other._df.select([F.col(c).alias(f"{right_prefix}_{c}") for c in other._df.columns])
@@ -513,7 +550,13 @@ class StreamingPipeline:
         append-mode windowed aggregate emits ALL of a window's rows in the
         single micro-batch where the watermark passes the window end, so a
         per-batch rank/top-k partitioned by window sees each window complete
-        exactly once (see ``windowed_topk``)."""
+        exactly once (see ``windowed_topk``).
+
+        ``op`` is ``DataFrame -> DataFrame``, or ``(DataFrame, batch_id) ->
+        DataFrame`` when it needs the batch id (e.g. to key replay-stable
+        snapshots of external state — see :meth:`refreshing_join`).  Ops
+        must be deterministic per batch id for the replay of an uncommitted
+        batch to reproduce the crashed attempt's rows."""
         if not callable(op):
             raise TypeError("per_batch: op must be a callable DataFrame -> DataFrame")
         p = StreamingPipeline(self._df)  # not _wrap: chaining per-batch ops is legal
@@ -547,6 +590,7 @@ class StreamingPipeline:
         on,
         how: str = "inner",
         broadcast: bool = True,
+        snapshot_dir: str | None = None,
     ) -> "StreamingPipeline":
         """Join against a dimension that CHANGES mid-stream (dynamic
         blocklist, rotating config) — the remedy for :meth:`enrich_static`'s
@@ -559,12 +603,24 @@ class StreamingPipeline:
         restart.  The join runs on the materialized micro-batch rather than
         in the streaming plan — one extra batch-side job per trigger is the
         price of freshness; still no state store, and ``broadcast=True``
-        keeps it a map-only hash join.  Exactly-once is preserved: ledgered
-        sinks skip committed batch ids before the op runs, so a replayed
-        batch never re-joins against a newer dim.  Terminal-stage only —
-        later *streaming* stages cannot see foreachBatch output, so chain
-        this last before ``start_*`` (enforced: ANY further streaming stage
-        raises, as does the memory sink, which has no foreachBatch).
+        keeps it a map-only hash join.  Exactly-once: ledgered sinks skip
+        COMMITTED batch ids before the op runs, so a committed batch never
+        re-joins.  The replay of an UNCOMMITTED batch (crash between the
+        data write and the ledger commit) is the subtle case — load_dim()
+        would run again and may return a NEWER dim, so the replayed rows can
+        differ from the crashed attempt's.  For the ledgered sinks that is
+        self-healing (the attempt never committed; the replay's rows are the
+        ones that commit), but for :meth:`start_upsert` — exactly-once *via
+        idempotence*, no ledger — identical replay rows ARE the correctness
+        argument.  Pass ``snapshot_dir`` to pin the dim per batch id: the
+        first attempt persists the loaded dim under
+        ``snapshot_dir/batch_id=N`` and every replay of batch N re-reads
+        that snapshot, making the op deterministic across attempts (the
+        stream-side input is already deterministic via the checkpointed
+        source offsets).  Terminal-stage only — later *streaming* stages
+        cannot see foreachBatch output, so chain this last before
+        ``start_*`` (enforced: ANY further streaming stage raises, as does
+        the memory sink, which has no foreachBatch).
         """
         if not callable(load_dim):
             raise TypeError(
@@ -573,8 +629,14 @@ class StreamingPipeline:
                 "plan-pinned — that is enrich_static)"
             )
 
-        def _op(batch_df: DataFrame) -> DataFrame:
-            dim = load_dim()
+        def _op(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            if snapshot_dir is None:
+                dim = load_dim()
+            else:
+                snap = os.path.join(snapshot_dir, f"batch_id={batch_id}")
+                if not os.path.exists(os.path.join(snap, "_SUCCESS")):
+                    load_dim().write.mode("overwrite").parquet(snap)
+                dim = batch_df.sparkSession.read.parquet(snap)
             right = F.broadcast(dim) if broadcast else dim
             return batch_df.join(right, on, how)
 
@@ -757,7 +819,12 @@ class StreamingPipeline:
         Exactly-once via idempotence rather than a ledger: re-merging a
         replayed batch is a no-op — the same keys overwrite with the same
         values (pass ``order_by`` so within-batch last-wins is deterministic,
-        e.g. the event-time column).  Each batch commit is one atomic pointer
+        e.g. the event-time column).  That argument requires the replayed
+        batch to carry the SAME rows as the crashed attempt — source offsets
+        are checkpointed so the stream side always does, but any chained
+        per-batch op must be deterministic too: use
+        ``refreshing_join(..., snapshot_dir=...)`` (never the unpinned form)
+        in front of an upsert.  Each batch commit is one atomic pointer
         flip, so readers always see a complete pre- or post-batch snapshot;
         ``keep_snapshots`` deepens VERSION-AS-OF history.
         """
@@ -954,13 +1021,17 @@ def _offset_scalar(raw):
 def _offsets_behind(srcs) -> int | None:
     """Backlog = sum over sources of ``latestOffset − endOffset`` where both
     parse to integers — in each source's native offset units (messages for
-    Kafka, seconds for rate); None when no source exposes comparable
-    offsets."""
-    total, seen = 0, False
+    Kafka, seconds for rate).  Offsets from DIFFERENT source kinds are
+    incommensurable (seconds + messages is not a lag), so the sum is taken
+    only when every offset-bearing source shares a kind (description
+    prefix); None when none expose offsets or the kinds are mixed."""
+    lags, kinds = [], set()
     for s in srcs:
         latest = _offset_scalar(s.get("latestOffset"))
         end = _offset_scalar(s.get("endOffset"))
         if latest is not None and end is not None:
-            total += max(0, latest - end)
-            seen = True
-    return total if seen else None
+            lags.append(max(0, latest - end))
+            kinds.add(str(s.get("description") or "").split("[", 1)[0])
+    if not lags or len(kinds) > 1:
+        return None
+    return sum(lags)

@@ -57,12 +57,29 @@ class BatchLedger:
             os.path.join(self.ledger_dir, str(batch_id))
         )
 
-    def committed_batches(self) -> list[int]:
-        hw = self.high_water()
-        markers = {
+    def marker_ids(self) -> list[int]:
+        """Sorted batch ids with an individual marker file — O(#markers),
+        which compaction keeps bounded (vs O(high-water), which grows
+        forever).  Hot paths iterate this plus ``high_water()``."""
+        return sorted(
             int(f) for f in os.listdir(self.ledger_dir) if not f.startswith((".", "_"))
-        }
-        return sorted(set(range(hw + 1)) | markers)
+        )
+
+    def contiguous_committed_through(self) -> int:
+        """Highest N with batches 0..N all committed (folding past a gap
+        would falsely mark the gap batch done)."""
+        through = self.high_water()
+        marks = set(self.marker_ids())
+        while through + 1 in marks:
+            through += 1
+        return through
+
+    def committed_batches(self) -> list[int]:
+        """Full committed id list — test/tool convenience, O(high-water)
+        after compaction folds markers into the high-water file; production
+        paths use ``high_water()`` + ``marker_ids()`` instead."""
+        hw = self.high_water()
+        return list(range(hw + 1)) + [m for m in self.marker_ids() if m > hw]
 
     def commit(self, batch_id: int) -> None:
         """Atomic commit marker: write-temp + rename."""
@@ -85,24 +102,22 @@ class BatchLedger:
         removed, so a crash mid-compaction can only leave redundant markers,
         never lose a commit.  Returns the new high-water mark (-1 if none).
         """
-        batches = self.committed_batches()
-        contiguous = -1
-        for b in batches:
-            if b == contiguous + 1:
-                contiguous = b
-            else:
-                break
-        new_hw = contiguous - keep_last
+        marks = self.marker_ids()
+        new_hw = self.contiguous_committed_through() - keep_last
         if new_hw <= self.high_water():
             return self.high_water()
         tmp = os.path.join(self.ledger_dir, f".{self._HIGH_WATER}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(str(new_hw))
         os.rename(tmp, os.path.join(self.ledger_dir, self._HIGH_WATER))  # atomic publish
-        for b in range(new_hw + 1):
-            p = os.path.join(self.ledger_dir, str(b))
-            if os.path.exists(p):
-                os.remove(p)
+        # remove only the marker FILES that exist (O(#markers), not a
+        # re-probe of every id since batch 0)
+        for b in marks:
+            if b <= new_hw:
+                try:
+                    os.remove(os.path.join(self.ledger_dir, str(b)))
+                except FileNotFoundError:
+                    pass  # concurrent compact of a shared ledger — already gone
         return new_hw
 
 
@@ -141,6 +156,18 @@ class ExactlyOnceSink:
     def compact_ledger(self, keep_last: int = 100) -> int:
         """See :meth:`BatchLedger.compact`."""
         return self._ledger.compact(keep_last)
+
+    def _data_batch_ids(self) -> list[int]:
+        """Sorted batch ids with a data dir on disk — O(#dirs), which data
+        compaction keeps bounded; the read paths iterate this instead of
+        every id from 0 to the high-water mark."""
+        if not os.path.isdir(self.data_dir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.data_dir)
+            if d.startswith("batch_id=")
+        )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         """The ``foreachBatch`` hook."""
@@ -218,14 +245,7 @@ class ExactlyOnceSink:
         batch; folding past it would serve rows for a batch the ledger
         disowns).  Returns the new compacted-through id (-1 if nothing to
         do)."""
-        batches = self.committed_batches()
-        contiguous = -1
-        for b in batches:
-            if b == contiguous + 1:
-                contiguous = b
-            else:
-                break
-        target = contiguous - keep_last
+        target = self._ledger.contiguous_committed_through() - keep_last
         prev = self._compacted_through()
         if target <= prev:
             return prev
@@ -234,10 +254,12 @@ class ExactlyOnceSink:
         old_seg = os.path.join(self.compact_dir, f"segment-{prev}")
         if prev >= 0 and os.path.isdir(old_seg):
             sources.append(old_seg)
+        # enumerate the dirs that actually exist (O(#dirs), bounded by prior
+        # compactions) rather than probing every id in (prev, target]
         covered = [
             os.path.join(self.data_dir, f"batch_id={b}")
-            for b in range(prev + 1, target + 1)
-            if os.path.isdir(os.path.join(self.data_dir, f"batch_id={b}"))
+            for b in self._data_batch_ids()
+            if prev < b <= target
         ]
         sources += covered
         seg_tmp = os.path.join(self.compact_dir, f".segment-{target}.{uuid.uuid4().hex}.tmp")
@@ -247,6 +269,12 @@ class ExactlyOnceSink:
             os.makedirs(seg_tmp)
             open(os.path.join(seg_tmp, "_SUCCESS"), "w").close()
         new_seg = os.path.join(self.compact_dir, f"segment-{target}")
+        if os.path.isdir(new_seg):
+            # orphan from a crash AFTER this rename but BEFORE the pointer
+            # publish below: rename onto a non-empty dir raises ENOTEMPTY
+            # forever, wedging every retry — clear it first (never read:
+            # the pointer still names the previous segment)
+            shutil.rmtree(new_seg)
         os.rename(seg_tmp, new_seg)
         tmp = os.path.join(self.compact_dir, f".{self._COMPACT_THROUGH}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
@@ -271,20 +299,30 @@ class ExactlyOnceSink:
             dirs.append(seg)
         dirs += [
             os.path.join(self.data_dir, f"batch_id={b}")
-            for b in self.committed_batches()
-            if b > through and os.path.exists(os.path.join(self.data_dir, f"batch_id={b}"))
+            for b in self._data_batch_ids()
+            if b > through and self.is_committed(b)
         ]
         if not dirs:
             raise ValueError("no committed batches")
         return spark.read.parquet(*dirs)
 
     def metrics(self) -> list[dict]:
+        """Per-batch metrics for committed batches, ascending by batch id —
+        iterates the metric FILES on disk (O(#files)), not every id up to
+        the high-water mark."""
+        if not os.path.isdir(self.metrics_dir):
+            return []
+        ids = sorted(
+            int(f[:-5])
+            for f in os.listdir(self.metrics_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
         out = []
-        for b in self.committed_batches():
-            p = os.path.join(self.metrics_dir, f"{b}.json")
-            if os.path.exists(p):
-                with open(p) as f:
-                    out.append(json.load(f))
+        for b in ids:
+            if not self.is_committed(b):
+                continue
+            with open(os.path.join(self.metrics_dir, f"{b}.json")) as f:
+                out.append(json.load(f))
         return out
 
     def lineage(self, spark) -> DataFrame:
@@ -406,11 +444,17 @@ class FanoutSink:
         """Snapshot view of one table over group-committed batches only."""
         if name not in self.outputs:
             raise KeyError(f"unknown fanout table {name!r}")
-        dirs = [
-            self._part_dir(name, b)
-            for b in self.committed_batches()
-            if os.path.exists(self._part_dir(name, b))
-        ]
+        ddir = os.path.join(self.root, name, "data")
+        ids = (
+            sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(ddir)
+                if d.startswith("batch_id=")
+            )
+            if os.path.isdir(ddir)
+            else []
+        )
+        dirs = [self._part_dir(name, b) for b in ids if self._ledger.is_committed(b)]
         if not dirs:
             raise ValueError(f"no committed batches for table {name!r}")
         return spark.read.parquet(*dirs)
@@ -420,11 +464,20 @@ class FanoutSink:
             raise KeyError(f"unknown fanout table {name!r}")
         out = []
         mdir = os.path.join(self.root, name, "_metrics")
-        for b in self.committed_batches():
-            p = os.path.join(mdir, f"{b}.json")
-            if os.path.exists(p):
-                with open(p) as f:
-                    out.append(json.load(f))
+        ids = (
+            sorted(
+                int(f[:-5])
+                for f in os.listdir(mdir)
+                if f.endswith(".json") and f[:-5].isdigit()
+            )
+            if os.path.isdir(mdir)
+            else []
+        )
+        for b in ids:
+            if not self._ledger.is_committed(b):
+                continue
+            with open(os.path.join(mdir, f"{b}.json")) as f:
+                out.append(json.load(f))
         return out
 
 

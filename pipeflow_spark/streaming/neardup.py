@@ -70,6 +70,7 @@ class NearDupGuardSink:
         blocks: int = 4,
         store_dir: str | None = None,
         namespace: str = "main",
+        auto_compact_every: int | None = None,
     ):
         """``store_dir`` defaults under ``root`` but may point at a SHARED
         signature store so several ingest queries gate against one combined
@@ -81,7 +82,12 @@ class NearDupGuardSink:
         exclusion (exact within-query semantics) plus EVERY committed dir of
         other namespaces (cross-query novelty is best-effort by arrival —
         the race window is the other query's in-flight batch, unavoidable
-        without cross-query coordination)."""
+        without cross-query coordination).
+
+        ``auto_compact_every=K`` folds the store every K batches FROM INSIDE
+        the foreachBatch hook — the only thread that reads the store — which
+        is the safe way to compact a live query (see :meth:`compact_store`'s
+        concurrency contract)."""
         self.root = root
         self.kept = ExactlyOnceSink(os.path.join(root, "kept"))
         self.store_dir = store_dir or os.path.join(root, "store")
@@ -90,6 +96,7 @@ class NearDupGuardSink:
         os.makedirs(self.ns_dir, exist_ok=True)
         self.text_col, self.id_col = text_col, id_col
         self.max_hamming, self.blocks = max_hamming, blocks
+        self.auto_compact_every = auto_compact_every
 
     # -- store ----------------------------------------------------------------
     @staticmethod
@@ -122,7 +129,10 @@ class NearDupGuardSink:
         dirs = self._store_batches(below)
         if not dirs:
             return None
-        return spark.read.schema("id long, sk long, blk int, bval long").parquet(*dirs)
+        # schema from the parquet footers, NOT hardcoded: simhash_blocks
+        # keeps the caller's id type (string doc ids are common) — forcing
+        # `id long` here would crash the store join on the second batch
+        return spark.read.parquet(*dirs)
 
     # -- the foreachBatch hook --------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -183,6 +193,15 @@ class NearDupGuardSink:
                 drops, F.col(self.id_col) == drops["id"], "left_anti"
             )
             self.kept(kept_rows, batch_id)
+            # same-thread maintenance: this batch's store reads already ran,
+            # the next batch re-lists — no in-flight plan can reference a
+            # dir compaction removes
+            if (
+                self.auto_compact_every
+                and batch_id > 0
+                and batch_id % self.auto_compact_every == 0
+            ):
+                self.compact_store(spark)
         finally:
             blocked.unpersist()
 
@@ -201,8 +220,16 @@ class NearDupGuardSink:
         change nothing (the drop set is a semi-join; dups add candidates that
         verify identically).  Signatures are never absent at any crash
         point, which is the direction that would corrupt results
-        (a re-admitted near-dup).  Returns the number of dirs folded."""
-        hi = max(self.kept.committed_batches(), default=-1)
+        (a re-admitted near-dup).  Returns the number of dirs folded.
+
+        Concurrency contract: the deletes are NOT safe against a live
+        query's in-flight micro-batch — its lazy store read may still
+        reference a dir this removes (task-level FileNotFound → query
+        failure, recoverable only by restart).  Run it from the query's own
+        foreachBatch thread (``auto_compact_every`` does exactly that),
+        between runs, or while the query is stopped — never from a separate
+        maintenance thread against a running query."""
+        hi = self.kept._ledger.contiguous_committed_through()
         if hi < 0:
             return 0
         # own namespace only: k <= hi plus prior compacted segments
@@ -213,12 +240,7 @@ class NearDupGuardSink:
             (int(os.path.basename(p).split("=")[1]) for p in olds), default=0
         )
         seg = os.path.join(self.ns_dir, f"batch_id={min(seq, 0) - 1}")
-        (
-            spark.read.schema("id long, sk long, blk int, bval long")
-            .parquet(*olds)
-            .write.mode("overwrite")
-            .parquet(seg)
-        )
+        spark.read.parquet(*olds).write.mode("overwrite").parquet(seg)
         for p in olds:
             shutil.rmtree(p, ignore_errors=True)
         return len(olds)

@@ -1795,3 +1795,195 @@ def test_stream_asof_resumes_from_checkpoint(spark, tmp_path):
         1: (t0 + dt.timedelta(minutes=8), 0),
         4: (t0 + dt.timedelta(minutes=15), 2),
     }
+
+
+# ---------------------------------------------------------------------------
+# post-review hardening (round-3 streaming additions)
+# ---------------------------------------------------------------------------
+
+def test_compact_data_survives_crash_between_segment_rename_and_publish(spark, tmp_path):
+    """A crash AFTER segment-<T> is renamed into place but BEFORE the
+    _compacted_through pointer publishes leaves an orphan dir at the exact
+    name the retry will produce — the retry must clear it and succeed, not
+    wedge forever on ENOTEMPTY."""
+    sink = ExactlyOnceSink(str(tmp_path / "sink"))
+    mk = lambda lo: spark.range(lo, lo + 5).select(F.col("id"), F.lit("x").alias("t"))
+    for b in range(6):
+        sink(mk(b * 10), b)
+    before = {(r.id, r._batch_id) for r in sink.read_committed(spark).collect()}
+
+    # simulate the orphan: target = contiguous(5) - keep_last(2) = 3
+    orphan = tmp_path / "sink" / "data" / "_compacted" / "segment-3"
+    orphan.mkdir(parents=True)
+    (orphan / "stale-from-crashed-attempt.parquet").write_bytes(b"junk")
+
+    through = sink.compact_data(spark, keep_last=2)
+    assert through == 3
+    after = {(r.id, r._batch_id) for r in sink.read_committed(spark).collect()}
+    assert after == before and len(after) == 30
+
+
+def test_ledger_marker_api_gap_semantics_and_compaction(tmp_path):
+    """marker_ids/contiguous_committed_through respect gaps; compact never
+    folds past a gap and removes only covered marker FILES."""
+    from pipeflow_spark.streaming.exactly_once import BatchLedger
+
+    led = BatchLedger(str(tmp_path / "led"))
+    for b in (0, 1, 2, 5):
+        led.commit(b)
+    assert led.marker_ids() == [0, 1, 2, 5]
+    assert led.contiguous_committed_through() == 2  # gap at 3
+    assert led.committed_batches() == [0, 1, 2, 5]
+    assert not led.is_committed(3)
+
+    assert led.compact(keep_last=0) == 2  # folds only the contiguous prefix
+    assert led.high_water() == 2
+    assert led.marker_ids() == [5]  # gap-spanning marker preserved
+    assert led.committed_batches() == [0, 1, 2, 5]
+    assert led.is_committed(1) and led.is_committed(5) and not led.is_committed(3)
+
+    led.commit(3)
+    led.commit(4)
+    assert led.contiguous_committed_through() == 5
+    assert led.compact(keep_last=0) == 5
+    assert led.marker_ids() == []
+    assert led.committed_batches() == [0, 1, 2, 3, 4, 5]
+
+
+def test_tumbling_distinct_count_ignores_null_values(spark, tmp_path):
+    """COUNT(DISTINCT x) semantics: NULL is not a distinct value, but
+    NULL-valued events still count toward the event total."""
+    t0 = dt.datetime(2025, 3, 1)
+    src = tmp_path / "dcnull"
+    src.mkdir()
+    rows = [
+        ("c1", 0, "user", "a", None, t0),
+        ("c1", 1, "assistant", "b", "search", t0 + dt.timedelta(minutes=1)),
+        ("c1", 2, "assistant", "c", "search", t0 + dt.timedelta(minutes=2)),
+        ("c1", 3, "assistant", "d", "calc", t0 + dt.timedelta(minutes=3)),
+        ("c2", 0, "user", "e", None, t0 + dt.timedelta(minutes=4)),
+        (SENTINEL_CONV, 0, "user", "zz", "zz", t0 + dt.timedelta(days=30)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    write_transcript_parquet(pdf, str(src / "part-00000.parquet"))
+    sp = (
+        StreamingPipeline.read_transcripts(spark, str(src))
+        .with_watermark("ts", "0 seconds")
+        .tumbling_distinct_count("ts", "1 hour", [], "tool", alias="n_tools", count_alias="n_events")
+    )
+    _run_to_memory(sp, "dcnull", expected_input_rows=len(rows))
+    got = spark.sql("SELECT w.start AS ws, n_tools, n_events FROM dcnull ORDER BY ws").collect()
+    assert got[0].n_tools == 2, "NULL must not count as a distinct value"
+    assert got[0].n_events == 5, "NULL-valued events still count toward the total"
+
+
+def test_join_replies_rejects_right_side_batch_ops(spark, clean_dir):
+    d, _ = clean_dir
+    left = StreamingPipeline.read_transcripts(spark, d, 3).with_watermark("ts", "1 hour")
+    right = (
+        StreamingPipeline.read_transcripts(spark, d, 3)
+        .with_watermark("ts", "1 hour")
+        .per_batch(lambda df: df)
+    )
+    with pytest.raises(ValueError, match="right-hand pipeline"):
+        left.join_replies(right)
+
+
+def test_neardup_guard_string_doc_ids(spark, tmp_path):
+    """The signature store must carry the caller's id type — string doc ids
+    crashed the second batch's store join when the schema was hardcoded."""
+    from pipeflow_spark.streaming.neardup import NearDupGuardSink
+
+    schema = "doc_id string, text string"
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet pink brown black",
+    ]
+    src = tmp_path / "nds_src"
+    src.mkdir()
+    files = [
+        [("a1", texts[0]), ("a2", texts[1])],
+        [("b1", texts[0]), ("b2", texts[2])],  # b1 = cross-batch dup of a1
+    ]
+    for i, rows in enumerate(files):
+        stage = tmp_path / f"nds_stage{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        import shutil as _sh
+
+        _sh.copy(str(stage / part), str(src / f"part-{i:05d}.parquet"))
+
+    guard = NearDupGuardSink(str(tmp_path / "nds"))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = StreamingPipeline(stream).start_exactly_once(
+        guard, str(tmp_path / "nds_ck"), query_name="nd_str"
+    )
+    q.awaitTermination()
+    kept = {r.doc_id for r in guard.read_kept(spark).collect()}
+    assert kept == {"a1", "a2", "b2"}
+
+
+def test_neardup_auto_compact_runs_inside_hook(spark, tmp_path):
+    """auto_compact_every folds the store from the foreachBatch thread (the
+    only safe place against a live query) without changing decisions."""
+    from pipeflow_spark.streaming.neardup import NearDupGuardSink
+
+    schema = "doc_id long, text string"
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet pink brown black",
+    ]
+    guard = NearDupGuardSink(str(tmp_path / "ac"), auto_compact_every=2)
+    guard(spark.createDataFrame([(0, texts[0])], schema), 0)
+    guard(spark.createDataFrame([(1, texts[1])], schema), 1)
+    guard(spark.createDataFrame([(2, texts[2])], schema), 2)  # triggers compaction
+    assert sorted(os.listdir(guard.ns_dir)) == ["batch_id=-1"]
+    # decisions unchanged post-fold: a dup of batch-0's doc still drops
+    guard(spark.createDataFrame([(3, texts[0])], schema), 3)
+    kept = {r.doc_id for r in guard.read_kept(spark).collect()}
+    assert kept == {0, 1, 2}
+
+
+def test_refreshing_join_snapshot_pins_dim_across_replay(spark, tmp_path):
+    """With snapshot_dir, the replay of an UNCOMMITTED batch re-joins the
+    SAME dim the crashed attempt loaded (determinism start_upsert's
+    idempotence argument requires); without it, the replay sees the newer
+    dim."""
+    batch = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    dim_holder = {"rows": [(1, "old")]}
+
+    def load_dim():
+        return spark.createDataFrame(dim_holder["rows"], "k int, tag string")
+
+    captured = []
+
+    def sink(df, bid):
+        captured.append({tuple(r) for r in df.collect()})
+
+    rate = spark.readStream.format("rate").load()  # never started; _df is unused by _batch_sink
+    pinned = StreamingPipeline(rate).refreshing_join(
+        load_dim, "k", snapshot_dir=str(tmp_path / "snaps")
+    )
+    fn = pinned._batch_sink(sink)
+    fn(batch, 0)  # first attempt: dim = old
+    dim_holder["rows"] = [(1, "new"), (2, "new")]  # dim changes mid-crash
+    fn(batch, 0)  # replay of the SAME batch id
+    assert captured[0] == captured[1] == {(1, "x", "old")}
+
+    unpinned = StreamingPipeline(rate).refreshing_join(load_dim, "k")
+    fn2 = unpinned._batch_sink(sink)
+    captured.clear()
+    fn2(batch, 7)
+    assert captured[0] == {(1, "x", "new"), (2, "y", "new")}  # fresh dim visible
+
+
+def test_offsets_behind_mixed_source_kinds_is_none():
+    from pipeflow_spark.streaming.engine import _offsets_behind
+
+    rate = {"latestOffset": "10", "endOffset": "4", "description": "RateStreamV2[rowsPerSecond=5]"}
+    kafka = {"latestOffset": "100", "endOffset": "60", "description": "KafkaV2[Subscribe[t]]"}
+    assert _offsets_behind([rate, dict(rate, endOffset="6")]) == 10  # same kind: sum
+    assert _offsets_behind([rate, kafka]) is None  # seconds + messages: no lag
+    assert _offsets_behind([{"latestOffset": None, "endOffset": "3"}]) is None
