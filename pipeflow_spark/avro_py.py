@@ -643,8 +643,14 @@ def decode_container(buf: bytes, *, start: int | None = None, end: int | None = 
         # Own the first block whose count varint starts at p >= start.  A
         # block at p is preceded by a sync at p-16, so scan for a sync from
         # start-16 onward (a sync found earlier would front a block the
-        # previous split already owns).
+        # previous split already owns).  Candidates are VALIDATED
+        # (:func:`_valid_block_at`) — a data byte equal to the marker's
+        # first byte can extend a sync run and make the naive first match
+        # land one byte early (e.g. a trailing zigzag 0x7e row against a
+        # 0x7e*16 marker), misaligning every block after it.
         idx = buf.find(sync, max(hlen, start - _SYNC_LEN))
+        while idx >= 0 and not _valid_block_at(buf, idx + _SYNC_LEN, sync):
+            idx = buf.find(sync, idx + 1)
         if idx < 0:
             return avsc, rows
         pos = idx + _SYNC_LEN
@@ -969,6 +975,51 @@ def _read_avro_split(spark, files, schema, split_mb, tz):
     return plan.mapInArrow(kernel, schema=schema)
 
 
+def _valid_block_at(buf: bytes, pos: int, sync: bytes) -> bool:
+    """True when a well-formed block plausibly starts at ``pos``: two sane
+    varints (row count, body size) whose implied body is followed by the
+    file's sync marker.  This is the disambiguator for sync-scan false
+    positives — Avro's random 16-byte markers make an accidental match in
+    row data ~2^-128, but a data byte can EXTEND a real marker run (the
+    previous byte also matching ``sync[0]``), and the one-byte-early match
+    must be rejected.  The trailing-sync check does that: a misaligned
+    header reads garbage varints whose implied end does not land on a sync."""
+    try:
+        c = _Cursor(buf, pos)
+        n = c.long()
+        size = c.long()
+    except IndexError:
+        return False
+    if n < 0 or size < 0:
+        return False
+    data_end = c.pos + size
+    return buf[data_end : data_end + _SYNC_LEN] == sync
+
+
+def _valid_block_in_file(fh, pos: int, sync: bytes, fsize: int) -> bool:
+    """:func:`_valid_block_at` against an open file — bounded I/O: ≤20 bytes
+    of header plus the 16-byte trailing sync probe."""
+    save = fh.tell()
+    try:
+        fh.seek(pos)
+        head = fh.read(20)  # two varints, 10 bytes max each
+        try:
+            c = _Cursor(head)
+            n = c.long()
+            size = c.long()
+        except IndexError:
+            return False
+        if n < 0 or size < 0:
+            return False
+        data_end = pos + c.pos + size
+        if data_end + _SYNC_LEN > fsize:
+            return False
+        fh.seek(data_end)
+        return fh.read(_SYNC_LEN) == sync
+    finally:
+        fh.seek(save)
+
+
 def _decode_ranged(path: str, start: int, end: int) -> list:
     """Decode exactly the blocks that *start* inside ``[start, end)`` with
     I/O proportional to the range: seek to the range, scan at most
@@ -987,15 +1038,26 @@ def _decode_ranged(path: str, start: int, end: int) -> list:
         else:
             # A block at p is preceded by its sync at p-16; the first block
             # this split owns has p in [start, end), so its sync starts in
-            # [start-16, end-16).  Scan that window (+15 bytes of sync tail).
+            # [start-16, end-16).  Scan that window (+15 bytes of sync tail),
+            # validating each candidate (:func:`_valid_block_in_file`) — a
+            # data byte extending the sync run makes the naive first match
+            # land one byte early and misalign the whole split.  Candidates
+            # are ordered, so the first one at/after ``end`` means no block
+            # starts inside this split.
             scan_from = max(hlen, start - _SYNC_LEN)
             fh.seek(scan_from)
             window = fh.read(max(0, end - scan_from) + _SYNC_LEN)
+            pos = None
             idx = window.find(sync)
-            if idx < 0:
-                return rows
-            pos = scan_from + idx + _SYNC_LEN
-            if pos >= end:
+            while idx >= 0:
+                cand = scan_from + idx + _SYNC_LEN
+                if cand >= end:
+                    return rows
+                if _valid_block_in_file(fh, cand, sync, size):
+                    pos = cand
+                    break
+                idx = window.find(sync, idx + 1)
+            if pos is None:
                 return rows
         fh.seek(pos)
         buf = b""

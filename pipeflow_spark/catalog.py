@@ -148,11 +148,8 @@ class TableCatalog:
         os.makedirs(path, exist_ok=True)
         snap = f"snapshot-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(os.path.join(path, snap))
-        tmp = os.path.join(path, f"._CURRENT.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            f.write(snap)
         prev = sinks._current_snapshot(path)
-        os.rename(tmp, os.path.join(path, "_CURRENT"))
+        sinks._publish_commit(path, snap)  # atomic flip, commit-log protocol
         if prev and os.path.basename(prev).startswith("snapshot-"):
             shutil.rmtree(prev, ignore_errors=True)
 

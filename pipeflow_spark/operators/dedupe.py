@@ -638,7 +638,11 @@ def keep_best(
     clean original and N mangled copies, and min-id keeps whichever was
     crawled first, not whichever is cleanest.
 
-    ``scores``: ``(id_col, score_col)`` one row per doc.  Cost: one hash
+    ``scores``: ``(id_col, score_col)`` one row per doc.  Nodes MISSING from
+    ``scores`` still get a decision (LEFT join, NULL scores rank last): an
+    inner join would silently erase them from the output, and the caller's
+    keep==False anti-join would then retain every unscored duplicate.  A
+    fully unscored cluster keeps exactly its smallest id.  Cost: one hash
     join on the node id plus one window over ``component`` — both shuffles
     are cluster-membership-sized (nodes that appear in ≥1 near-dup pair),
     not corpus-sized.  Output ``(node, component, score, keep)``.
@@ -648,8 +652,11 @@ def keep_best(
     joined = components.join(
         scores.select(F.col(id_col).alias("node"), F.col(score_col).alias("__score")),
         "node",
+        "left",
     )
-    w = Window.partitionBy("component").orderBy(F.col("__score").desc(), F.col("node"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc_nulls_last(), F.col("node")
+    )
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .select(

@@ -101,6 +101,8 @@ def heavy_hitters_apply_fn(capacity: int, key_col: str = "key"):
             counter, err = {}, 0
         wend_ms = None
         for pdf in pdfs:
+            if not len(pdf):  # the state machinery can deliver empty chunks
+                continue
             batch = pdf[key_col].value_counts().to_dict()
             counter, d = mg_update(counter, batch, capacity)
             err += d

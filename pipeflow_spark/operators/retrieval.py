@@ -172,4 +172,7 @@ def mmr_rerank(
         del remaining[i]
 
     spark = emb.sparkSession
-    return spark.createDataFrame(picked, f"{id_col} long, rank int, score double")
+    # id type follows the input column (string/int ids are legal — nothing
+    # in the greedy needs numeric ids), never a hardcoded long
+    id_type = emb.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(picked, f"{id_col} {id_type}, rank int, score double")

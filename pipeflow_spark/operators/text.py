@@ -198,7 +198,10 @@ def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     return df.select(
         id_col,
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), WHITESPACE)).alias("token"),
-    )
+        # split(trim(''), '\s+') yields [''] — an empty/whitespace-only doc
+        # must contribute ZERO tokens, not one phantom '' token polluting
+        # vocab / IDF / logprob stats (same invariant word_count enforces)
+    ).filter(F.col("token") != "")
 
 
 def vocab_topk(
@@ -238,7 +241,12 @@ def unigram_logprob(
     The vocabulary is never collected or broadcast — it scales with the
     corpus, unlike an eval-set gram table (see ``decontaminate``).
     """
-    tok = tokens(df, text_col, id_col)
+    from pyspark import StorageLevel
+
+    # two aggregations reference the token stream (the window branch and the
+    # corpus total) — persist it or the tokenize+explode scan runs twice
+    # (same rationale as the dedupe gram tables; freed by clearCache)
+    tok = tokens(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy("token")
     scored = tok.withColumn("cnt", F.count("*").over(w).cast("double"))
     total = tok.agg(F.count("*").cast("double").alias("_n"))
@@ -336,11 +344,17 @@ def bm25_topk(
     :func:`tfidf_topk_terms`).  Returns ``(id_col, matched, score)`` —
     ``matched`` = how many distinct query terms the doc contains.
     """
+    from pyspark import StorageLevel
+
     terms = sorted(set(query_terms))
+    # the (doc, term) tf table feeds BOTH the corpus stats aggregate and the
+    # scoring chain — persist it so the full tokenize → explode → groupBy
+    # corpus pass runs once, not twice (freed by clearCache)
     tf = (
         tokens(df, text_col, id_col)
         .groupBy(id_col, "token")
         .agg(F.count("*").cast("double").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dl = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
     stats = tf.agg(

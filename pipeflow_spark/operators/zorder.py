@@ -178,11 +178,19 @@ def read_pruned(spark, path: str, predicates: dict[str, tuple]):
     with open(mpath) as f:
         manifest = json.load(f)
     keep = prune_files(manifest, predicates)
+    # freshness: parquet files appended AFTER write_manifest have no stats —
+    # they must be READ, not silently excluded (the same unknown-must-be-kept
+    # rule prune_files applies per-column).  Re-applied filters below keep
+    # the result exact.
+    on_disk = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    unknown = [f for f in on_disk if f not in manifest]
+    keep = sorted(set(keep) | set(unknown))
+    total = len(manifest) + len(unknown)
     if not keep:
         # empty result with the right schema: read the schema-only view
         df = spark.read.parquet(path).limit(0)
-        return df, 0, len(manifest)
+        return df, 0, total
     df = spark.read.parquet(*[os.path.join(path, k) for k in keep])
     for c, (lo, hi) in predicates.items():
         df = df.filter(F.col(c).between(F.lit(lo), F.lit(hi)))
-    return df, len(keep), len(manifest)
+    return df, len(keep), total

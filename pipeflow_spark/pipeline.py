@@ -69,6 +69,14 @@ class Pipeline:
 
     def __init__(self, df: DataFrame):
         self._df = df
+        # THROW-validation bookkeeping (reference parity: PipeFlow.cs:522-539
+        # validates EVERY row eagerly at Validate() time).  The in-pass
+        # raise_error guard covers any terminal that evaluates all validated
+        # rows in its single scan; these record the (source df, valid expr)
+        # pairs so prefix terminals (first) and limit-truncated plans — where
+        # the scan never reaches some rows — can still check them all.
+        self._throw_checks: list = []
+        self._plan_truncated = False
 
     # -- plan access -------------------------------------------------------
     @property
@@ -79,7 +87,10 @@ class Pipeline:
         self._df.explain(mode)
 
     def _wrap(self, df: DataFrame) -> "Pipeline":
-        return Pipeline(df)
+        p = Pipeline(df)
+        p._throw_checks = list(self._throw_checks)
+        p._plan_truncated = self._plan_truncated
+        return p
 
     # -- core relational stages (reference: Pipeline.cs:25-102) -------------
     def filter(self, cond: ColumnOrName) -> "Pipeline":
@@ -103,7 +114,11 @@ class Pipeline:
 
     def take(self, n: int) -> "Pipeline":
         """``Take(n)`` — Pipeline.cs:62-69."""
-        return self._wrap(self._df.limit(n))
+        p = self._wrap(self._df.limit(n))
+        # a limit stops the scan early: rows past it never hit the in-pass
+        # THROW guard, so terminals must run the recorded full check
+        p._plan_truncated = True
+        return p
 
     def skip(self, n: int) -> "Pipeline":
         """``Skip(n)`` — Pipeline.cs:71-78 (Spark ≥3.4 offset)."""
@@ -370,12 +385,22 @@ class Pipeline:
         """Fluent per-key prefix budget truncation
         (:func:`..operators.quota.budget_cap`): keep each key's rows, in
         ``order_col`` order, while the inclusive running ``weight_col`` total
-        fits ``quota``.  ``kept_only=False`` returns all rows with the
-        ``cum``/``kept`` audit columns instead of filtering."""
+        fits ``quota``.  ``kept_only=True`` (default) keeps every ORIGINAL
+        column — the running sum is computed over the full frame, not the
+        operator's audit projection; ``kept_only=False`` returns the audit
+        projection (``key, order, weight, cum, kept``) instead."""
+        from pyspark.sql import Window
+
         from .operators.quota import budget_cap as _cap
 
-        out = _cap(self._df, key_col, order_col, weight_col, quota)
-        return self._wrap(out.filter("kept").drop("cum", "kept") if kept_only else out)
+        if not kept_only:
+            return self._wrap(_cap(self._df, key_col, order_col, weight_col, quota))
+        w = Window.partitionBy(key_col).orderBy(order_col)
+        return self._wrap(
+            self._df.withColumn("__cum", F.sum(weight_col).over(w))
+            .filter(F.col("__cum") <= quota)
+            .drop("__cum")
+        )
 
     def turn_rate_spikes(
         self, ts_col: str, key_col: str, window: str = "1 hour",
@@ -441,7 +466,12 @@ class Pipeline:
                 .otherwise(F.lit(True))
                 .cast("boolean")
             )
-            return self._wrap(self._df.filter(guard))
+            out = self._wrap(self._df.filter(guard))
+            # reference parity (PipeFlow.cs:522-539 validates eagerly over
+            # ALL rows): record the check so prefix terminals / truncated
+            # plans — whose scan skips rows — still validate everything
+            out._throw_checks = self._throw_checks + [(self._df, valid)]
+            return out
         raise ValueError(f"unknown strategy {strategy!r}")
 
     def validate_with_results(self, validator: Validator) -> "Pipeline":
@@ -450,9 +480,22 @@ class Pipeline:
         return self._wrap(self._df.withColumn("errors", validator.errors_expr()))
 
     # -- terminals (reference: Pipeline.cs:104-183) ---------------------------
-    def _run(self, action):
+    def _run(self, action, prefix_terminal: bool = False):
         """Run a terminal action, translating an in-pass THROW-guard failure
-        (the JVM raise_error marker) back into :class:`ValidationError`."""
+        (the JVM raise_error marker) back into :class:`ValidationError`.
+
+        The in-pass guard only sees rows the action's scan evaluates; when
+        the scan is partial — a prefix terminal like ``first`` (take(1)
+        stops after one row) or a plan truncated by :meth:`take` — the
+        recorded full checks run first, matching the reference's eager
+        validate-all (PipeFlow.cs:522-539) without taxing the full-scan
+        terminals with a second pass."""
+        if self._throw_checks and (prefix_terminal or self._plan_truncated):
+            for src, valid in self._throw_checks:
+                if src.filter(~valid).limit(1).count():
+                    raise ValidationError(
+                        "validation failed: at least one invalid row"
+                    )
         try:
             return action()
         except ValidationError:
@@ -468,13 +511,13 @@ class Pipeline:
         return self._run(self._df.count)
 
     def first(self):
-        rows = self._run(lambda: self._df.take(1))
+        rows = self._run(lambda: self._df.take(1), prefix_terminal=True)
         if not rows:
             raise ValueError("empty pipeline")
         return rows[0]
 
     def first_or_default(self):
-        rows = self._run(lambda: self._df.take(1))
+        rows = self._run(lambda: self._df.take(1), prefix_terminal=True)
         return rows[0] if rows else None
 
     def to_list(self) -> list:

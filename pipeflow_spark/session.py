@@ -90,6 +90,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _byte_string_as_bytes(s: str) -> int:
+    """Spark byteStringAsBytes semantics: optional k/m/g/t(b) suffix —
+    a digits-only strip would read '128m' as 128 BYTES and silently
+    disable spread()'s repartition."""
+    s = s.strip().lower()
+    mult = 1
+    for suffix, m in (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+                      ("kb", 1 << 10), ("t", 1 << 40), ("g", 1 << 30),
+                      ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    try:
+        return int(s.strip()) * mult
+    except ValueError:
+        return 134217728  # Spark's default 128m
+
+
 def _file_split_estimate(df) -> int | None:
     """Estimate the scan partition count of a file-backed DataFrame from its
     file index — WITHOUT converting the plan to an RDD (``df.rdd`` forces
@@ -104,8 +122,7 @@ def _file_split_estimate(df) -> int | None:
     if not files:
         return None
     raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    digits = "".join(ch for ch in str(raw) if ch.isdigit())
-    mpb = int(digits) if digits else 134217728
+    mpb = _byte_string_as_bytes(str(raw))
     splits = 0
     for uri in files:
         if not uri.startswith("file:"):

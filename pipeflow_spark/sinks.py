@@ -174,16 +174,40 @@ _CURRENT = "_CURRENT"
 _CHANGES = "_changes"
 
 
+def _read_commit_log(table_path: str) -> list[str]:
+    """The ``_CURRENT`` pointer file as a commit LOG: one committed snapshot
+    name per line in commit order, last = current (the Iceberg metadata-log
+    analog).  A ``_SUCCESS`` marker alone does NOT mean committed — a write
+    that crashed between its snapshot write and the pointer flip leaves a
+    fully-_SUCCESS dir that was never published; only log membership is
+    commit.  Legacy single-line pointers read as a one-entry log."""
+    ptr = os.path.join(table_path, _CURRENT)
+    if not os.path.exists(ptr):
+        return []
+    with open(ptr) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def _publish_commit(table_path: str, new_name: str) -> None:
+    """Append ``new_name`` to the commit log and publish with ONE atomic
+    rename — the rename is the commit point, exactly as before; the file
+    simply carries the history instead of only the head."""
+    log = _read_commit_log(table_path) + [new_name]
+    tmp = os.path.join(table_path, f".{_CURRENT}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(log) + "\n")
+    os.rename(tmp, os.path.join(table_path, _CURRENT))
+
+
 def _current_snapshot(table_path: str) -> str | None:
     """Resolve the committed snapshot dir of a pointer-file table, or None.
 
     Legacy compatibility: a directory holding parquet files directly (no
     pointer) is treated as its own single snapshot.
     """
-    ptr = os.path.join(table_path, _CURRENT)
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            snap = os.path.join(table_path, f.read().strip())
+    log = _read_commit_log(table_path)
+    if log:
+        snap = os.path.join(table_path, log[-1])
         return snap if os.path.isdir(snap) else None
     if os.path.isdir(table_path) and any(
         f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(table_path)
@@ -206,31 +230,26 @@ def _snapshot_seqs(names) -> list[int]:
 def _expire_snapshots(
     table_path: str, new_snap: str, keep_snapshots: int, prev_snap: str | None = None
 ) -> None:
-    """Snapshot expiry for a pointer table, ranked by commit order.
+    """Snapshot expiry for a pointer table, ranked by COMMIT-LOG order.
 
-    Retention quota counts only *committed* snapshots (``_SUCCESS`` present)
-    — an in-flight or crashed write dir must not displace a real snapshot
-    from the ``keep_snapshots`` window.  Rank is commit order: version id
-    when the name carries one, with filesystem mtime as the arbiter so the
-    catalog's unversioned ``snapshot-<uuid>`` overwrite dirs sort where they
-    were actually committed instead of lexicographically after every
-    versioned name (which silently ate a keep slot and expired the
-    immediately-previous snapshot).  The new snapshot and the pre-flip
-    current one are retained unconditionally for in-flight readers.
-    Uncommitted ``snapshot-*`` dirs and stray ``.tmp`` pointer files are
-    removed as orphans of crashed writes (single-writer protocol).
+    The retention window is the newest ``keep_snapshots`` entries of the
+    commit log (:func:`_read_commit_log`) — a snapshot dir that is not in
+    the log was never published (a crash between the snapshot write and the
+    pointer flip), no matter how complete its ``_SUCCESS`` looks, and it
+    must neither occupy a keep slot nor survive as a phantom time-travel
+    target.  A rolled-back-to snapshot ranks at its LATEST log occurrence
+    (rollback re-appends it), so it is the newest entry, as it should be.
+    The new snapshot and the pre-flip current one are retained
+    unconditionally for in-flight readers.  Orphan dirs, expired dirs, and
+    stray ``.tmp`` pointer files are removed; the log is then trimmed to
+    the entries whose dirs survive (atomic rewrite — readers see the same
+    head either way).
     """
-    committed = []
-    for d in os.listdir(table_path):
-        full = os.path.join(table_path, d)
-        if not d.startswith("snapshot-") or not os.path.isdir(full):
-            continue
-        if not os.path.exists(os.path.join(full, "_SUCCESS")):
-            continue
-        seqs = _snapshot_seqs([d])
-        committed.append((os.path.getmtime(full), seqs[0] if seqs else -1, d))
-    committed.sort()
-    keep = {d for _, _, d in committed[-max(keep_snapshots, 1):]}
+    log = _read_commit_log(table_path)
+    # rank by latest occurrence (rollback re-appends an older name)
+    latest = {name: i for i, name in enumerate(log)}
+    ranked = sorted(latest, key=latest.get)
+    keep = set(ranked[-max(keep_snapshots, 1):])
     keep.add(new_snap)
     if prev_snap:
         keep.add(os.path.basename(prev_snap))
@@ -240,30 +259,40 @@ def _expire_snapshots(
             shutil.rmtree(full, ignore_errors=True)
         elif d.endswith(".tmp") and os.path.isfile(full):
             os.remove(full)
+    trimmed = [
+        n for n in log if n in keep and os.path.isdir(os.path.join(table_path, n))
+    ]
+    if trimmed and trimmed != log:
+        tmp = os.path.join(table_path, f".{_CURRENT}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write("\n".join(trimmed) + "\n")
+        os.rename(tmp, os.path.join(table_path, _CURRENT))
 
 
 def snapshots(table_path: str) -> list[dict]:
     """Committed-snapshot inventory of a pointer-file table, ascending by
-    version — the Iceberg ``table.snapshots()`` analog.  Only snapshots still
-    retained (``keep_snapshots``) are listed; each entry carries ``version``
-    (the monotonic sequence number), ``dir``, and ``is_current``."""
-    current = _current_snapshot(table_path)
+    version — the Iceberg ``table.snapshots()`` analog.  Committed = present
+    in the COMMIT LOG (the pointer-flip history); a dir with ``_SUCCESS``
+    but no log entry is a crashed write that never published and is never
+    surfaced.  Only snapshots still retained (``keep_snapshots``) are
+    listed; each entry carries ``version`` (the monotonic sequence number),
+    ``dir``, and ``is_current``."""
     out = []
     if not os.path.isdir(table_path):
         return out
-    for d in sorted(os.listdir(table_path)):
-        if not d.startswith("snapshot-"):
-            continue
+    log = _read_commit_log(table_path)
+    current = log[-1] if log else None
+    for d in sorted(set(log)):
         full = os.path.join(table_path, d)
-        # a dir without _SUCCESS is an in-flight or crashed write, not a
-        # committed snapshot — never surface it to readers; unversioned
-        # snapshot-<uuid> names (catalog overwrite path) have no travel id
+        # expired dirs drop out of the listing; unversioned snapshot-<uuid>
+        # names (catalog overwrite path) have no travel id
         if not os.path.isdir(full) or not os.path.exists(os.path.join(full, "_SUCCESS")):
             continue
         seqs = _snapshot_seqs([d])
         if not seqs:
             continue
-        out.append({"version": seqs[0], "dir": full, "is_current": full == current})
+        out.append({"version": seqs[0], "dir": full, "is_current": d == current})
+    out.sort(key=lambda s: s["version"])
     return out
 
 
@@ -508,8 +537,15 @@ def upsert_parquet(
     # is smaller than the highest retained version, and count-based numbering
     # would mint a duplicate (or out-of-order) version id.  Unversioned
     # snapshot names (catalog overwrite-writes use snapshot-<uuid>) count
-    # toward the sequence so versions stay unique past them.
-    seq = max(_snapshot_seqs(existing), default=len(existing)) + 1
+    # toward the sequence so versions stay unique past them; log entries are
+    # unioned in case a committed dir was removed out-of-band.
+    seq = (
+        max(
+            _snapshot_seqs(set(existing) | set(_read_commit_log(table_path))),
+            default=len(existing),
+        )
+        + 1
+    )
     new_snap = f"snapshot-{seq:06d}-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(os.path.join(table_path, new_snap))
     staging = None
@@ -518,10 +554,7 @@ def upsert_parquet(
         _classify_changes(incoming, current, keys, do_update).write.mode("overwrite").parquet(
             staging
         )
-    tmp = os.path.join(table_path, f".{_CURRENT}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        f.write(new_snap)
-    os.rename(tmp, os.path.join(table_path, _CURRENT))  # the atomic commit
+    _publish_commit(table_path, new_snap)  # the atomic commit
     if staging is not None:
         os.rename(staging, os.path.join(table_path, _CHANGES, f"_commit_version={seq}"))
     # snapshot expiry: retain the newest ``keep_snapshots`` committed
@@ -585,10 +618,7 @@ def compact_snapshot(
     seq = max(_snapshot_seqs(committed_before), default=len(committed_before)) + 1
     new_snap = f"snapshot-{seq:06d}-{_uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(os.path.join(table_path, new_snap))
-    tmp = os.path.join(table_path, f".{_CURRENT}.{_uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        f.write(new_snap)
-    os.rename(tmp, os.path.join(table_path, _CURRENT))
+    _publish_commit(table_path, new_snap)
     _expire_snapshots(table_path, new_snap, keep_snapshots, prev_snap=snap)
     return sum(1 for f in os.listdir(os.path.join(table_path, new_snap)) if f.endswith(".parquet"))
 
@@ -613,10 +643,9 @@ def rollback_snapshot(table_path: str, version: int) -> str:
             f"retained versions: {sorted(by_version)}"
         )
     target = os.path.basename(by_version[version])
-    tmp = os.path.join(table_path, f".{_CURRENT}.{_uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        f.write(target)
-    os.rename(tmp, os.path.join(table_path, _CURRENT))  # the atomic ref move
+    # re-APPEND the target to the commit log (the atomic ref move): history
+    # is preserved and the rolled-back-to snapshot ranks newest for expiry
+    _publish_commit(table_path, target)
     return target
 
 

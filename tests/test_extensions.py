@@ -251,3 +251,27 @@ def test_udtf_parse_transcript_turns(spark):
         (1, "assistant", "hello\n  multi-line"),
         (2, "tool", "run()"),
     ]
+
+
+def test_validate_throw_checks_rows_past_prefix_terminals(spark):
+    """Reference parity (PipeFlow.cs:522-539 validates EVERY row eagerly):
+    the in-pass guard only sees rows the terminal's scan evaluates, so
+    first()/first_or_default() (a take(1) scan) and take()-truncated plans
+    must still fail when only a LATER row is invalid — a valid first row
+    must not mask it.  Full-scan terminals stay single-pass (covered by
+    test_validate_throw_single_pass)."""
+    df = spark.createDataFrame(
+        [(1, 50), (2, 999)], "id int, age int"  # row 1 valid, row 2 invalid
+    ).orderBy("id")
+    v = Validator()
+    v.column("age").range(0, 120)
+    with pytest.raises(ValidationError):
+        Pipeline(df).validate(v, ValidationStrategy.THROW).first()
+    with pytest.raises(ValidationError):
+        Pipeline(df).validate(v, ValidationStrategy.THROW).first_or_default()
+    with pytest.raises(ValidationError):
+        Pipeline(df).validate(v, ValidationStrategy.THROW).take(1).to_list()
+    # all-valid data sails through the same terminals
+    ok = spark.createDataFrame([(1, 50), (2, 60)], "id int, age int")
+    assert Pipeline(ok).validate(v, ValidationStrategy.THROW).first().id in (1, 2)
+    assert len(Pipeline(ok).validate(v, ValidationStrategy.THROW).take(1).to_list()) == 1

@@ -1195,3 +1195,80 @@ def test_decontaminate_bloom_matches_exact_twin(spark, sf_dir):
         ).collect()
     }
     assert {d for d, _ in exact} <= audit_ids
+
+
+def test_keep_best_left_joins_unscored_nodes(spark):
+    """Nodes MISSING from the scores table still get a keep decision (LEFT
+    join, NULL ranks last): an inner join would erase them from the output
+    and the caller's keep==False anti-join would then RETAIN every unscored
+    duplicate.  A fully unscored cluster keeps exactly its smallest id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    comps = dedupe.connected_components(pairs)
+    scores = spark.createDataFrame(  # node 3 unscored; cluster {10,11} fully unscored
+        [(1, 0.2), (2, 0.9)], "doc_id bigint, q double"
+    )
+    rows = {r.node: r for r in dedupe.keep_best(comps, scores).collect()}
+    assert set(rows) == {1, 2, 3, 10, 11}  # nobody dropped
+    assert {n: r.keep for n, r in rows.items()} == {
+        1: False, 2: True, 3: False, 10: True, 11: False
+    }
+    assert rows[3].q is None and rows[10].q is None
+
+
+def test_mmr_rerank_string_ids(spark):
+    """mmr_rerank's output id column follows the INPUT id type — string doc
+    ids are legal (nothing in the greedy needs numeric ids); a hardcoded
+    long schema used to crash createDataFrame here."""
+    from pipeflow_spark.operators import retrieval
+
+    emb = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0, 0.0]), ("doc-b", [0.9, 0.1, 0.0]),
+         ("doc-c", [0.0, 1.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = retrieval.mmr_rerank(emb, [1.0, 0.0, 0.0], k=2, depth=3, lam=0.5)
+    rows = out.orderBy("rank").collect()
+    assert [r.vec_id for r in rows][0] == "doc-a"       # most relevant first
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    assert len(rows) == 2 and all(isinstance(r.vec_id, str) for r in rows)
+
+
+def test_tokens_empty_doc_contributes_zero_tokens(spark):
+    """split(trim(''), '\\s+') yields [''] — empty/whitespace-only docs must
+    contribute ZERO tokens, not one phantom '' token polluting vocab / IDF /
+    unigram-logprob stats."""
+    from pipeflow_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, "   "), (4, "one")],
+        "doc_id bigint, text string",
+    )
+    tok = text_ops.tokens(df).collect()
+    assert all(t.token for t in tok)  # no empty-string tokens
+    assert sorted(t.token for t in tok) == ["one", "two", "words"]
+    top = text_ops.vocab_topk(df, k=10).collect()
+    assert "" not in {r.token for r in top}
+
+
+def test_read_pruned_reads_files_appended_after_manifest(spark, tmp_path):
+    """Manifest freshness: parquet files appended AFTER write_manifest have
+    no stats, and the unknown-must-be-kept rule applies — they are READ,
+    never silently excluded, and the re-applied filter keeps the result
+    exact.  The totals count them too."""
+    from pipeflow_spark.operators import zorder
+
+    d = str(tmp_path / "zf")
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 50).alias("a"))
+    zorder.write_zordered(df, d, ["a"], files=4)
+    manifest = zorder.write_manifest(spark, d, ["a"])
+    late = spark.createDataFrame([(5000, 15), (5001, 99)], "id long, a long")
+    late.coalesce(1).write.mode("append").parquet(d)
+    pruned, kept, total = zorder.read_pruned(spark, d, {"a": (10, 20)})
+    assert total == len(manifest) + 1          # the late file is accounted for
+    got = sorted(r.id for r in pruned.collect())
+    expect = sorted(
+        r.id for r in df.filter("a BETWEEN 10 AND 20").collect()
+    ) + [5000]                                  # late in-range row present,
+    assert got == expect                        # late out-of-range row filtered

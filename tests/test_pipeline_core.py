@@ -181,3 +181,34 @@ def test_fluent_budget_and_spike_bridges(spark):
     }
     assert out[("A", 12)] == (9, 3, 6, 2, True)
     assert out[("A", 2)] == (2, 2, 4, 2, False)
+
+
+def test_budget_cap_kept_only_preserves_original_columns(spark):
+    """kept_only=True must keep every ORIGINAL column: the running sum runs
+    over the full frame, not the operator's (key, order, weight) audit
+    projection — a doc pipeline that budget-caps and then uses `text`
+    downstream must not lose it."""
+    rows = [("s1", 1, 30, "alpha"), ("s1", 2, 80, "beta"), ("s2", 1, 10, "gamma")]
+    docs = spark.createDataFrame(rows, "source string, doc_id bigint, w bigint, text string")
+    kept = Pipeline(docs).budget_cap("source", "doc_id", "w", 100).to_list()
+    assert set(kept[0].asDict()) == {"source", "doc_id", "w", "text"}
+    # s1 cum: 30, 110 — beta busts the quota; s2 cum: 10 — kept
+    assert {(r.source, r.doc_id, r.text) for r in kept} == {
+        ("s1", 1, "alpha"), ("s2", 1, "gamma")
+    }
+
+
+def test_byte_string_as_bytes_spark_semantics():
+    """spread()'s maxPartitionBytes parse follows Spark byteStringAsBytes:
+    '128m' is 128 MiB, not 128 bytes (the old digits-only strip silently
+    disabled the repartition guard for any suffixed config value)."""
+    from pipeflow_spark.session import _byte_string_as_bytes as b
+
+    assert b("134217728b") == 128 << 20
+    assert b("128m") == 128 << 20
+    assert b("128MB") == 128 << 20
+    assert b(" 1g ") == 1 << 30
+    assert b("512k") == 512 << 10
+    assert b("2t") == 2 << 40
+    assert b("1000") == 1000
+    assert b("garbage") == 128 << 20  # Spark default fallback

@@ -147,8 +147,11 @@ def test_upsert_snapshot_pointer_commit(spark, tmp_path):
     entries = sorted(os.listdir(path))
     snaps = [d for d in entries if d.startswith("snapshot-")]
     assert "_CURRENT" in entries and len(snaps) == 2  # current + one retained
+    # _CURRENT is a commit LOG (one name per line, last = current); every
+    # retained entry's dir exists
     with open(os.path.join(path, "_CURRENT")) as f:
-        assert f.read().strip() in snaps
+        log = [ln.strip() for ln in f if ln.strip()]
+    assert log and log[-1] in snaps and set(log) <= set(snaps)
     assert [(r.k, r.v) for r in read_upsert_table(spark, path).collect()] == [(1, "v3")]
 
 
@@ -689,3 +692,62 @@ def test_upsert_schema_evolution_change_feed_union(spark, tmp_path):
     rows = {(r._commit_version, r.k): (r.v, r.extra, r._change_type) for r in feed.collect()}
     assert rows[(1, 1)] == ("a", None, "insert")
     assert rows[(2, 1)] == ("a2", 7, "update_postimage")
+
+
+def test_commit_log_phantom_success_dir_never_published(spark, tmp_path):
+    """Commit-log protocol: a crash BETWEEN the snapshot write and the
+    pointer flip leaves a dir whose _SUCCESS looks complete but that was
+    never published.  Committed = commit-log membership, not _SUCCESS — the
+    phantom must not be listed, must not be a time-travel target, must not
+    occupy a keep slot, and is swept as an orphan at the next expiry."""
+    import pytest
+
+    from pipeflow_spark.sinks import read_upsert_table, snapshots, upsert_parquet
+
+    t = str(tmp_path / "tbl")
+    for val in ["a", "b"]:
+        upsert_parquet(spark, spark.createDataFrame([(1, val)], "id long, v string"),
+                       t, keys=["id"], keep_snapshots=3)
+    phantom = os.path.join(t, "snapshot-000099-feedface")
+    spark.createDataFrame([(1, "PHANTOM")], "id long, v string").write.parquet(phantom)
+    assert os.path.exists(os.path.join(phantom, "_SUCCESS"))  # looks committed…
+    assert [s["version"] for s in snapshots(t)] == [1, 2]     # …but is not
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        read_upsert_table(spark, t, version=99)
+    upsert_parquet(spark, spark.createDataFrame([(1, "c")], "id long, v string"),
+                   t, keys=["id"], keep_snapshots=3)
+    assert not os.path.isdir(phantom)                         # orphan swept
+    # version numbering is conservative past crashed dirs: the next commit
+    # mints 100 (> the phantom's 99), so a version id can never collide with
+    # an orphan a concurrent crash left behind — uniqueness over density
+    assert [s["version"] for s in snapshots(t)] == [1, 2, 100]
+    assert {r.v for r in read_upsert_table(spark, t).collect()} == {"c"}
+
+
+def test_rollback_reappend_ranks_target_newest_for_expiry(spark, tmp_path):
+    """rollback re-APPENDS the target to the commit log, so expiry ranks the
+    rolled-back-to snapshot at its latest occurrence: commits after the
+    rollback must never expire the snapshot the table is actually built on,
+    even though it is the oldest by version number.  The trimmed log stays
+    consistent: every entry's dir exists and the last line is current."""
+    from pipeflow_spark.sinks import (read_upsert_table, rollback_snapshot,
+                                      snapshots, upsert_parquet)
+
+    t = str(tmp_path / "tbl")
+    for val in ["a", "b", "c"]:
+        upsert_parquet(spark, spark.createDataFrame([(1, val)], "id long, v string"),
+                       t, keys=["id"], keep_snapshots=3)
+    rollback_snapshot(t, 1)
+    assert {r.v for r in read_upsert_table(spark, t).collect()} == {"a"}
+    # keep_snapshots=2 after the rollback: window = {v1 (re-appended), v4};
+    # v2/v3 expire, the active v1 base survives
+    upsert_parquet(spark, spark.createDataFrame([(2, "d")], "id long, v string"),
+                   t, keys=["id"], keep_snapshots=2)
+    vers = [s["version"] for s in snapshots(t)]
+    assert 1 in vers and max(vers) == 4 and 2 not in vers and 3 not in vers, vers
+    got = {r.id: r.v for r in read_upsert_table(spark, t).collect()}
+    assert got == {1: "a", 2: "d"}  # built on the rolled-back-to base
+    with open(os.path.join(t, "_CURRENT")) as f:
+        log = [ln.strip() for ln in f if ln.strip()]
+    assert log[-1].startswith("snapshot-000004-")
+    assert all(os.path.isdir(os.path.join(t, n)) for n in log)
