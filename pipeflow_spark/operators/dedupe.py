@@ -136,6 +136,53 @@ def gram_hash_posting(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> 
     )
 
 
+def dup_span_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level duplication profile: per doc, what fraction of its distinct
+    word ``n``-grams also appears in ≥ ``min_docs`` docs (itself included) —
+    the cheap proxy for substring-level dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22: repeated *spans*
+    harm models even when no whole document is a near-dup, so doc-tier
+    dedupe alone — :func:`exact` / :func:`minhash_lsh_pairs` — misses them).
+    A doc with ``dup_ratio`` near 1 is template boilerplate even if its exact
+    fingerprint is unique.
+
+    Output ``(id_col, n_grams, n_dup_grams, dup_ratio)``; ratio rounded to
+    6 dp for cross-engine equality.
+
+    Scale shape: grams travel as 8-byte ``xxhash64`` longs, never strings
+    (:func:`gram_hash_posting` — membership/frequency is all this needs, and
+    the long path measured 5–9× cheaper at sf0.1).  One hash aggregate on the
+    gram key for document frequency, one equi-join of the posting list back
+    to it (both sides partitioned on the same key, AQE-skew-splittable — hot
+    boilerplate grams are exactly the skewed ones), one final aggregate on
+    the doc id.  No all-pairs step anywhere: cost is O(total grams), not
+    O(docs²), so the profile stays linear at corpus scale.
+
+    Reference analog: none (PipeFlow stops at whole-row ``Distinct``,
+    ``PipeFlow/Pipeline.cs:80-84``); training-data extension surface.
+    """
+    posting = gram_hash_posting(df, text_col, id_col, n)
+    gram_df = posting.groupBy("gh").agg(F.count("*").alias("__nd"))
+    return (
+        posting.join(gram_df, "gh")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("__nd") >= min_docs).cast("long")).alias("n_dup_grams"),
+            F.round(
+                F.sum((F.col("__nd") >= min_docs).cast("long")) / F.count("*"), 6
+            ).alias("dup_ratio"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 # -- shared: exact-Jaccard verification of candidate pairs --------------------
 
 

@@ -5487,6 +5487,38 @@ def avro_roundtrip_events(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "dup_span_profile",
+    """
+    WITH grams AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+      FROM (SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+            FROM documents)
+    ), posting AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+    ), freq AS (
+      SELECT g, count(*) AS nd FROM posting GROUP BY g
+    )
+    SELECT p.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup_grams,
+           round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_ratio
+    FROM posting p JOIN freq USING (g)
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """,
+)
+def dup_span_profile(spark, sf_dir):
+    """Span-level duplication profile (operators/dedupe.py): per doc, the
+    fraction of its distinct 3-grams appearing in ≥2 docs — the repeated-span
+    signal doc-tier dedupe misses (a doc can be fingerprint-unique yet 90%
+    boilerplate).  Grams travel as xxhash64 longs (``gram_hash_posting``);
+    the oracle rebuilds the same profile from string grams, so a green row
+    additionally proves the long-path gram frequencies are collision-exact
+    against the string-path twin."""
+    return dedupe.dup_span_profile(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 _ORDER = [
     # TPC-H shapes (scan/filter/join/agg plan quality)
     "q1_pricing_summary",
@@ -5663,6 +5695,8 @@ _ORDER = [
     "event_transition_matrix",
     # Avro OCF round-trip through the stdlib codec (avro_py.py)
     "avro_roundtrip_events",
+    # span-level duplication profile (ExactSubstr proxy)
+    "dup_span_profile",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

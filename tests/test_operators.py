@@ -1272,3 +1272,38 @@ def test_read_pruned_reads_files_appended_after_manifest(spark, tmp_path):
         r.id for r in df.filter("a BETWEEN 10 AND 20").collect()
     ) + [5000]                                  # late in-range row present,
     assert got == expect                        # late out-of-range row filtered
+
+
+def test_dup_span_profile_hand_math(spark):
+    """Hand-checkable span duplication: doc 1 and doc 2 share exactly their
+    'a b c' opening 3-gram, doc 3 is fully unique, doc 4 duplicates doc 1
+    verbatim (every gram shared)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # grams: abc bcd cde
+            (2, "a b c x y"),   # grams: abc bcx cxy
+            (3, "p q r s t"),   # grams: pqr qrs rst
+            (4, "a b c d e"),   # identical to doc 1
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dedupe.dup_span_profile(df).collect()}
+    assert {k: (v.n_grams, v.n_dup_grams) for k, v in out.items()} == {
+        1: (3, 3),  # all three grams also in doc 4; 'a b c' additionally in 2
+        2: (3, 1),  # only 'a b c' shared
+        3: (3, 0),
+        4: (3, 3),
+    }
+    assert out[2].dup_ratio == pytest.approx(1 / 3, abs=1e-6)
+    assert out[3].dup_ratio == 0.0 and out[1].dup_ratio == 1.0
+
+
+def test_dup_span_profile_short_rows(spark):
+    """Rows shorter than n hash one truncated window (same convention as
+    gram_hash_table): two identical 2-token docs count as mutual dups."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "z")], "doc_id int, text string"
+    )
+    out = {r.doc_id: (r.n_grams, r.n_dup_grams) for r in
+           dedupe.dup_span_profile(df).collect()}
+    assert out == {1: (1, 1), 2: (1, 1), 3: (1, 0)}
