@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dup_span_profile",
     "json_path_props",
     "embed_cosine_topk",
     "embed_ivf_topk",
