@@ -6,8 +6,10 @@ multimodal plumbing."""
 from . import (  # noqa: F401
     asof,
     bloom,
+    bpe,
     decontaminate,
     dedupe,
+    graph,
     heavy,
     jsonpath,
     multimodal,

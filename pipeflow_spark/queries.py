@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 from .operators import (
     asof,
     bloom,
+    bpe,
     cep_pattern,
     decontaminate,
     dedupe,
+    graph,
     heavy,
     multimodal,
     sampling,
@@ -5519,6 +5521,119 @@ def dup_span_profile(spark, sf_dir):
     return dedupe.dup_span_profile(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def _pagerank_sql(iterations: int, min_df: int = 2, max_df: int = 8) -> str:
+    """Unrolled fixed-K integer PageRank over the rare-shared-gram source
+    graph — every arithmetic op is exact int64/int128, so each iteration is
+    bit-identical to operators/graph.py's Spark loop (see its module
+    docstring for the determinism contract)."""
+    head = f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    posting AS (
+      SELECT doc_id, source, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS g
+      FROM toks
+    ),
+    freq AS (
+      SELECT g FROM posting GROUP BY g
+      HAVING count(*) BETWEEN {min_df} AND {max_df}
+    ),
+    rare_src AS (SELECT DISTINCT source AS src, g FROM posting JOIN freq USING (g)),
+    half AS (
+      SELECT a.src AS s, b.src AS d, count(*) AS w
+      FROM rare_src a JOIN rare_src b ON a.g = b.g AND a.src < b.src
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT s, d, w FROM half UNION ALL SELECT d AS s, s AS d, w FROM half),
+    outw AS (SELECT s, sum(w) AS ow FROM edges GROUP BY s),
+    nodes AS (SELECT DISTINCT source AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS rank_scaled FROM nodes, nn)"""
+    iters = []
+    for k in range(1, iterations + 1):
+        iters.append(f""",
+    r{k} AS (
+      SELECT n.node,
+             CAST((150000000000 // n.n)
+                  + (17 * coalesce(sum((r.rank_scaled * e.w) // o.ow), 0)) // 20
+                  AS BIGINT) AS rank_scaled
+      FROM (SELECT node, n FROM nodes, nn) n
+      LEFT JOIN edges e ON e.d = n.node
+      LEFT JOIN outw o ON o.s = e.s
+      LEFT JOIN r{k-1} r ON r.node = e.s
+      GROUP BY n.node, n.n
+    )""")
+    tail = f"""
+    SELECT node AS source, rank_scaled,
+           round(rank_scaled / 1000000000000.0, 9) AS pagerank
+    FROM r{iterations} ORDER BY source"""
+    return head + "".join(iters) + tail
+
+
+@register("domain_pagerank", _pagerank_sql(5))
+def domain_pagerank(spark, sf_dir):
+    """Domain-centrality weighting for corpus curation (operators/graph.py):
+    sources linked by shared RARE n-grams (df in [2,8] — the band is the
+    built-in boilerplate cap), then 5 iterations of weighted PageRank in
+    exact integer arithmetic (rank*w div outw, damping 17/20, teleport
+    floor-divided) so Spark and the unrolled-CTE oracle agree bit-for-bit
+    with no float-summation-order hazard.  Spark grams travel as xxhash64
+    longs; the oracle's string grams re-prove the long path collision-exact.
+    Reference analog: none (PipeFlow has no graph ops) — SURVEY §2.8."""
+    return graph.domain_rank(_t(spark, sf_dir, "documents"), iterations=5).orderBy("source")
+
+
+def _bpe_sql(k_merges: int, min_len: int = 2, max_len: int = 20) -> str:
+    """Unrolled BPE induction: k chained (pair-count → argmax → replace)
+    CTE triples over the word-frequency table.  The wrapped ``|a||b|``
+    symbol representation makes SQL ``replace`` (left-to-right,
+    non-overlapping) exactly the BPE merge pass — see operators/bpe.py."""
+    parts = [f"""
+    WITH v0 AS (
+      SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS seq, cnt FROM (
+        SELECT w, count(*) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w FROM documents
+        ) WHERE length(w) BETWEEN {min_len} AND {max_len}
+        GROUP BY w
+      )
+    )"""]
+    for k in range(1, k_merges + 1):
+        parts.append(f""",
+    p{k} AS (
+      SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS total FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> {{'a': t[i], 'b': t[i+1]}})) AS p, cnt
+        FROM (SELECT regexp_extract_all(seq, '\\|([^|]+)\\|', 1) AS t, cnt FROM v{k-1})
+      ) GROUP BY 1, 2
+    ),
+    m{k} AS (SELECT a, b, total FROM p{k} ORDER BY total DESC, a, b LIMIT 1),
+    v{k} AS (
+      SELECT replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seq, cnt
+      FROM v{k-1}, m{k}
+    )""")
+    selects = [
+        f"SELECT CAST({k} AS INTEGER) AS step, a AS lhs, b AS rhs, a || b AS merged,"
+        f" total AS pair_count FROM m{k}"
+        for k in range(1, k_merges + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY step"
+
+
+@register("bpe_merge_rules", _bpe_sql(6))
+def bpe_merge_rules(spark, sf_dir):
+    """BPE tokenizer induction (operators/bpe.py): one corpus pass builds the
+    word-frequency table, then 6 merge steps, each a vocab-sized pair-count
+    shuffle plus a single argmax row to the driver.  Exact int64 counts and
+    a (count DESC, pair) total order make the learned rule table
+    bit-identical to the oracle's unrolled CTE chain.  Reference analog:
+    none (PipeFlow has no tokenizer ops) — SURVEY §2.8."""
+    return bpe.learn_merges(_t(spark, sf_dir, "documents"), k_merges=6).orderBy("step")
+
+
 _ORDER = [
     # TPC-H shapes (scan/filter/join/agg plan quality)
     "q1_pricing_summary",
@@ -5697,6 +5812,9 @@ _ORDER = [
     "avro_roundtrip_events",
     # span-level duplication profile (ExactSubstr proxy)
     "dup_span_profile",
+    # domain-graph centrality + BPE tokenizer induction (SURVEY §2.8)
+    "domain_pagerank",
+    "bpe_merge_rules",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

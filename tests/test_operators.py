@@ -1307,3 +1307,113 @@ def test_dup_span_profile_short_rows(spark):
     out = {r.doc_id: (r.n_grams, r.n_dup_grams) for r in
            dedupe.dup_span_profile(df).collect()}
     assert out == {1: (1, 1), 2: (1, 1), 3: (1, 0)}
+
+
+# -- graph (domain PageRank) --------------------------------------------------
+
+def test_pagerank_hand_math(spark):
+    """2-node symmetric graph + 1 isolated node, 1 iteration, N=3:
+    teleport = 150e9 // 3 = 50e9; each linked node receives the other's full
+    rank (single out-edge): r0 = 1e12//3; contrib = r0*1//1 = r0;
+    new = teleport + (17*r0)//20.  Isolated node = teleport only."""
+    from pipeflow_spark.operators import graph
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "s string, d string, w long"
+    )
+    out = {r.node: r.rank_scaled for r in graph.pagerank(nodes, edges, iterations=1).collect()}
+    r0 = 10**12 // 3
+    expected_linked = 150_000_000_000 // 3 + (17 * r0) // 20
+    assert out["a"] == expected_linked
+    assert out["b"] == expected_linked
+    assert out["c"] == 150_000_000_000 // 3
+
+
+def test_pagerank_weighted_split(spark):
+    """Node 'a' splits its rank 3:1 between b and c (weights 3 and 1) —
+    exact integer floor division on each contribution."""
+    from pipeflow_spark.operators import graph
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "s string, d string, w long"
+    )
+    out = {r.node: r.rank_scaled for r in graph.pagerank(nodes, edges, iterations=1).collect()}
+    r0 = 10**12 // 3
+    tele = 150_000_000_000 // 3
+    assert out["b"] == tele + (17 * ((r0 * 3) // 4)) // 20
+    assert out["c"] == tele + (17 * ((r0 * 1) // 4)) // 20
+    assert out["a"] == tele  # no in-edges
+
+
+def test_syndication_edges_df_band(spark):
+    """Gram df band [2,2]: the gram shared by all three sources (df=3) is
+    boilerplate-capped out; only the df=2 gram links s1↔s2."""
+    from pipeflow_spark.operators import graph
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common nav bar rare span one", "s1"),
+            (2, "common nav bar rare span one", "s2"),
+            (3, "common nav bar other words here", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    edges = graph.syndication_edges(docs, min_df=2, max_df=2)
+    rows = {(r.s, r.d): r.w for r in edges.collect()}
+    assert ("s1", "s2") in rows and ("s2", "s1") in rows
+    assert all(s != "s3" and d != "s3" for s, d in rows)
+    # shared rare 3-grams of "rare span one" region with df=2:
+    # the 4 trigrams covering positions 2..6 minus those also in doc 3
+    assert rows[("s1", "s2")] == rows[("s2", "s1")]
+
+
+# -- bpe (tokenizer induction) ------------------------------------------------
+
+def test_bpe_learn_merges_hand_math(spark):
+    """Corpus 'aaab' x3 + 'ab' x2: pairs (a,a)=6, (a,b)=5 → merge1=(a,a).
+    After merge, 'aaab' -> [aa, a, b]: pairs (aa,a)=3, (a,b)=5 → merge2=(a,b)."""
+    from pipeflow_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab")], "id int, text string"
+    )
+    rules = bpe.learn_merges(docs, k_merges=2).collect()
+    assert [(r.step, r.lhs, r.rhs, r.merged, r.pair_count) for r in rules] == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "b", "ab", 5),
+    ]
+
+
+def test_bpe_adjacent_merge_left_to_right(spark):
+    """'aaaa' must merge as (aa)(aa), not overlap — replace semantics are the
+    BPE pass."""
+    from pipeflow_spark.operators import bpe
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaaa")], "id int, text string")
+    rules = bpe.learn_merges(docs, k_merges=2).collect()
+    # step1: (a,a) count 9 (3 per word, overlapping positions all counted)
+    assert (rules[0].lhs, rules[0].rhs, rules[0].pair_count) == ("a", "a", 9)
+    # step2: sequences are now [aa, aa] -> only pair is (aa, aa)
+    assert (rules[1].lhs, rules[1].rhs, rules[1].pair_count) == ("aa", "aa", 3)
+
+
+def test_bpe_apply_merges_tokenizes(spark):
+    from pipeflow_spark.operators import bpe
+
+    docs = spark.createDataFrame([(1, "aaab")], "id int, text string")
+    out = docs.transform(
+        lambda d: bpe.apply_merges(d, [("a", "a"), ("aa", "a")])
+    ).collect()[0]["bpe_tokens"]
+    assert out == ["aaa", "b"]
+
+
+def test_bpe_tiebreak_lexicographic(spark):
+    """Equal counts -> lexicographically smallest pair wins (cross-engine
+    total order)."""
+    from pipeflow_spark.operators import bpe
+
+    docs = spark.createDataFrame([(1, "zy zy ab ab")], "id int, text string")
+    rules = bpe.learn_merges(docs, k_merges=1).collect()
+    assert (rules[0].lhs, rules[0].rhs) == ("a", "b")
