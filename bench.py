@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dup_span_profile",
+    "domain_pagerank",
+    "bpe_merge_rules",
     "json_path_props",
     "embed_cosine_topk",
     "embed_ivf_topk",

@@ -5587,7 +5587,7 @@ def domain_pagerank(spark, sf_dir):
     return graph.domain_rank(_t(spark, sf_dir, "documents"), iterations=5).orderBy("source")
 
 
-def _bpe_sql(k_merges: int, min_len: int = 2, max_len: int = 20) -> str:
+def _bpe_cte_chain(k_merges: int, min_len: int = 2, max_len: int = 20) -> str:
     """Unrolled BPE induction: k chained (pair-count → argmax → replace)
     CTE triples over the word-frequency table.  The wrapped ``|a||b|``
     symbol representation makes SQL ``replace`` (left-to-right,
@@ -5615,12 +5615,21 @@ def _bpe_sql(k_merges: int, min_len: int = 2, max_len: int = 20) -> str:
       SELECT replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seq, cnt
       FROM v{k-1}, m{k}
     )""")
+    return "".join(parts)
+
+
+def _bpe_sql(k_merges: int, min_len: int = 2, max_len: int = 20) -> str:
     selects = [
         f"SELECT CAST({k} AS INTEGER) AS step, a AS lhs, b AS rhs, a || b AS merged,"
         f" total AS pair_count FROM m{k}"
         for k in range(1, k_merges + 1)
     ]
-    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY step"
+    return (
+        _bpe_cte_chain(k_merges, min_len, max_len)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY step"
+    )
 
 
 @register("bpe_merge_rules", _bpe_sql(6))
@@ -5632,6 +5641,48 @@ def bpe_merge_rules(spark, sf_dir):
     bit-identical to the oracle's unrolled CTE chain.  Reference analog:
     none (PipeFlow has no tokenizer ops) — SURVEY §2.8."""
     return bpe.learn_merges(_t(spark, sf_dir, "documents"), k_merges=6).orderBy("step")
+
+
+def _bpe_apply_sql(k_merges: int) -> str:
+    """Learned-tokenizer application twin: the oracle re-learns the same k
+    rules (CTE chain), then applies them to every document's wrapped
+    char sequence via the same chained ``replace`` — per-doc BPE token
+    counts.  ``([\\s\\S])`` instead of ``(.)`` so newline chars wrap too
+    (RE2 ``.`` is not dotall)."""
+    expr = "regexp_replace(lower(text), '([\\s\\S])', '|\\1|', 'g')"
+    for k in range(1, k_merges + 1):
+        expr = (
+            f"replace({expr}, '|' || m{k}.a || '||' || m{k}.b || '|',"
+            f" '|' || m{k}.a || m{k}.b || '|')"
+        )
+    froms = ", ".join(f"m{k}" for k in range(1, k_merges + 1))
+    return (
+        _bpe_cte_chain(k_merges)
+        + f""",
+    applied AS (
+      SELECT doc_id, {expr} AS seq FROM documents, {froms}
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(seq, '\\|([^|]+)\\|', 1)) AS BIGINT) AS n_bpe_tokens
+    FROM applied ORDER BY doc_id"""
+    )
+
+
+@register("bpe_token_counts", _bpe_apply_sql(6))
+def bpe_token_counts(spark, sf_dir):
+    """Learn-then-apply composite (operators/bpe.py): induce 6 merge rules
+    from the corpus, tokenize every document with them (map-only chained JVM
+    ``replace``, no Python), count tokens per doc — the budget input every
+    packing/pricing stage downstream consumes.  Green = the induced rules
+    AND their application agree with the oracle's independent unrolled
+    chain end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    rules = sorted(bpe.learn_merges(docs, k_merges=6).collect(), key=lambda r: r.step)
+    return (
+        bpe.apply_merges(docs, [(r.lhs, r.rhs) for r in rules])
+        .select("doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"))
+        .orderBy("doc_id")
+    )
 
 
 _ORDER = [
@@ -5815,6 +5866,7 @@ _ORDER = [
     # domain-graph centrality + BPE tokenizer induction (SURVEY §2.8)
     "domain_pagerank",
     "bpe_merge_rules",
+    "bpe_token_counts",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "
