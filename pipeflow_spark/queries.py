@@ -33,6 +33,7 @@ from .operators import (
     graph,
     heavy,
     multimodal,
+    quantile,
     sampling,
     sessionize,
     similarity,
@@ -5685,6 +5686,74 @@ def bpe_token_counts(spark, sf_dir):
     )
 
 
+@register(
+    "hist_quantiles_events",
+    quantile.hist_quantiles_sql("events", "value", ["event_type"]),
+)
+def hist_quantiles_events(spark, sf_dir):
+    """Bounded-state histogram percentiles (operators/quantile.py): HDR-style
+    log2/4-mantissa-bit buckets in pure int64 arithmetic — the mergeable
+    fixed-size alternative to ``reply_latency_profile``'s exact percentiles
+    (which buffer all values per group).  Estimate = bucket upper bound, so
+    ``true ≤ pXX ≤ true·1.125`` by construction; rank threshold is
+    ``(n·p+99) div 100`` (integer ceil — no 0.95·n float boundary hazard).
+    Oracle: the identical integer pipeline in SQL.  State per group ≤ ~1000
+    buckets at any scale — the 10^12-turn-safe percentile path."""
+    return quantile.hist_quantiles(
+        _t(spark, sf_dir, "events"), "value", ["event_type"]
+    ).orderBy("event_type")
+
+
+@register(
+    "stream_hist_quantiles_oracle",
+    quantile.hist_quantiles_sql(
+        "(SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, value FROM events)",
+        "value",
+        ["ws", "event_type"],
+    ),
+)
+def stream_hist_quantiles_oracle(spark, sf_dir):
+    """Streaming twin of ``hist_quantiles_events``: the full micro-batch
+    chain (file stream → watermark → stateful dedupe → tumbling histogram
+    agg → exactly-once sink) keeps per-window state at BUCKET granularity
+    (≤ ~1000 rows per (window, type) however many events arrive — the
+    10^12-turn-safe windowed-percentile design), then the committed bucket
+    rows reconstruct p50/p95/p99 offline.  Oracle: the identical integer
+    pipeline as one batch SQL over the same events."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_hq_")
+    bid, ub = quantile.bucket_cols("x")
+    sp = (
+        StreamingPipeline(_events_stream_source(spark, sf_dir, work))
+        .with_watermark("ts", "10 minutes")
+        .dedupe_within_watermark(["event_id"])
+        .add_column("x", quantile.scaled_value(F.col("value")))
+        .filter(F.col("x") >= 1)
+        .add_column("bid", bid)
+        .add_column("ub", ub)
+        .tumbling_agg(
+            "ts", "1 hour", ["event_type", "bid"],
+            F.count("*").alias("cnt"), F.max("ub").alias("ub"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "bid", "cnt", "ub")
+    )
+    buckets = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("ws", "event_type", "bid", "cnt", "ub")
+    )
+    out = quantile.quantiles_from_buckets(buckets, ["ws", "event_type"]).orderBy(
+        "ws", "event_type"
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _ORDER = [
     # TPC-H shapes (scan/filter/join/agg plan quality)
     "q1_pricing_summary",
@@ -5867,6 +5936,9 @@ _ORDER = [
     "domain_pagerank",
     "bpe_merge_rules",
     "bpe_token_counts",
+    # bounded-state histogram percentiles (mergeable sketch, oracled)
+    "hist_quantiles_events",
+    "stream_hist_quantiles_oracle",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

@@ -1417,3 +1417,55 @@ def test_bpe_tiebreak_lexicographic(spark):
     docs = spark.createDataFrame([(1, "zy zy ab ab")], "id int, text string")
     rules = bpe.learn_merges(docs, k_merges=1).collect()
     assert (rules[0].lhs, rules[0].rhs) == ("a", "b")
+
+
+# -- quantile (bounded-state histogram percentiles) ---------------------------
+
+def test_hist_quantiles_error_bound(spark):
+    """Estimate is >= the exact percentile and <= exact * 1.125 (4
+    mantissa-bit buckets), on a deterministic skewed sample."""
+    import numpy as np
+    from pipeflow_spark.operators import quantile
+
+    rng = np.random.RandomState(42)
+    vals = np.concatenate([rng.gamma(2.0, 10.0, 4000), rng.gamma(8.0, 40.0, 400)])
+    vals = np.maximum(vals, 0.02).round(2)
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "k string, value double")
+    row = quantile.hist_quantiles(df, "value", ["k"]).collect()[0]
+    assert row.n == len(vals)
+    assert row.n_buckets <= 200  # bounded state: octaves * 16, not n
+    for p in (50, 95, 99):
+        exact = float(np.sort(vals)[int(np.ceil(p / 100 * len(vals))) - 1])
+        est = getattr(row, f"p{p}")
+        assert exact <= est <= exact * 1.125 + 0.01, (p, exact, est)
+
+
+def test_hist_quantiles_exact_small_region(spark):
+    """Scaled values < 16 sit in width-1 buckets: estimates are EXACT there."""
+    from pipeflow_spark.operators import quantile
+
+    # values 0.01..0.15 -> x = 1..15, all exact buckets
+    df = spark.createDataFrame(
+        [("g", i / 100.0) for i in range(1, 16)], "k string, value double"
+    )
+    row = quantile.hist_quantiles(df, "value", ["k"], percents=(50, 99)).collect()[0]
+    assert row.p50 == 0.08  # ceil(0.5*15)=8th of 1..15
+    assert row.p99 == 0.15
+    assert row.n_buckets == 15
+
+
+def test_hist_quantiles_merge_additivity(spark):
+    """Sketch mergeability: quantiles of A∪B equal quantiles computed from
+    the summed bucket counts — here verified end-to-end by splitting the
+    input arbitrarily and unioning (bucket counts add by construction)."""
+    from pipeflow_spark.operators import quantile
+
+    a = [("g", float(v)) for v in (0.5, 1.7, 3.14, 220.1, 4096.77)]
+    b = [("g", float(v)) for v in (0.9, 55.5, 55.6, 100000.0)]
+    whole = spark.createDataFrame(a + b, "k string, value double")
+    parts = spark.createDataFrame(a, "k string, value double").unionByName(
+        spark.createDataFrame(b, "k string, value double")
+    )
+    r1 = quantile.hist_quantiles(whole, "value", ["k"]).collect()[0]
+    r2 = quantile.hist_quantiles(parts, "value", ["k"]).collect()[0]
+    assert (r1.n, r1.p50, r1.p95, r1.p99) == (r2.n, r2.p50, r2.p95, r2.p99)
