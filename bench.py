@@ -46,6 +46,7 @@ HEADLINE = [
     "dup_span_profile",
     "domain_pagerank",
     "bpe_merge_rules",
+    "hist_quantiles_events",
     "json_path_props",
     "embed_cosine_topk",
     "embed_ivf_topk",
