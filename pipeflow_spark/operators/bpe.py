@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedupe import _ckpt
+
 WORD_RE = "[a-z]+"
 TOKEN_RE = r"\|([^|]+)\|"
 # Inside an F.expr SQL string literal, backslashes are escape chars — the
@@ -104,14 +106,17 @@ def learn_merges(
     min_len: int = 2,
     max_len: int = 20,
     reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Learn ``k_merges`` BPE rules; returns ``(step, lhs, rhs, merged,
     pair_count)`` — the merge table a tokenizer would serialize.  One corpus
     pass, then ``k_merges`` vocab-sized jobs with a 1-row driver collect
     each."""
     spark = docs.sparkSession
+    if reliable and checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     vocab = word_vocab(docs, text_col, min_len, max_len)
-    vocab = vocab.localCheckpoint(eager=True)
+    vocab = _ckpt(vocab, reliable)
     rules: list[tuple[int, str, str, str, int]] = []
     for step in range(1, k_merges + 1):
         top = (
@@ -127,7 +132,7 @@ def learn_merges(
         vocab = vocab.select(
             F.expr(f"replace(seq, '|{a}||{b}|', '|{a}{b}|')").alias("seq"), "cnt"
         )
-        vocab = vocab.checkpoint(eager=True) if reliable else vocab.localCheckpoint(eager=True)
+        vocab = _ckpt(vocab, reliable)
     return spark.createDataFrame(
         rules, "step int, lhs string, rhs string, merged string, pair_count bigint"
     )

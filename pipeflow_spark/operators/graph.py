@@ -4,8 +4,9 @@ Reference analog: none — PipeFlow has no graph ops; this is training-data
 curation surface (SURVEY §2.8).  Web-corpus pipelines weight documents by the
 centrality of their *domain* in a link/syndication graph (the CommonCrawl
 domain-ranking step); here the graph is derived from the corpus itself:
-source A ↔ source B are linked when they publish byte-identical content
-(shared normalized-text fingerprint), i.e. a syndication/mirroring edge.
+source A ↔ source B are linked when they publish the same *rare* content
+spans (shared low-document-frequency n-grams), i.e. a syndication/mirroring
+edge.
 
 Determinism contract (oracle = unrolled fixed-K iterations in DuckDB SQL):
 ranks are kept as **integer-scaled** values (``SCALE = 10^12``) and every
@@ -40,10 +41,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedupe import gram_hash_posting
+from .dedupe import _ckpt, gram_hash_posting
 
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 17, 20  # 0.85 as an exact ratio
+# rank_scaled * w must stay inside int64: rank_scaled <= SCALE (=1e12), so
+# edge weights are capped at 4e6 (1e12 * 4e6 = 4e18 < 2^63-1).  The cap is
+# part of the operator's semantics (mirrored in the SQL oracle), not a
+# silent clamp: a pair of domains sharing >4M rare grams is "maximally
+# syndicated" for ranking purposes.
+MAX_WEIGHT = 4_000_000
 
 
 def syndication_edges(
@@ -54,11 +61,13 @@ def syndication_edges(
     n: int = 3,
     min_df: int = 2,
     max_df: int = 8,
+    max_weight: int = MAX_WEIGHT,
 ) -> DataFrame:
     """Weighted directed edge list ``(s, d, w)`` between sources sharing
     rare content spans: ``w`` = count of distinct word ``n``-grams with
     corpus document frequency in ``[min_df, max_df]`` that both sources
-    contain, symmetrized (every undirected pair appears in both
+    contain (capped at ``max_weight`` — the :data:`MAX_WEIGHT` int64-overflow
+    guard), symmetrized (every undirected pair appears in both
     directions)."""
     posting = gram_hash_posting(docs, text_col, id_col, n)
     freq = (
@@ -75,7 +84,7 @@ def syndication_edges(
         a.join(b, "gh")
         .filter(F.col("a.src") < F.col("b.src"))
         .groupBy(F.col("a.src").alias("s"), F.col("b.src").alias("d"))
-        .agg(F.count("*").alias("w"))
+        .agg(F.least(F.count("*"), F.lit(max_weight)).alias("w"))
     )
     return half.unionByName(half.select(F.col("d").alias("s"), F.col("s").alias("d"), "w"))
 
@@ -85,6 +94,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 5,
     reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-``iterations`` weighted PageRank in exact int64 arithmetic.
 
@@ -95,14 +105,23 @@ def pagerank(
     Update rule (all int64, order-independent):
       ``r'(v) = (0.15*SCALE div N) + (17 * Σ_{(u,v)} (r(u)*w div outw(u))) div 20``
     Dangling mass is dropped (symmetric syndication edges have none; isolated
-    nodes hold the teleport floor).  ``rank*w`` needs ``w ≤ ~9e6`` to stay in
-    int64 at full rank mass — weights above that should be pre-capped.
+    nodes hold the teleport floor).  Weights are clamped to
+    :data:`MAX_WEIGHT` so ``rank*w`` can never leave int64 (ANSI-mode
+    overflow / silent wrap guard).
+
+    ``nodes``/``edges``/``out_w`` are materialized once up front — without
+    that, every iteration would re-execute the caller's full edge-derivation
+    lineage (for :func:`syndication_edges`, the gram self-join) per round.
     """
+    if reliable and checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    edges = _ckpt(edges.withColumn("w", F.least(F.col("w"), F.lit(MAX_WEIGHT))), reliable)
+    nodes = _ckpt(nodes, reliable)
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_scaled"))
     teleport = (SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN // n_nodes
-    out_w = edges.groupBy("s").agg(F.sum("w").alias("ow"))
+    out_w = _ckpt(edges.groupBy("s").agg(F.sum("w").alias("ow")), reliable)
     ranks = nodes.select("node", F.lit(SCALE // n_nodes).cast("long").alias("rank_scaled"))
     for _ in range(iterations):
         contrib = (
@@ -125,9 +144,7 @@ def pagerank(
                 ).cast("long").alias("rank_scaled"),
             )
         )
-        ranks = (
-            ranks.checkpoint(eager=True) if reliable else ranks.localCheckpoint(eager=True)
-        )
+        ranks = _ckpt(ranks, reliable)
     return ranks
 
 
@@ -135,11 +152,13 @@ def domain_rank(
     docs: DataFrame,
     text_col: str = "text",
     source_col: str = "source",
+    id_col: str = "doc_id",
     iterations: int = 5,
     n: int = 3,
     min_df: int = 2,
     max_df: int = 8,
     reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end: corpus → syndication graph → PageRank per source.
 
@@ -147,8 +166,12 @@ def domain_rank(
     int64 10^12-scaled rank (bit-identical across engines), ``pagerank`` the
     human-readable float (a single deterministic division per row)."""
     nodes = docs.select(F.col(source_col).alias("node")).distinct()
-    edges = syndication_edges(docs, text_col, source_col, n=n, min_df=min_df, max_df=max_df)
-    ranked = pagerank(nodes, edges, iterations=iterations, reliable=reliable)
+    edges = syndication_edges(
+        docs, text_col, source_col, id_col=id_col, n=n, min_df=min_df, max_df=max_df
+    )
+    ranked = pagerank(
+        nodes, edges, iterations=iterations, reliable=reliable, checkpoint_dir=checkpoint_dir
+    )
     return ranked.select(
         F.col("node").alias("source"),
         "rank_scaled",

@@ -5545,7 +5545,8 @@ def _pagerank_sql(iterations: int, min_df: int = 2, max_df: int = 8) -> str:
     ),
     rare_src AS (SELECT DISTINCT source AS src, g FROM posting JOIN freq USING (g)),
     half AS (
-      SELECT a.src AS s, b.src AS d, count(*) AS w
+      -- least(…, 4e6) mirrors graph.MAX_WEIGHT (int64-overflow guard)
+      SELECT a.src AS s, b.src AS d, least(count(*), 4000000) AS w
       FROM rare_src a JOIN rare_src b ON a.g = b.g AND a.src < b.src
       GROUP BY 1, 2
     ),
@@ -5611,7 +5612,16 @@ def _bpe_cte_chain(k_merges: int, min_len: int = 2, max_len: int = 20) -> str:
         FROM (SELECT regexp_extract_all(seq, '\\|([^|]+)\\|', 1) AS t, cnt FROM v{k-1})
       ) GROUP BY 1, 2
     ),
-    m{k} AS (SELECT a, b, total FROM p{k} ORDER BY total DESC, a, b LIMIT 1),
+    m{k} AS (
+      -- sentinel row when the pair table is exhausted: chr(1) can never
+      -- appear in a wrapped sequence, so the replace below is a no-op and
+      -- the cross join never empties `applied`; final selects filter on
+      -- total > 0, matching learn_merges' early break.
+      SELECT * FROM (SELECT a, b, total FROM p{k} ORDER BY total DESC, a, b LIMIT 1)
+      UNION ALL
+      SELECT chr(1), chr(1), CAST(0 AS BIGINT)
+      WHERE (SELECT count(*) FROM p{k}) = 0
+    ),
     v{k} AS (
       SELECT replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seq, cnt
       FROM v{k-1}, m{k}
@@ -5622,7 +5632,7 @@ def _bpe_cte_chain(k_merges: int, min_len: int = 2, max_len: int = 20) -> str:
 def _bpe_sql(k_merges: int, min_len: int = 2, max_len: int = 20) -> str:
     selects = [
         f"SELECT CAST({k} AS INTEGER) AS step, a AS lhs, b AS rhs, a || b AS merged,"
-        f" total AS pair_count FROM m{k}"
+        f" total AS pair_count FROM m{k} WHERE total > 0"
         for k in range(1, k_merges + 1)
     ]
     return (

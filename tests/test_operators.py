@@ -1469,3 +1469,38 @@ def test_hist_quantiles_merge_additivity(spark):
     r1 = quantile.hist_quantiles(whole, "value", ["k"]).collect()[0]
     r2 = quantile.hist_quantiles(parts, "value", ["k"]).collect()[0]
     assert (r1.n, r1.p50, r1.p95, r1.p99) == (r2.n, r2.p50, r2.p95, r2.p99)
+
+
+def test_bpe_exhausted_vocab_matches_oracle(spark):
+    """Corpus that runs out of mergeable pairs before k: Spark's early break
+    and the oracle's sentinel rows must agree (same rule table, and
+    token-count application stays a no-op past exhaustion)."""
+    import duckdb
+
+    from pipeflow_spark.operators import bpe
+    from pipeflow_spark.queries import _bpe_apply_sql, _bpe_sql
+
+    rows = [(1, "ab ab ab"), (2, "ab")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    learned = [
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe.learn_merges(docs, k_merges=6).collect()
+    ]
+    assert learned == [(1, "a", "b", "ab", 4)]  # then no pairs remain
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (1, 'ab ab ab'), (2, 'ab'))"
+        " t(doc_id, text)"
+    )
+    oracle = [tuple(r) for r in con.execute(_bpe_sql(6)).fetchall()]
+    assert oracle == [(1, "a", "b", "ab", 4)]
+
+    counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe.apply_merges(docs, [(l[1], l[2]) for l in learned])
+        .selectExpr("doc_id", "size(bpe_tokens) as n_bpe_tokens")
+        .collect()
+    }
+    oracle_counts = dict(con.execute(_bpe_apply_sql(6)).fetchall())
+    assert counts == {1: 5, 2: 1} and {k: int(v) for k, v in oracle_counts.items()} == counts
