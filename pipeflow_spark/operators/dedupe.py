@@ -713,3 +713,147 @@ def keep_best(
             (F.col("__rn") == 1).alias("keep"),
         )
     )
+
+
+# -- ExactSubstr-style span dedup: find + remove duplicated substrings -------
+
+
+def gram_hash_positions(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """``(id, pos, gh)`` — one row per gram POSITION (no ``array_distinct``):
+    the positional twin of :func:`gram_hash_posting`, for operators that need
+    to know *where* in the document a gram occurs, not just that it does.
+    Rows shorter than ``n`` tokens are dropped (they have no full window; the
+    truncated-window convention of :func:`gram_hash_table` would fabricate an
+    ``n``-token span where fewer tokens exist).  Same fusion rule as
+    :func:`gram_hash_posting`: the generator runs over the gram EXPRESSION so
+    ``InferFiltersFromGenerate`` cannot clone the tokenize→hash pipeline
+    below the upstream exchange."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), r"\s+").alias("__toks"),
+    ).filter(F.size("__toks") >= n)
+    th = toked.select("id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"))
+    return th.select("id", F.posexplode(_gram_hashes_of("__th", n)).alias("pos", "gh"))
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 12,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated substrings, ExactSubstr-style (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL'22 §3.1):
+    every token span of ``min_len`` words that occurs ≥ ``min_count`` times
+    in the WHOLE corpus (same-document repeats count — boilerplate repeats
+    within one page are exactly the target) is a duplicated seed; seeds
+    whose windows overlap or touch (``pos - prev_pos <= min_len``) merge
+    into one maximal span.  Unlike :func:`dup_span_profile` (a per-doc
+    ratio), this returns the actual spans, positioned, so callers can cut
+    them out of the text (:func:`remove_dup_spans`).
+
+    Output ``(id_col, span_start, span_end, span_len, n_dup_grams)`` — token
+    positions, 0-based inclusive, ordered within doc.
+
+    Scale shape: the suffix-array machinery of the paper is replaced by the
+    gram-frequency equivalent for fixed ``min_len`` — positional gram hashes
+    (8-byte longs, :func:`gram_hash_positions`), one corpus-wide hash
+    aggregate on the gram key for occurrence counts, one equi-join of the
+    posting back to the hot grams (both sides hash-partitioned on ``gh``;
+    hot boilerplate grams are the skewed ones and AQE splits them), then one
+    window per doc to merge islands.  Everything is O(total tokens), no
+    all-pairs, no global sort — the plan a 100 TB corpus needs.  The posting
+    subtree feeds both aggregate and join sides; at cluster scale persist it
+    (``df.persist()``) before calling if the double gram build dominates.
+
+    Reference analog: none (PipeFlow stops at whole-row ``Distinct``,
+    ``PipeFlow/Pipeline.cs:80-84``); training-data extension surface.
+    """
+    from pyspark.sql import Window
+
+    posting = gram_hash_positions(df, text_col, id_col, min_len)
+    hot = (
+        posting.groupBy("gh")
+        .agg(F.count("*").alias("__occ"))
+        .filter(F.col("__occ") >= min_count)
+        .select("gh")
+    )
+    dup = posting.join(hot, "gh").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = (
+        dup.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > min_len))
+            .cast("long"),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+    )
+    return (
+        isl.groupBy("id", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + min_len - 1).cast("int").alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("int").alias("span_start"),
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).cast("int").alias("span_len"),
+            "n_dup_grams",
+        )
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 12,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut every :func:`exact_substr_spans` span out of the text — the
+    second half of ExactSubstr dedup (the paper deletes the duplicated
+    bytes, keeping the unique remainder, rather than dropping whole docs).
+
+    Output ``(id_col, n_tokens, n_removed, clean_text)`` for every non-empty
+    doc; ``clean_text`` is the normalized token stream minus all covered
+    positions (empty string when the whole doc was duplicated).  Docs with
+    no spans pass through with ``n_removed = 0``.
+
+    Scale shape: spans collapse to one ``array<struct>`` row per affected
+    doc (bounded: spans per doc ≤ tokens/min_len), LEFT-joined back on the
+    id — a doc-keyed hash join, corpus-sized but 1:≤1.  The cut itself is a
+    nested higher-order filter (position ∉ any span) entirely inside
+    codegen; no Python, no explode of the token stream.
+    """
+    spans = exact_substr_spans(df, text_col, id_col, min_len, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toked = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), r"\s+").alias("__toks"),
+    ).filter(F.length(F.trim(text_col)) > 0)
+    joined = toked.join(per_doc, id_col, "left")
+    kept = F.when(
+        F.col("__spans").isNull(), F.col("__toks")
+    ).otherwise(
+        F.filter(
+            "__toks",
+            lambda t, i: ~F.exists(
+                "__spans",
+                lambda sp: (i >= sp["span_start"]) & (i <= sp["span_end"]),
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("int").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -5764,6 +5764,101 @@ def stream_hist_quantiles_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+# ---------------------------------------------------------------------------
+# ExactSubstr span dedup (operators/dedupe.py exact_substr_spans /
+# remove_dup_spans) — shared oracle CTE chain: string-gram twin of the
+# xxhash64-long positional posting.
+# ---------------------------------------------------------------------------
+
+_EXACT_SUBSTR_CTES = """
+    WITH dl AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT doc_id, u.pos - 1 AS pos,
+             array_to_string(list_slice(t, u.pos, u.pos + 11), ' ') AS g
+      FROM dl, unnest(range(1, len(t) - 10)) AS u(pos)
+    ), freq AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+    ), dup AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM freq)
+    ), lagged AS (
+      SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM dup
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 12 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM lagged
+    )
+"""
+
+
+@register(
+    "dedup_exact_substr",
+    _EXACT_SUBSTR_CTES
+    + """
+    SELECT doc_id,
+           CAST(min(pos) AS INT)            AS span_start,
+           CAST(max(pos) + 11 AS INT)       AS span_end,
+           CAST(max(pos) - min(pos) + 12 AS INT) AS span_len,
+           count(*)                         AS n_dup_grams
+    FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+    """,
+)
+def dedup_exact_substr(spark, sf_dir):
+    """ExactSubstr span extraction (operators/dedupe.py exact_substr_spans):
+    maximal token spans of ≥12 words occurring ≥2× corpus-wide, positioned —
+    the Lee et al. ACL'22 dedup target, gram-frequency formulation.  Spans
+    travel as xxhash64-long positional postings; the oracle rebuilds them
+    from string grams, so a green row proves the long path island-merges
+    identically to the string-exact twin."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedupe.exact_substr_spans(docs, min_len=12, min_count=2).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+@register(
+    "exact_substr_clean",
+    _EXACT_SUBSTR_CTES
+    + """
+    , spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 11 AS e
+      FROM isl GROUP BY doc_id, island
+    ), toksp AS (
+      SELECT doc_id, t[u.pos] AS tok, u.pos - 1 AS pos
+      FROM dl, unnest(range(1, len(t) + 1)) AS u(pos)
+    ), kept AS (
+      SELECT tp.doc_id, tp.tok, tp.pos
+      FROM toksp tp LEFT JOIN spans s
+        ON tp.doc_id = s.doc_id AND tp.pos BETWEEN s.s AND s.e
+      WHERE s.doc_id IS NULL
+    )
+    SELECT d.doc_id,
+           CAST(len(d.t) AS INT)                       AS n_tokens,
+           CAST(len(d.t) - coalesce(k.nk, 0) AS INT)   AS n_removed,
+           coalesce(k.ct, '')                          AS clean_text
+    FROM dl d LEFT JOIN (
+      SELECT doc_id, count(*) AS nk, string_agg(tok, ' ' ORDER BY pos) AS ct
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def exact_substr_clean(spark, sf_dir):
+    """ExactSubstr removal (operators/dedupe.py remove_dup_spans): cut every
+    duplicated ≥12-token span out of the text, keeping the unique remainder
+    — per-token text equality against the oracle's string-built
+    reconstruction, the strongest possible check that span positions land on
+    exactly the right words.  The cut is a nested higher-order filter
+    (position ∉ any span) fully inside codegen — no Python, no token
+    explode on the Spark side."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedupe.remove_dup_spans(docs, min_len=12, min_count=2).orderBy("doc_id")
+
+
 _ORDER = [
     # TPC-H shapes (scan/filter/join/agg plan quality)
     "q1_pricing_summary",
@@ -5943,8 +6038,12 @@ _ORDER = [
     "event_transition_matrix",
     # Avro OCF round-trip through the stdlib codec (avro_py.py)
     "avro_roundtrip_events",
-    # span-level duplication profile (ExactSubstr proxy)
+    # span-level duplication profile (ExactSubstr proxy) and the real
+    # ExactSubstr pair: positioned span extraction + span removal with
+    # per-token text equality vs the string-built oracle
     "dup_span_profile",
+    "dedup_exact_substr",
+    "exact_substr_clean",
     # displaced from the window by the late-r3 flagships (still oracled,
     # certified by the full check_oracles sweep)
     "mmr_diverse_topk",

@@ -1504,3 +1504,71 @@ def test_bpe_exhausted_vocab_matches_oracle(spark):
     }
     oracle_counts = dict(con.execute(_bpe_apply_sql(6)).fetchall())
     assert counts == {1: 5, 2: 1} and {k: int(v) for k, v in oracle_counts.items()} == counts
+
+
+# -- ExactSubstr span dedup ---------------------------------------------------
+
+def test_exact_substr_spans_hand_math(spark):
+    """min_len=3: docs 1 and 2 share 'a b c d' (two overlapping seed 3-grams
+    at pos 0 and 1 → ONE merged span [0,3]); doc 3 is unique; doc 4 repeats
+    'x y z' twice within itself (same-doc occurrences count, per ExactSubstr
+    corpus semantics) with dup seeds at 0, 3, 4, 7 — consecutive gaps all
+    ≤ min_len, so the whole doc folds into one maximal span."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d p q r"),
+            (2, "a b c d s t u"),
+            (3, "m n o v w"),
+            (4, "x y z k k k k x y z"),
+        ],
+        "doc_id int, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start): r
+        for r in dedupe.exact_substr_spans(df, min_len=3).collect()
+    }
+    assert set(spans) == {(1, 0), (2, 0), (4, 0)}
+    s1 = spans[(1, 0)]
+    assert (s1.span_end, s1.span_len, s1.n_dup_grams) == (3, 4, 2)
+    # doc 4: 'x y z' at 0 and 7, 'k k k' at 3 and 4; gaps 3,1,3 all ≤ 3
+    assert (spans[(4, 0)].span_end, spans[(4, 0)].n_dup_grams) == (9, 4)
+    assert 3 not in {d for d, _ in spans}
+
+
+def test_exact_substr_spans_contiguous_seeds_merge(spark):
+    """Seeds at pos p and p+min_len (touching, not overlapping) merge into
+    one span — the documented contiguous-duplicated-region convention."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c z z z"), (3, "q q d e f w")],
+        "doc_id int, text string",
+    )
+    # doc1: 'a b c' (shared with 2) at pos 0, 'd e f' (shared with 3) at pos 3
+    out = dedupe.exact_substr_spans(df, min_len=3).filter("doc_id = 1").collect()
+    assert [(r.span_start, r.span_end) for r in out] == [(0, 5)]
+
+
+def test_exact_substr_short_docs_have_no_spans(spark):
+    """Docs shorter than min_len can never report a span (no truncated-window
+    fabrication), even when their whole text repeats."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c")], "doc_id int, text string"
+    )
+    assert dedupe.exact_substr_spans(df, min_len=3).count() == 0
+
+
+def test_remove_dup_spans_cuts_exact_positions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d p q r"),
+            (2, "a b c d s t u"),
+            (3, "m n o v w"),
+            (4, "a b c d"),      # fully duplicated -> empty remainder
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dedupe.remove_dup_spans(df, min_len=3).collect()}
+    assert out[1].clean_text == "p q r" and out[1].n_removed == 4
+    assert out[2].clean_text == "s t u"
+    assert out[3].clean_text == "m n o v w" and out[3].n_removed == 0
+    assert out[4].clean_text == "" and out[4].n_removed == 4
+    assert {r.n_tokens for r in out.values()} == {7, 7, 5, 4}
