@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     quantile,
     retrieval,
     sampling,
+    scd,
     sessionize,
     similarity,
     skew,

@@ -35,6 +35,7 @@ from .operators import (
     multimodal,
     quantile,
     sampling,
+    scd,
     sessionize,
     similarity,
     skew,
@@ -5821,6 +5822,64 @@ def dedup_exact_substr(spark, sf_dir):
 
 
 @register(
+    "scd2_tier_enrich",
+    """
+    WITH ch0 AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value >= 10 THEN 'high'
+                  WHEN value >= 5  THEN 'mid' ELSE 'low' END AS tier
+      FROM events WHERE event_type = 'purchase'
+    ), ch AS (
+      SELECT user_id, ts, event_id, tier FROM (
+        SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+        FROM ch0)
+      WHERE prev_tier IS NULL OR tier <> prev_tier
+    ), dim AS (
+      SELECT user_id, tier, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM ch
+    )
+    SELECT f.event_id, f.user_id, f.ts, coalesce(d.tier, 'none') AS tier_at_click
+    FROM events f LEFT JOIN dim d
+      ON f.user_id = d.user_id AND f.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.event_type = 'click'
+    ORDER BY f.event_id
+    """,
+)
+def scd2_tier_enrich(spark, sf_dir):
+    """SCD2 point-in-time enrichment (operators/scd.py): user tier versions
+    built from purchase events (no-op changes collapsed), click facts joined
+    to the version valid at click time — the temporal join the reference's
+    plain Transform enrichment cannot express (Pipeline.cs:46-52 applies
+    CURRENT dimension values to OLD facts on replay).  Equi-join on user_id
+    with the interval check as a residual filter, never a nested loop."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") >= 10, "high")
+        .when(F.col("value") >= 5, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+    dim = scd.scd2_from_changes(
+        changes, "user_id", "ts", "tier", order_cols="event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = scd.scd2_enrich(clicks, dim, "user_id", "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("tier", F.lit("none")).alias("tier_at_click"),
+    ).orderBy("event_id")
+
+
+@register(
     "exact_substr_clean",
     _EXACT_SUBSTR_CTES
     + """
@@ -6044,6 +6103,8 @@ _ORDER = [
     "dup_span_profile",
     "dedup_exact_substr",
     "exact_substr_clean",
+    # SCD2 point-in-time enrichment (temporal join; operators/scd.py)
+    "scd2_tier_enrich",
     # displaced from the window by the late-r3 flagships (still oracled,
     # certified by the full check_oracles sweep)
     "mmr_diverse_topk",

@@ -16,6 +16,7 @@ from pipeflow_spark.operators import (
     multimodal,
     retrieval,
     sampling,
+    scd,
     sessionize,
     similarity,
     skew,
@@ -1572,3 +1573,68 @@ def test_remove_dup_spans_cuts_exact_positions(spark):
     assert out[3].clean_text == "m n o v w" and out[3].n_removed == 0
     assert out[4].clean_text == "" and out[4].n_removed == 4
     assert {r.n_tokens for r in out.values()} == {7, 7, 5, 4}
+
+
+# -- SCD2 temporal dimension --------------------------------------------------
+
+def _scd_fixtures(spark):
+    from datetime import datetime as DT
+    changes = spark.createDataFrame(
+        [
+            (1, DT(2024, 1, 1), 10, "bronze"),
+            (1, DT(2024, 2, 1), 11, "bronze"),   # no-op -> collapsed
+            (1, DT(2024, 3, 1), 12, "gold"),
+            (2, DT(2024, 1, 15), 13, "silver"),
+            (3, DT(2024, 4, 1), 14, "gold"),     # same-ts tie
+            (3, DT(2024, 4, 1), 15, "silver"),
+        ],
+        "user_id int, ts timestamp, change_id int, tier string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, DT(2024, 1, 20)),   # bronze
+            (101, 1, DT(2024, 3, 1)),    # boundary: change effective AT ts -> gold
+            (102, 1, DT(2024, 2, 15)),   # inside collapsed no-op span -> bronze
+            (103, 2, DT(2024, 1, 1)),    # before first version -> NULL
+            (104, 3, DT(2024, 5, 1)),    # zero-width tie: later change wins -> silver
+        ],
+        "fact_id int, user_id int, ts timestamp",
+    )
+    return changes, facts
+
+
+def test_scd2_versions_collapse_and_intervals(spark):
+    changes, _ = _scd_fixtures(spark)
+    dim = scd.scd2_from_changes(changes, "user_id", "ts", "tier",
+                                order_cols="change_id")
+    all_rows = dim.collect()
+    rows = {(r.user_id, str(r.valid_from)[:10]): r
+            for r in all_rows if r.user_id != 3}
+    # user 1: the 2024-02-01 no-op collapsed; bronze runs until the gold change
+    assert len([k for k in rows if k[0] == 1]) == 2
+    b = rows[(1, "2024-01-01")]
+    assert b.tier == "bronze" and str(b.valid_to)[:10] == "2024-03-01"
+    assert rows[(1, "2024-03-01")].valid_to is None
+    # user 3: both same-ts changes retained, earlier (gold) gets a zero-width
+    # interval, later (silver) is current
+    u3 = {r.tier: r for r in all_rows if r.user_id == 3}
+    assert set(u3) == {"gold", "silver"}
+    assert u3["gold"].valid_from == u3["gold"].valid_to
+    assert u3["silver"].valid_to is None
+
+
+def test_scd2_enrich_point_in_time(spark):
+    changes, facts = _scd_fixtures(spark)
+    dim = scd.scd2_from_changes(changes, "user_id", "ts", "tier",
+                                order_cols="change_id")
+    out = {r.fact_id: r.tier for r in
+           scd.scd2_enrich(facts, dim, "user_id", "ts").collect()}
+    assert out == {100: "bronze", 101: "gold", 102: "bronze",
+                   103: None, 104: "silver"}
+
+
+def test_scd2_enrich_is_equi_join_not_nested_loop(spark):
+    changes, facts = _scd_fixtures(spark)
+    dim = scd.scd2_from_changes(changes, "user_id", "ts", "tier")
+    plan = scd.scd2_enrich(facts, dim, "user_id", "ts")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
