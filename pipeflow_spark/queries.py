@@ -4452,6 +4452,57 @@ def window_ntile_quartiles(spark, sf_dir):
 
 
 @register(
+    "dedup_semantic",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT (vec_id // 31) + 1 AS list_id, v AS cv FROM e
+          WHERE vec_id % 31 = 0 AND vec_id < 496),
+    asn AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT e.vec_id, e.v, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY COALESCE({_COS.format(a="e.v", b="c.cv")}, -2.0) DESC, c.list_id) AS rk
+        FROM e CROSS JOIN c) t WHERE rk = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asn a JOIN asn b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a="a.v", b="b.v")} >= 0.45),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    r(node, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e2.s, r.lab FROM edges e2 JOIN r ON r.node = e2.d
+    )
+    SELECT node, min(lab) AS component, node = min(lab) AS keep
+    FROM r GROUP BY node ORDER BY node
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (operators/similarity.py semantic_dup_pairs): k-means-style
+    cluster partition bounds the pairwise-cosine comparison to within-cluster
+    pairs, then the same transitive closure + min-id keep convention as
+    dedup_clusters.  The oracle is an algorithm twin — same literal sampled
+    centroids and rounded-cosine argmax as embed_ivf_topk, within-list pair
+    join, recursive-CTE closure — so a green row proves assignment, pair
+    generation, and clustering all agree with the string-free long path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent]
+    pairs = similarity.semantic_dup_pairs(emb, centroids, threshold=0.45)
+    return dedupe.keep_list(dedupe.connected_components(pairs)).orderBy("node")
+
+
+@register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_jaccard_cte_body(0.8)},
@@ -6105,6 +6156,8 @@ _ORDER = [
     "exact_substr_clean",
     # SCD2 point-in-time enrichment (temporal join; operators/scd.py)
     "scd2_tier_enrich",
+    # SemDeDup cluster-partitioned semantic dedup (operators/similarity.py)
+    "dedup_semantic",
     # displaced from the window by the late-r3 flagships (still oracled,
     # certified by the full check_oracles sweep)
     "mmr_diverse_topk",

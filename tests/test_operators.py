@@ -1638,3 +1638,38 @@ def test_scd2_enrich_is_equi_join_not_nested_loop(spark):
     dim = scd.scd2_from_changes(changes, "user_id", "ts", "tier")
     plan = scd.scd2_enrich(facts, dim, "user_id", "ts")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# -- SemDeDup semantic dedup --------------------------------------------------
+
+def test_semantic_dup_pairs_within_cluster_only(spark):
+    """Two tight clusters around orthogonal axes: near-identical pairs inside
+    a cluster are found; cross-cluster pairs are never compared (cosine ~0
+    anyway), and a lone off-axis vector yields nothing."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),     # ~ vec 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.01, 0.999, 0.0, 0.0]),     # ~ vec 2
+        (4, [0.5, 0.5, 0.70710678, 0.0]),  # off-axis singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    pairs = similarity.semantic_dup_pairs(df, centroids, threshold=0.95)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1), (2, 3)}
+    for r in pairs.collect():
+        assert r.sim >= 0.95
+
+
+def test_semantic_pairs_bound_by_cluster_partition(spark):
+    """A pair ABOVE threshold but split across clusters is (by design) not
+    emitted — the documented SemDeDup recall boundary."""
+    rows = [
+        (0, [1.0, 0.05, 0.0, 0.0]),
+        (1, [1.0, -0.05, 0.0, 0.0]),  # cosine ~0.995 with vec 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    # adversarial centroids put them in different lists
+    centroids = [[1.0, 0.1, 0.0, 0.0], [1.0, -0.1, 0.0, 0.0]]
+    assert similarity.semantic_dup_pairs(df, centroids, threshold=0.9).count() == 0
