@@ -37,7 +37,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_from_changes", "scd2_enrich"]
+__all__ = ["scd2_from_changes", "scd2_enrich", "scd2_apply_batch"]
 
 
 def _as_list(x) -> list[str]:
@@ -127,3 +127,88 @@ def scd2_enrich(
         if c not in keys + [valid_from, valid_to]
     ]
     return joined.select(*out_cols)
+
+
+def scd2_apply_batch(
+    batch_changes: DataFrame,
+    table_path: str,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    attr_cols: str | Sequence[str],
+    order_cols: str | Sequence[str] = (),
+    keep_snapshots: int = 2,
+) -> None:
+    """Apply one micro-batch of dimension changes to a persistent SCD2
+    version table (snapshot-pointer parquet, ``sinks.upsert_parquet``) —
+    the incremental-maintenance step behind
+    :meth:`~pipeflow_spark.streaming.StreamingPipeline.start_scd2`.
+
+    The table stores UNCOLLAPSED versions: every change is a version row
+    ``(keys, order_cols, attrs, valid_from, valid_to)``, so the version set
+    is bijective with the change log and a key's history can be rebuilt
+    exactly from its table rows — which is what makes arbitrarily-late
+    changes correct: collapsing no-op changes would lose rows that a late
+    interleaving change later needs (a collapsed ``bronze`` re-emit at t₂
+    matters the moment a late ``gold`` change lands at t₁․₅).  Readers who
+    want collapsed history apply :func:`scd2_from_changes`'s collapse (one
+    window) on read.
+
+    Per batch: the AFFECTED keys' existing version rows are converted back
+    to change rows, unioned with the batch's changes, exactly-deduplicated
+    (idempotent replay: a re-presented batch row collides with the version
+    row it already created and the distinct collapses them), re-cut into
+    intervals (:func:`scd2_from_changes`, collapse off), and committed as a
+    keyed DELETE+INSERT of those key groups (``group_replace`` MERGE) under
+    one atomic snapshot-pointer flip.  Unaffected keys' rows are carried
+    over untouched.
+
+    Scale shape: work per batch is O(batch + affected keys' version rows) —
+    the semi-join prunes the rebuild to touched keys; the snapshot rewrite
+    itself is the pointer-table protocol's cost (an Iceberg/Delta MERGE
+    rewrites only matched files).  No watermark is needed and none is used:
+    lateness never drops a change, it just rebuilds that key.
+    """
+    from ..sinks import read_upsert_table, upsert_parquet
+
+    spark = batch_changes.sparkSession
+    keys = _as_list(key_cols)
+    carry = _as_list(order_cols)
+    attrs = _as_list(attr_cols)
+    cols = keys + [ts_col] + carry + attrs
+    batch = batch_changes.select(*cols)
+
+    affected = batch.select(*keys).distinct()
+    try:
+        current = read_upsert_table(spark, table_path)
+        has_table = True
+    except Exception:
+        has_table = False
+    if has_table:
+        existing = (
+            current.join(affected, keys, "semi")
+            .select(*keys, F.col("valid_from").alias(ts_col), *carry, *attrs)
+            .select(*cols)
+        )
+        changes = existing.unionByName(batch).distinct()
+    else:
+        changes = batch.distinct()
+
+    versions = scd2_from_changes(
+        changes,
+        keys,
+        ts_col,
+        # order_cols ride as pseudo-attributes so they stay on the version
+        # row (collapse is off, so they never influence retention)
+        carry + attrs,
+        order_cols=carry,
+        collapse_unchanged=False,
+    )
+    upsert_parquet(
+        spark,
+        versions,
+        table_path,
+        keys,
+        do_update=True,
+        keep_snapshots=keep_snapshots,
+        group_replace=True,
+    )

@@ -3906,6 +3906,72 @@ def stream_update_upsert_oracle(spark, sf_dir):
 
 
 @register(
+    "stream_scd2_dim_oracle",
+    """
+    SELECT user_id, event_id AS change_id, tier, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN value >= 10 THEN 'high'
+                      WHEN value >= 5  THEN 'mid' ELSE 'low' END AS tier
+          FROM events WHERE event_type = 'purchase')
+    ORDER BY user_id, valid_from, change_id
+    """,
+)
+def stream_scd2_dim_oracle(spark, sf_dir):
+    """STREAMING SCD2 maintenance (StreamingPipeline.start_scd2 →
+    operators/scd.py scd2_apply_batch): the purchase stream is a CDC change
+    feed; every micro-batch rebuilds the touched users' version intervals
+    and group-MERGEs them under one snapshot-pointer flip.  The final
+    dimension table must hash-equal the batch interval cut over the whole
+    change log — interval seams across micro-batch boundaries (a version
+    left open by batch N is closed by batch N+1) are exactly what this
+    certifies.  No watermark: late changes re-cut their key instead of
+    being dropped."""
+    import shutil
+    import tempfile
+
+    from .sinks import read_upsert_table
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_scd2_")
+    src = _events_stream_source(spark, sf_dir, work)
+    sp = StreamingPipeline(
+        src.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("change_id"),
+            F.when(F.col("value") >= 10, "high")
+            .when(F.col("value") >= 5, "mid")
+            .otherwise("low")
+            .alias("tier"),
+        )
+    )
+    table = f"{work}/dim"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = sp.start_scd2(
+            table,
+            keys=["user_id"],
+            ts_col="ts",
+            attr_cols=["tier"],
+            order_cols=["change_id"],
+            checkpoint_dir=f"{work}/ckpt",
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = (
+        read_upsert_table(spark, table)
+        .select("user_id", "change_id", "tier", "valid_from", "valid_to")
+        .orderBy("user_id", "valid_from", "change_id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "stream_distinct_users_oracle",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
@@ -6123,6 +6189,7 @@ _ORDER = [
     "stream_heavy_hitters_oracle",
     "stream_distinct_users_oracle",
     "stream_update_upsert_oracle",
+    "stream_scd2_dim_oracle",
     "stream_state_open_windows_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",

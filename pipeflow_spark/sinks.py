@@ -466,6 +466,7 @@ def upsert_parquet(
     keep_snapshots: int = 2,
     change_feed: bool = False,
     merge_schema: bool = False,
+    group_replace: bool = False,
 ) -> None:
     """Keyed MERGE into a parquet table with an atomic snapshot-pointer commit.
 
@@ -508,11 +509,28 @@ def upsert_parquet(
     name fails loudly instead of forking the schema.
     """
     keys = list(keys)
+    if group_replace and not do_update:
+        raise ValueError("group_replace requires do_update=True (it is a keyed DELETE+INSERT)")
+    if group_replace and change_feed:
+        raise ValueError(
+            "group_replace + change_feed unsupported: the change classifier "
+            "assumes one row per key; group commits would need per-group "
+            "delete markers"
+        )
     os.makedirs(table_path, exist_ok=True)
     if change_feed:
         _recover_change_feed(table_path)
     snap = _current_snapshot(table_path)
-    incoming = _dedupe_incoming(incoming, keys, order_by)
+    # group_replace: keyed DELETE+INSERT of whole key GROUPS — the MERGE
+    # shape for one-to-many materializations (e.g. SCD2 version tables,
+    # per-key top-k lists) where one logical key legitimately owns several
+    # physical rows.  Incoming must carry the group's complete new row set;
+    # fully-duplicated rows are collapsed so an idempotent replay (existing
+    # rows re-presented alongside themselves) cannot double them.
+    if group_replace:
+        incoming = incoming.distinct()
+    else:
+        incoming = _dedupe_incoming(incoming, keys, order_by)
     current = None
     if snap is not None:
         current = spark.read.parquet(snap)

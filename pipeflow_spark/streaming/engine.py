@@ -855,6 +855,58 @@ class StreamingPipeline:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def start_scd2(
+        self,
+        table_path: str,
+        keys: Sequence[str],
+        ts_col: str,
+        attr_cols: Sequence[str],
+        checkpoint_dir: str,
+        order_cols: Sequence[str] = (),
+        keep_snapshots: int = 2,
+        available_now: bool = True,
+        query_name: str = "pipeflow_stream_scd2",
+    ) -> StreamingQuery:
+        """Maintain an SCD2 version table from a CDC change stream: every
+        micro-batch rebuilds the AFFECTED keys' version intervals and
+        commits them as one keyed DELETE+INSERT group MERGE
+        (:func:`~pipeflow_spark.operators.scd.scd2_apply_batch`) under a
+        single atomic snapshot-pointer flip.
+
+        Exactly-once via idempotence: a replayed batch's changes distinct-
+        collapse against the version rows they already created, so re-
+        applying commits a bit-identical snapshot.  No watermark — late
+        changes are never dropped, they re-cut that key's intervals (the
+        table stores uncollapsed versions precisely so this stays exact;
+        see scd2_apply_batch).  Read the dimension back with
+        ``sinks.read_upsert_table`` and enrich facts with
+        ``operators.scd.scd2_enrich``.
+        """
+        from ..operators.scd import scd2_apply_batch
+
+        def _apply(batch_df, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            scd2_apply_batch(
+                batch_df,
+                table_path,
+                list(keys),
+                ts_col,
+                list(attr_cols),
+                order_cols=list(order_cols),
+                keep_snapshots=keep_snapshots,
+            )
+
+        writer = (
+            self._df.writeStream.outputMode("append")
+            .foreachBatch(self._batch_sink(_apply))
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def start_memory(self, name: str, output_mode: str = "append") -> StreamingQuery:
         """Memory sink for tests."""
         if self._batch_ops:

@@ -1673,3 +1673,50 @@ def test_semantic_pairs_bound_by_cluster_partition(spark):
     # adversarial centroids put them in different lists
     centroids = [[1.0, 0.1, 0.0, 0.0], [1.0, -0.1, 0.0, 0.0]]
     assert similarity.semantic_dup_pairs(df, centroids, threshold=0.9).count() == 0
+
+
+def test_scd2_apply_batch_incremental_late_and_replay(spark, tmp_path):
+    """Incremental SCD2 maintenance: batch 2 contains both a forward change
+    and an arbitrarily-LATE change for an existing key; the table must equal
+    the batch rebuild over all changes, and replaying batch 2 must be a
+    bit-identical no-op (exactly-once by idempotence)."""
+    from datetime import datetime as DT
+
+    from pipeflow_spark.operators.scd import scd2_apply_batch, scd2_from_changes
+    from pipeflow_spark.sinks import read_upsert_table
+
+    table = str(tmp_path / "dim")
+    schema = "user_id int, ts timestamp, change_id int, tier string"
+    b1 = spark.createDataFrame(
+        [(1, DT(2024, 1, 10), 1, "bronze"), (2, DT(2024, 1, 5), 2, "silver")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, DT(2024, 3, 1), 3, "gold"), (1, DT(2024, 1, 2), 4, "mid")], schema
+    )
+    for b in (b1, b2):
+        scd2_apply_batch(b, table, "user_id", "ts", "tier", order_cols="change_id")
+
+    def snap():
+        return sorted(
+            (r.user_id, str(r.valid_from), str(r.valid_to), r.tier, r.change_id)
+            for r in read_upsert_table(spark, table).collect()
+        )
+
+    expected = sorted(
+        (r.user_id, str(r.valid_from), str(r.valid_to), r.tier, r.change_id)
+        for r in scd2_from_changes(
+            b1.unionByName(b2), "user_id", "ts", ["change_id", "tier"],
+            order_cols="change_id", collapse_unchanged=False,
+        ).collect()
+    )
+    got = snap()
+    assert got == expected
+    # the late 2024-01-02 'mid' change must have re-cut user 1's intervals:
+    # mid [01-02, 01-10) -> bronze [01-10, 03-01) -> gold [03-01, None)
+    u1 = [(t, vf[:10], str(vt)[:10]) for (u, vf, vt, t, _c) in got if u == 1]
+    assert sorted(u1) == [("bronze", "2024-01-10", "2024-03-01"),
+                          ("gold", "2024-03-01", "None"),
+                          ("mid", "2024-01-02", "2024-01-10")]
+    # replay batch 2: idempotent
+    scd2_apply_batch(b2, table, "user_id", "ts", "tier", order_cols="change_id")
+    assert snap() == got

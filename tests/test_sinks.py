@@ -818,3 +818,40 @@ def test_commit_log_model_random_op_sequence(spark, tmp_path):
         for v in vers:
             assert read_state(version=v) == hist[v], f"step {step}: time travel to {v} wrong"
         assert not any(r.k == 99 for r in read_upsert_table(spark, t).collect())
+
+
+def test_upsert_group_replace_replaces_whole_key_group(spark, tmp_path):
+    """group_replace: a key's entire row GROUP is deleted and re-inserted —
+    stale members vanish (plain keyed upsert can only overwrite 1:1) — and
+    untouched keys carry over; duplicate incoming rows collapse."""
+    from pipeflow_spark.sinks import read_upsert_table, upsert_parquet
+
+    table = str(tmp_path / "t")
+    schema = "k int, member int, v string"
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, 1, "a"), (1, 2, "b"), (2, 1, "x")], schema),
+        table, ["k"], group_replace=True,
+    )
+    # replace key 1 with a SMALLER group; key 2 untouched; dup row collapses
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(1, 9, "z"), (1, 9, "z")], schema),
+        table, ["k"], group_replace=True,
+    )
+    got = sorted((r.k, r.member, r.v) for r in read_upsert_table(spark, table).collect())
+    assert got == [(1, 9, "z"), (2, 1, "x")]
+
+
+def test_upsert_group_replace_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from pipeflow_spark.sinks import upsert_parquet
+
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    with _pytest.raises(ValueError, match="do_update"):
+        upsert_parquet(spark, df, str(tmp_path / "a"), ["k"],
+                       do_update=False, group_replace=True)
+    with _pytest.raises(ValueError, match="change_feed"):
+        upsert_parquet(spark, df, str(tmp_path / "b"), ["k"],
+                       change_feed=True, group_replace=True)

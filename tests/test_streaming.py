@@ -1987,3 +1987,62 @@ def test_offsets_behind_mixed_source_kinds_is_none():
     assert _offsets_behind([rate, dict(rate, endOffset="6")]) == 10  # same kind: sum
     assert _offsets_behind([rate, kafka]) is None  # seconds + messages: no lag
     assert _offsets_behind([{"latestOffset": None, "endOffset": "3"}]) is None
+
+
+# -- streaming SCD2 maintenance ----------------------------------------------
+
+def test_stream_scd2_multi_batch_seams_and_late(spark, tmp_path):
+    """start_scd2 over a 3-file stream (maxFilesPerTrigger=1): versions left
+    open by earlier micro-batches are closed by later ones, and a late
+    change in the final batch re-cuts its key; final table equals the batch
+    interval cut over the full change log."""
+    from datetime import datetime as DT
+
+    from pipeflow_spark.operators.scd import scd2_from_changes
+    from pipeflow_spark.sinks import read_upsert_table
+    from pipeflow_spark.streaming import StreamingPipeline
+
+    schema = "user_id int, ts timestamp, change_id int, tier string"
+    batches = [
+        [(1, DT(2024, 1, 10), 1, "bronze"), (2, DT(2024, 1, 5), 2, "silver")],
+        [(1, DT(2024, 2, 1), 3, "gold")],
+        [(1, DT(2024, 1, 15), 4, "mid"),    # late: lands inside bronze→gold
+         (2, DT(2024, 3, 1), 5, "gold")],
+    ]
+    src = str(tmp_path / "changes")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    table = str(tmp_path / "dim")
+    q = StreamingPipeline(stream).start_scd2(
+        table, keys=["user_id"], ts_col="ts", attr_cols=["tier"],
+        order_cols=["change_id"], checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="scd2_seams",
+    )
+    q.awaitTermination()
+
+    all_changes = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    expected = sorted(
+        (r.user_id, str(r.valid_from), str(r.valid_to), r.tier)
+        for r in scd2_from_changes(
+            all_changes, "user_id", "ts", ["change_id", "tier"],
+            order_cols="change_id", collapse_unchanged=False,
+        ).collect()
+    )
+    got = sorted(
+        (r.user_id, str(r.valid_from), str(r.valid_to), r.tier)
+        for r in read_upsert_table(spark, table).collect()
+    )
+    assert got == expected
+    # seam: batch-1 bronze was closed by the batch-3 late mid change
+    u1 = {r.tier: (str(r.valid_to)[:10]) for r in
+          read_upsert_table(spark, table).filter("user_id = 1").collect()}
+    assert u1["bronze"] == "2024-01-15" and u1["mid"] == "2024-02-01"
+    assert u1["gold"] == "None"
