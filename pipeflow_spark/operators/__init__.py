@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     heavy,
     jsonpath,
     multimodal,
+    partition,
     quantile,
     retrieval,
     sampling,

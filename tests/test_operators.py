@@ -1720,3 +1720,91 @@ def test_scd2_apply_batch_incremental_late_and_replay(spark, tmp_path):
     # replay batch 2: idempotent
     scd2_apply_batch(b2, table, "user_id", "ts", "tier", order_cols="change_id")
     assert snap() == got
+
+
+# -- hidden partitioning (Iceberg partition transforms) ------------------------
+
+def _pt_table(spark, tmp_path):
+    from datetime import datetime as DT
+
+    from pipeflow_spark.operators import partition as pt
+
+    df = spark.createDataFrame(
+        [(i, DT(2024, 1 + i % 3, 1 + i % 27, i % 24), f"code{i%7:02d}xyz", i % 100 - 50)
+         for i in range(500)],
+        "id long, ts timestamp, code string, val int",
+    )
+    specs = ["days(ts)", "bucket(8, id)", "truncate(6, code)"]
+    path = str(tmp_path / "pt")
+    pt.write_partitioned(df, path, specs)
+    return pt, df, specs, path
+
+
+def _partition_filters(df):
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    return m.group(1) if m else ""
+
+
+def test_hidden_partitioning_roundtrip_and_schema(spark, tmp_path):
+    pt, df, specs, path = _pt_table(spark, tmp_path)
+    back = pt.scan(spark, path, specs)
+    # partition columns are hidden: logical schema = source schema
+    assert sorted(back.columns) == sorted(df.columns)
+    assert back.count() == 500
+
+
+def test_hidden_partitioning_time_range_prunes(spark, tmp_path):
+    pt, df, specs, path = _pt_table(spark, tmp_path)
+    out = pt.scan(spark, path, specs, filters=[("ts", ">=", "2024-03-01")])
+    assert out.count() == df.filter(F.col("ts") >= "2024-03-01").count()
+    assert "ts_days" in _partition_filters(out)
+
+
+def test_hidden_partitioning_bucket_equality_prunes(spark, tmp_path):
+    pt, df, specs, path = _pt_table(spark, tmp_path)
+    out = pt.scan(spark, path, specs, filters=[("id", "=", 123)])
+    assert out.count() == 1 and out.collect()[0].id == 123
+    assert "id_bucket8" in _partition_filters(out)
+    # range over a bucket transform must NOT emit a partition filter
+    # (hash order is unrelated to value order) but stays row-correct
+    rng = pt.scan(spark, path, specs, filters=[("id", ">=", 490)])
+    assert rng.count() == 10
+    assert "id_bucket8" not in _partition_filters(rng)
+
+
+def test_hidden_partitioning_truncate_prunes(spark, tmp_path):
+    pt, df, specs, path = _pt_table(spark, tmp_path)
+    out = pt.scan(spark, path, specs, filters=[("code", "=", "code03xyz")])
+    assert out.count() == df.filter("code = 'code03xyz'").count()
+    assert "code_truncate6" in _partition_filters(out)
+
+
+def test_partition_spec_validation(spark):
+    import pytest as _pytest
+
+    from pipeflow_spark.operators import partition as pt
+
+    with _pytest.raises(ValueError, match="bad partition spec"):
+        pt.parse_spec("md5(ts)")
+    with _pytest.raises(ValueError, match="needs a width"):
+        pt.parse_spec("bucket(id)")
+    with _pytest.raises(ValueError, match="no width"):
+        pt.parse_spec("days(3, ts)")
+    df = spark.createDataFrame([(1,)], "a int")
+    with _pytest.raises(ValueError, match="not in DataFrame"):
+        pt.write_partitioned(df, "/tmp/x", ["days(missing)"])
+
+
+def test_truncate_integral_floors_negatives(spark, tmp_path):
+    from pipeflow_spark.operators import partition as pt
+
+    df = spark.createDataFrame([(-7,), (-3,), (3,), (7,)], "v int")
+    path = str(tmp_path / "neg")
+    pt.write_partitioned(df, path, ["truncate(5, v)"])
+    raw = spark.read.parquet(path)
+    got = {r.v: r.v_truncate5 for r in raw.collect()}
+    # spec semantics: floor toward -inf, e.g. truncate(5, -7) = -10
+    assert got == {-7: -10, -3: -5, 3: 0, 7: 5}
