@@ -231,3 +231,75 @@ def chunk_documents(
             F.size(F.col("_chunk")).alias("n_tokens"),
         )
     )
+
+
+def assign_range_shards(
+    df: DataFrame,
+    key_cols: str | list[str],
+    boundaries: list,
+) -> DataFrame:
+    """Add a 1-based ``shard`` column from EXPLICIT range boundaries over the
+    first key column: ``shard = 1 + #{b in boundaries : key > b}`` (keys
+    equal to a boundary stay in the lower shard).  ``len(boundaries) + 1``
+    shards.  Deterministic by construction — unlike ``repartitionByRange``,
+    whose sampled split points vary with partition layout — so shard
+    membership is stable across cluster sizes and reruns, and has an exact
+    SQL twin (a CASE/sum over the same literals).
+
+    Boundaries come from the caller: profile once (``approx_percentile`` at
+    corpus scale, exact percentiles at test scale), pin the literals, reuse
+    them for every incremental write — the Iceberg-style "sort order lives
+    in table metadata" discipline.  Map-only projection, no shuffle.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    k = F.col(keys[0])
+    shard = F.lit(1)
+    for b in boundaries:
+        shard = shard + (k > F.lit(b)).cast("int")
+    return df.withColumn("shard", shard)
+
+
+def write_sorted_shards(
+    df: DataFrame,
+    path: str,
+    key_cols: str | list[str],
+    num_shards: int | None = None,
+    boundaries: list | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a GLOBALLY range-sorted corpus as ``shard=N`` directories: rows
+    are range-partitioned on ``key_cols`` and sorted within each shard, so
+    ``shard=1..K`` read in order is a total sort — the training-shard layout
+    (curriculum order, length-grouped batching) without any single-node
+    sort.
+
+    Two boundary modes: ``boundaries=[...]`` uses
+    :func:`assign_range_shards` (deterministic, reproducible shard
+    membership; one hash-shuffle on ``shard``); ``num_shards=K`` uses
+    ``repartitionByRange`` (Spark samples split points — the zero-ceremony
+    scale path; membership may vary run to run, global order still holds).
+
+    Scale shape: one range/hash shuffle + per-partition sort, both
+    cluster-parallel; never a global single-partition sort.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if (boundaries is None) == (num_shards is None):
+        raise ValueError("pass exactly one of num_shards / boundaries")
+    if boundaries is not None:
+        sharded = assign_range_shards(df, keys, boundaries).repartition("shard")
+    else:
+        sharded = (
+            df.repartitionByRange(num_shards, *[F.col(c) for c in keys])
+            .withColumn("shard", F.spark_partition_id() + 1)
+        )
+    # 'shard' leads the sort: FileFormatWriter requires each task's rows
+    # ordered by the partition columns and inserts its own NON-STABLE sort
+    # by ['shard'] alone when they aren't — which would scramble the key
+    # order just established.  With the shard prefix the required ordering
+    # is already satisfied and the writer adds no sort.
+    (
+        sharded.sortWithinPartitions("shard", *keys)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

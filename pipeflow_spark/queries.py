@@ -5939,6 +5939,37 @@ def dedup_exact_substr(spark, sf_dir):
 
 
 @register(
+    "range_shard_stats",
+    """
+    SELECT 1 + (value > 5.0)::INT + (value > 10.0)::INT + (value > 15.0)::INT AS shard,
+           count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events GROUP BY shard ORDER BY shard
+    """,
+)
+def range_shard_stats(spark, sf_dir):
+    """Deterministic range sharding (operators/sampling.py
+    assign_range_shards — the literal-boundary twin of
+    write_sorted_shards): shard membership is a map-only projection over
+    pinned boundary literals, stable across cluster sizes and reruns, with
+    keys equal to a boundary staying in the lower shard.  The stats per
+    shard certify the assignment rule bit-for-bit against the same CASE
+    algebra in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        sampling.assign_range_shards(ev, "value", [5.0, 10.0, 15.0])
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
     "scd2_tier_enrich",
     """
     WITH ch0 AS (
@@ -6223,6 +6254,8 @@ _ORDER = [
     "exact_substr_clean",
     # SCD2 point-in-time enrichment (temporal join; operators/scd.py)
     "scd2_tier_enrich",
+    # deterministic range sharding (training-shard writer twin)
+    "range_shard_stats",
     # SemDeDup cluster-partitioned semantic dedup (operators/similarity.py)
     "dedup_semantic",
     # displaced from the window by the late-r3 flagships (still oracled,

@@ -1808,3 +1808,60 @@ def test_truncate_integral_floors_negatives(spark, tmp_path):
     got = {r.v: r.v_truncate5 for r in raw.collect()}
     # spec semantics: floor toward -inf, e.g. truncate(5, -7) = -10
     assert got == {-7: -10, -3: -5, 3: 0, 7: 5}
+
+
+# -- range-sharded sorted corpus writer ----------------------------------------
+
+def test_write_sorted_shards_boundaries_mode(spark, tmp_path):
+    """Explicit-boundary shards: membership deterministic, shard key ranges
+    disjoint and ordered, every parquet file internally sorted, union exact."""
+    import glob
+
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(400)], "id int, v double"
+    )
+    path = str(tmp_path / "shards")
+    sampling.write_sorted_shards(df, path, "v", boundaries=[25.0, 50.0, 75.0])
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    stats = {r.shard: (r.lo, r.hi) for r in back.groupBy("shard")
+             .agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()}
+    assert set(stats) == {1, 2, 3, 4}
+    # boundary semantics: key == boundary stays in the LOWER shard
+    assert stats[1][1] <= 25.0 and stats[2][0] > 25.0 and stats[2][1] <= 50.0
+    assert stats[4][0] > 75.0
+    # per-file sortedness (parquet preserves row order)
+    con = duckdb.connect()
+    for f in glob.glob(f"{path}/shard=*/*.parquet"):
+        vals = [r[0] for r in con.execute(f"SELECT v FROM '{f}'").fetchall()]
+        assert vals == sorted(vals), f
+    # union equality
+    assert sorted(r.id for r in back.collect()) == list(range(400))
+
+
+def test_write_sorted_shards_range_mode_global_order(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float((i * 17) % 97)) for i in range(300)], "id int, v double"
+    )
+    path = str(tmp_path / "rs")
+    sampling.write_sorted_shards(df, path, "v", num_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    rows = back.groupBy("shard").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")).orderBy("shard").collect()
+    # shards in order form a total sort: max(shard i) <= min(shard i+1)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+
+
+def test_write_sorted_shards_arg_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    with _pytest.raises(ValueError, match="exactly one"):
+        sampling.write_sorted_shards(df, str(tmp_path / "x"), "v")
+    with _pytest.raises(ValueError, match="exactly one"):
+        sampling.write_sorted_shards(df, str(tmp_path / "y"), "v",
+                                     num_shards=2, boundaries=[1.0])
