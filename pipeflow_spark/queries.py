@@ -3972,6 +3972,97 @@ def stream_scd2_dim_oracle(spark, sf_dir):
 
 
 @register(
+    "stream_scd2_enrich_oracle",
+    """
+    WITH ch0 AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value >= 10 THEN 'high'
+                  WHEN value >= 5  THEN 'mid' ELSE 'low' END AS tier
+      FROM events WHERE event_type = 'purchase'
+    ), dim AS (
+      SELECT user_id, tier, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM ch0
+    )
+    SELECT f.event_id, f.user_id, f.ts, coalesce(d.tier, 'none') AS tier_at_click
+    FROM events f LEFT JOIN dim d
+      ON f.user_id = d.user_id AND f.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.event_type = 'click'
+    ORDER BY f.event_id
+    """,
+)
+def stream_scd2_enrich_oracle(spark, sf_dir):
+    """End-to-end temporal composition: stage 1 maintains the SCD2 dimension
+    from the purchase CHANGE STREAM (start_scd2, exactly-once group MERGE);
+    stage 2 point-in-time-enriches the click STREAM against that table with
+    scd2_enrich as a PLAN-LEVEL stream-static left join (stateless — no
+    watermark, no join state, per-batch cost flat in stream history) through
+    the ledgered sink.  Committed output must hash-equal the batch temporal
+    join over the full change log — also proving enrichment is invariant to
+    the streaming table's uncollapsed version storage (adjacent same-tier
+    versions answer identically at every instant, so the oracle can use the
+    plain uncollapsed interval cut)."""
+    import shutil
+    import tempfile
+
+    from .operators.scd import scd2_enrich
+    from .sinks import read_upsert_table
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_scd2e_")
+    # stage 1: dimension maintenance from the purchase change stream
+    src1 = _events_stream_source(spark, sf_dir, f"{work}/s1")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = StreamingPipeline(
+            src1.filter(F.col("event_type") == "purchase").select(
+                "user_id",
+                "ts",
+                F.col("event_id").alias("change_id"),
+                F.when(F.col("value") >= 10, "high")
+                .when(F.col("value") >= 5, "mid")
+                .otherwise("low")
+                .alias("tier"),
+            )
+        ).start_scd2(
+            f"{work}/dim",
+            keys=["user_id"],
+            ts_col="ts",
+            attr_cols=["tier"],
+            order_cols=["change_id"],
+            checkpoint_dir=f"{work}/ckpt1",
+            query_name="scd2e_dim",
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    dim = read_upsert_table(spark, f"{work}/dim").select(
+        "user_id", "tier", "valid_from", "valid_to"
+    )
+    # stage 2: click stream, plan-level point-in-time join against the table
+    src2 = _events_stream_source(spark, sf_dir, f"{work}/s2")
+    clicks = src2.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    enriched = scd2_enrich(clicks, dim, "user_id", "ts").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("tier", F.lit("none")).alias("tier_at_click"),
+    )
+    out = (
+        _committed(spark, StreamingPipeline(enriched), f"{work}/sink", f"{work}/ckpt2")
+        .select("event_id", "user_id", "ts", "tier_at_click")
+        .orderBy("event_id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "stream_distinct_users_oracle",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
@@ -6221,6 +6312,7 @@ _ORDER = [
     "stream_distinct_users_oracle",
     "stream_update_upsert_oracle",
     "stream_scd2_dim_oracle",
+    "stream_scd2_enrich_oracle",
     "stream_state_open_windows_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",
