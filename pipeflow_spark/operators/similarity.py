@@ -471,17 +471,29 @@ def semantic_dup_pairs(
     lists); AQE's skew-join splits the shuffle blocks but not the per-key
     quadratic itself.
     """
+    # per-vector norm precomputed ONCE: the pair expression keeps the exact
+    # shape dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — same operations in
+    # the same order as :func:`cosine`, so results stay bit-identical to the
+    # oracle twin — but the two self-dots run per VECTOR instead of per pair
+    # (HOF dots per pair 3 → 1; measured ~2.5× at sf0.1).
     a = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col).select(
         "list_id",
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    left = a.select(
+        "list_id", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
     )
-    left = a.select("list_id", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = a.select("list_id", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    right = a.select(
+        "list_id", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
     return (
         left.join(right, "list_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "sim",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim", "list_id")
     )
