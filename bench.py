@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dup_span_profile",
+    "dedup_exact_substr",
     "domain_pagerank",
     "bpe_merge_rules",
     "hist_quantiles_events",
@@ -61,6 +62,7 @@ HEADLINE = [
     "turn_rate_spikes",
     "budget_cap",
     "event_transition_matrix",
+    "scd2_tier_enrich",
 ]
 
 

@@ -7,6 +7,8 @@ transforms, Structured Streaming micro-batch CEP over transcript tables with
 watermarks / windows / stateful joins, and an exactly-once idempotent sink.
 """
 
+from pyspark.sql import functions as F
+
 from .catalog import TableCatalog
 from .datarow import DataRow
 from .gensource import register_python_sources
@@ -50,6 +52,49 @@ class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
         else:
             reader = reader.option("inferSchema", True)
         return Pipeline(reader.csv(path))
+
+    @staticmethod
+    def csv_quarantine(
+        spark, path: str, schema, quarantine_dir: str, **options
+    ) -> Pipeline:
+        """CSV read with a malformed-row QUARANTINE — the batch twin of the
+        streaming dead-letter split (``StreamingPipeline.start_validated``):
+        rows that fail to parse against ``schema`` are written verbatim to
+        ``quarantine_dir`` (one ``raw`` string column) for replay/repair,
+        and the returned Pipeline carries only clean rows.  PipeFlow's
+        reader silently coerces or nulls bad cells (``CsvReader.cs:208-234``
+        ConvertValue); at corpus scale silent nulls are data loss — a
+        quarantine keeps ingestion lossless and auditable.
+
+        Implementation: PERMISSIVE parse with ``columnNameOfCorruptRecord``;
+        the corrupt column must be SELECTED before filtering (Spark refuses
+        a filter-only reference to it) and the input is cached for the two
+        passes (valid + quarantine) so the file parses once.  ``schema`` is
+        required: corrupt-record capture needs explicit types (inference
+        would just downgrade everything to string and hide the breakage).
+        """
+        from pyspark.sql import types as T
+
+        if not isinstance(schema, T.StructType):
+            raise ValueError("csv_quarantine needs an explicit StructType schema")
+        full = T.StructType(
+            schema.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+        )
+        opts = {
+            "header": True,
+            "multiLine": True,
+            "escape": '"',
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": "_corrupt_record",
+            **options,
+        }
+        df = spark.read.options(**opts).schema(full).csv(path).cache()
+        bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+            F.col("_corrupt_record").alias("raw")
+        )
+        bad.write.mode("overwrite").json(quarantine_dir)
+        good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+        return Pipeline(good)
 
     @staticmethod
     def pipeflow_csv(spark, path: str, **options) -> Pipeline:

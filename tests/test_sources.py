@@ -217,3 +217,39 @@ def test_avro_works_without_jar(spark, tmp_path):
     df = spark.range(3)
     write.avro(df, str(tmp_path / "a"))
     assert sorted(r.id for r in read.avro(spark, str(tmp_path / "a")).df.collect()) == [0, 1, 2]
+
+
+def test_csv_quarantine_splits_clean_and_malformed(spark, tmp_path):
+    """Malformed rows (wrong arity / unparseable types) land verbatim in the
+    quarantine; clean rows parse typed; the two partitions cover the file."""
+    from pipeflow_spark import read
+    from pyspark.sql import types as T
+
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "id,ts,amount\n"
+        "1,2024-01-01T00:00:00,10.5\n"
+        "2,not-a-timestamp,3.25\n"      # bad type -> corrupt
+        "3,2024-02-01T00:00:00,7.0\n"
+    )
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    qdir = str(tmp_path / "quarantine")
+    p = read.csv_quarantine(spark, str(src), schema, qdir)
+    good = p.to_list()
+    assert sorted(r["id"] for r in good) == [1, 3]
+    assert all(r["ts"] is not None for r in good)
+    bad = spark.read.json(qdir).collect()
+    assert len(bad) == 1 and "not-a-timestamp" in bad[0].raw
+
+
+def test_csv_quarantine_requires_struct_schema(spark, tmp_path):
+    import pytest as _pytest
+
+    from pipeflow_spark import read
+
+    with _pytest.raises(ValueError, match="StructType"):
+        read.csv_quarantine(spark, str(tmp_path / "x.csv"), "id int", str(tmp_path / "q"))
