@@ -772,8 +772,6 @@ def exact_substr_spans(
     Reference analog: none (PipeFlow stops at whole-row ``Distinct``,
     ``PipeFlow/Pipeline.cs:80-84``); training-data extension surface.
     """
-    from pyspark.sql import Window
-
     posting = gram_hash_positions(df, text_col, id_col, min_len)
     hot = (
         posting.groupBy("gh")
@@ -782,6 +780,18 @@ def exact_substr_spans(
         .select("gh")
     )
     dup = posting.join(hot, "gh").select("id", "pos")
+    return spans_from_dup_positions(dup, min_len, id_col)
+
+
+def spans_from_dup_positions(
+    dup: DataFrame, min_len: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Island-merge duplicated gram seed positions ``(id, pos)`` into maximal
+    spans (overlap-or-touch: ``pos - prev <= min_len``).  Shared by the batch
+    :func:`exact_substr_spans` and the streaming span guard — one window per
+    doc, no other shuffle."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("id").orderBy("pos")
     isl = (
         dup.withColumn("__prev", F.lag("pos").over(w))
@@ -832,6 +842,19 @@ def remove_dup_spans(
     codegen; no Python, no explode of the token stream.
     """
     spans = exact_substr_spans(df, text_col, id_col, min_len, min_count)
+    return cut_spans(df, spans, text_col, id_col)
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every ``spans`` interval from each doc's token stream (the
+    codegen-only higher-order cut described in :func:`remove_dup_spans`;
+    shared with the streaming span guard).  Output
+    ``(id_col, n_tokens, n_removed, clean_text)`` for every non-empty doc."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )

@@ -5377,6 +5377,100 @@ def stream_neardup_guard_oracle(spark, sf_dir):
 
 
 @register(
+    "stream_span_guard_oracle",
+    """
+    WITH dl AS (
+      SELECT doc_id,
+             CAST(doc_id * 3 // (SELECT max(doc_id) + 1 FROM documents) AS INT) AS b,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT doc_id, b, u.pos - 1 AS pos,
+             array_to_string(list_slice(t, u.pos, u.pos + 11), ' ') AS g
+      FROM dl, unnest(range(1, len(t) - 10)) AS u(pos)
+    ), gb AS (
+      SELECT g, b, count(*) AS c FROM grams GROUP BY g, b
+    ), gcum AS (
+      SELECT g, b, sum(c) OVER (PARTITION BY g ORDER BY b) AS cum FROM gb
+    ), dup AS (
+      SELECT gr.doc_id, gr.pos
+      FROM grams gr JOIN gcum ON gcum.g = gr.g AND gcum.b = gr.b
+      WHERE gcum.cum >= 2
+    ), lagged AS (
+      SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM dup
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 12 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM lagged
+    ), spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 11 AS e
+      FROM isl GROUP BY doc_id, island
+    ), toksp AS (
+      SELECT doc_id, t[u.pos] AS tok, u.pos - 1 AS pos
+      FROM dl, unnest(range(1, len(t) + 1)) AS u(pos)
+    ), kept AS (
+      SELECT tp.doc_id, tp.tok, tp.pos
+      FROM toksp tp LEFT JOIN spans s
+        ON tp.doc_id = s.doc_id AND tp.pos BETWEEN s.s AND s.e
+      WHERE s.doc_id IS NULL
+    )
+    SELECT d.doc_id,
+           CAST(len(d.t) AS INT)                       AS n_tokens,
+           CAST(len(d.t) - coalesce(k.nk, 0) AS INT)   AS n_removed,
+           coalesce(k.ct, '')                          AS clean_text
+    FROM dl d LEFT JOIN (
+      SELECT doc_id, count(*) AS nk, string_agg(tok, ' ' ORDER BY pos) AS ct
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def stream_span_guard_oracle(spark, sf_dir):
+    """STREAMING ExactSubstr guard (streaming/spanguard.py): documents arrive
+    in doc_id order across 3 micro-batches; each batch's ≥12-token spans are
+    judged against gram counts accumulated over history PLUS the batch
+    itself, cut in-flight, and the cleaned rows committed exactly-once while
+    the count store appends idempotently.  Committed output must hash-equal
+    (per-token clean_text equality) the batch twin where a gram is
+    duplicated iff its cumulative occurrence count through the doc's own
+    arrival batch reaches 2 — the prefix-semantics ExactSubstr: a span
+    unique at commit time stays intact, its later re-occurrences are cut."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming import SpanGuardSink, StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_sg_")
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id") + 1).first()[0]
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    for i in range(3):
+        _stage_single_parquet(
+            docs.filter((F.col("doc_id") * 3 / F.lit(n)).cast("int") == i),
+            _os.path.join(work, f"stage{i}"),
+            _os.path.join(src, f"part-{i:05d}.parquet"),
+        )
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    guard = SpanGuardSink(_os.path.join(work, "guard"), min_len=12, min_count=2)
+    q = StreamingPipeline(stream).start_exactly_once(
+        guard, _os.path.join(work, "ckpt"), query_name="span_guard"
+    )
+    q.awaitTermination()
+    out = (
+        guard.read_clean(spark)
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")
+        .orderBy("doc_id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "stream_window_topk_oracle",
     """
     WITH c AS (
@@ -6325,6 +6419,7 @@ _ORDER = [
     "stream_update_upsert_oracle",
     "stream_scd2_dim_oracle",
     "stream_scd2_enrich_oracle",
+    "stream_span_guard_oracle",
     "stream_state_open_windows_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",

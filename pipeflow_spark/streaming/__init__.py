@@ -8,6 +8,8 @@ exactly-once idempotent sink resumable from checkpoint.
 
 from .engine import StreamingPipeline, TRANSCRIPT_SCHEMA  # noqa: F401
 from .exactly_once import ExactlyOnceSink, FanoutSink, QuarantiningSink  # noqa: F401
+from .neardup import NearDupGuardSink  # noqa: F401
+from .spanguard import SpanGuardSink  # noqa: F401
 from .state_reader import (  # noqa: F401
     read_state,
     read_state_changes,

@@ -2046,3 +2046,86 @@ def test_stream_scd2_multi_batch_seams_and_late(spark, tmp_path):
           read_upsert_table(spark, table).filter("user_id = 1").collect()}
     assert u1["bronze"] == "2024-01-15" and u1["mid"] == "2024-02-01"
     assert u1["gold"] == "None"
+
+
+# -- streaming ExactSubstr span guard ------------------------------------------
+
+def test_span_guard_cuts_against_history_and_intra_batch(spark, tmp_path):
+    """Prefix semantics: a span unique at commit time stays intact; its later
+    re-occurrence is cut.  Same-batch duplicates are all cut (no earlier
+    committed copy to protect).  Replay is a no-op."""
+    from pipeflow_spark.streaming import SpanGuardSink
+
+    g = SpanGuardSink(str(tmp_path / "g"), min_len=3, min_count=2)
+    schema = "doc_id int, text string"
+    b1 = spark.createDataFrame([(0, "a b c d e"), (1, "p q r s")], schema)
+    b2 = spark.createDataFrame([(2, "a b c d z z")], schema)
+    b3 = spark.createDataFrame(
+        [(3, "p q r s"), (4, "m n o w1"), (5, "m n o w2")], schema
+    )
+    for i, b in enumerate((b1, b2, b3)):
+        g(b, i)
+    clean = {r.doc_id: r for r in g.read_clean(spark).collect()}
+    assert clean[0].clean_text == "a b c d e" and clean[0].n_removed == 0
+    assert clean[1].clean_text == "p q r s"
+    # doc 2: 'a b c d' grams hit history counts -> span [0,3] cut
+    assert clean[2].clean_text == "z z" and clean[2].n_removed == 4
+    # doc 3: whole doc already in history
+    assert clean[3].clean_text == "" and clean[3].n_removed == 4
+    # intra-batch pair: both occurrences cut
+    assert clean[4].clean_text == "w1" and clean[5].clean_text == "w2"
+    # replay batch 2: ledger no-op, store overwrite idempotent
+    g(b2, 1 + 1)
+    assert g.read_clean(spark).count() == 6
+
+
+def test_span_guard_crash_between_store_and_commit_replays_exactly(spark, tmp_path):
+    from pipeflow_spark.streaming import SpanGuardSink
+
+    schema = "doc_id int, text string"
+    b1 = spark.createDataFrame([(0, "a b c d e")], schema)
+    b2 = spark.createDataFrame([(2, "a b c d z z")], schema)
+    g = SpanGuardSink(str(tmp_path / "g"), min_len=3, min_count=2)
+    g(b1, 0)
+    # crash INSIDE the cleaned-commit, after the store dir was written
+    g.clean.fail_after_write_batch_id = 1
+    try:
+        g(b2, 1)
+    except Exception:
+        pass
+    g.clean.fail_after_write_batch_id = None
+    g(b2, 1)  # replay: must not double-count its own store dir
+    clean = {r.doc_id: r for r in g.read_clean(spark).collect()}
+    # if the replay saw its own (gh,cnt) rows the 'z z' tail grams would
+    # reach min_count and be cut too — exact replay keeps them
+    assert clean[2].clean_text == "z z" and clean[2].n_removed == 4
+
+
+def test_span_guard_compaction_counts_exactly_once(spark, tmp_path):
+    """Fold per-batch count dirs into a manifest-carrying segment; results
+    identical after compaction, and a crash-left old dir (simulated by
+    re-creating one the manifest already names) is excluded from reads."""
+    import os
+
+    from pipeflow_spark.streaming import SpanGuardSink
+
+    schema = "doc_id int, text string"
+    g = SpanGuardSink(str(tmp_path / "g"), min_len=3, min_count=2)
+    g(spark.createDataFrame([(0, "a b c d e")], schema), 0)
+    g(spark.createDataFrame([(1, "h i j k")], schema), 1)
+    folded = g.compact_store(spark)
+    assert folded == 2
+    segs = [d for d in os.listdir(g.ns_dir) if d.startswith("batch_id=-")]
+    assert len(segs) == 1
+    # crash simulation: a manifest-named dir that still exists is not re-read
+    zombie = os.path.join(g.ns_dir, "batch_id=0")
+    os.makedirs(zombie)
+    spark.createDataFrame([(12345, 99)], "gh long, cnt long").write.mode(
+        "overwrite"
+    ).parquet(zombie)
+    dirs = g._store_dirs(below=10)
+    assert zombie not in dirs and len(dirs) == 1
+    # post-compaction behavior: second 'a b c d' occurrence is still cut
+    g(spark.createDataFrame([(2, "a b c d z z")], schema), 2)
+    clean = {r.doc_id: r for r in g.read_clean(spark).collect()}
+    assert clean[2].clean_text == "z z"
