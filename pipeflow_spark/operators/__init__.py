@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     asof,
     bloom,
     bpe,
+    convtree,
     decontaminate,
     dedupe,
     graph,

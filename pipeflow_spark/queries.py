@@ -1479,6 +1479,56 @@ def session_transcripts(spark, sf_dir):
 
 
 @register(
+    "conversation_branching",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), conv AS (
+      SELECT user_id, session_id, list(event_type ORDER BY ts, event_id) AS l
+      FROM sess GROUP BY user_id, session_id
+    ), pref AS (
+      SELECT u.d AS depth,
+             array_to_string(list_slice(l, 1, u.d), '>') AS prefix,
+             l[u.d + 1] AS cont
+      FROM conv, unnest(range(1, len(l))) AS u(d)
+    ), per AS (
+      SELECT depth, prefix, count(DISTINCT cont) AS fanout, count(*) AS n_cont
+      FROM pref GROUP BY depth, prefix
+    )
+    SELECT depth, count(*) AS n_prefixes,
+           sum(CASE WHEN fanout >= 2 THEN 1 ELSE 0 END) AS n_branching,
+           max(fanout) AS max_fanout,
+           sum(n_cont) AS n_next_turns
+    FROM per GROUP BY depth ORDER BY depth
+    """,
+)
+def conversation_branching(spark, sf_dir):
+    """Conversation prefix-tree shape (operators/convtree.py): gap-sessionize
+    events into conversations, then per prefix depth count distinct
+    prefixes, branch points (≥2 distinct continuations), and the widest
+    fan-out — the resampling-tree health view for agent transcripts.  One
+    conv-key shuffle + one (depth, prefix) hash aggregate; prefix keys are
+    raw strings so the oracle matches byte-for-byte (swap to xxhash64 at
+    corpus scale — the output never carries the key)."""
+    from .operators.convtree import prefix_branching
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize.sessionize(ev, "user_id", "ts", gap_sec=1800, order_tiebreak=["event_id"])
+    return prefix_branching(
+        s, ["user_id", "session_id"], "event_type", ["ts", "event_id"]
+    )
+
+
+@register(
     "dedup_conversations",
     """
     WITH flagged AS (
@@ -6433,6 +6483,7 @@ _ORDER = [
     "pattern_funnel_events",
     "stream_validate_dlq_oracle",
     "dedup_conversations",
+    "conversation_branching",
     "stream_ivf_ingest_oracle",
     "embed_quantized_topk",
     "stream_fanout_atomic_oracle",

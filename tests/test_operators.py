@@ -1865,3 +1865,42 @@ def test_write_sorted_shards_arg_validation(spark, tmp_path):
     with _pytest.raises(ValueError, match="exactly one"):
         sampling.write_sorted_shards(df, str(tmp_path / "y"), "v",
                                      num_shards=2, boundaries=[1.0])
+
+
+# -- conversation prefix-tree branching ----------------------------------------
+
+def test_prefix_branching_hand_math(spark):
+    from pipeflow_spark.operators.convtree import prefix_branching
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        (3, 1, "a"), (3, 2, "b"), (3, 3, "d"),
+        (4, 1, "x"),  # single-turn conv: contributes nothing at any depth
+    ]
+    df = spark.createDataFrame(rows, "conv int, turn int, label string")
+    out = {r.depth: r for r in
+           prefix_branching(df, "conv", "label", ["turn"]).collect()}
+    assert set(out) == {1, 2}
+    # depth 1: prefix 'a' always continues 'b' (x has no continuation)
+    assert (out[1].n_prefixes, out[1].n_branching, out[1].max_fanout,
+            out[1].n_next_turns) == (1, 0, 1, 3)
+    # depth 2: 'a>b' fans out to {c, d}
+    assert (out[2].n_prefixes, out[2].n_branching, out[2].max_fanout,
+            out[2].n_next_turns) == (1, 1, 2, 3)
+
+
+def test_prefix_branching_multi_conv_keys_and_order(spark):
+    """Composite conversation keys; out-of-order turn rows are re-ordered by
+    order_cols before prefixing."""
+    from pipeflow_spark.operators.convtree import prefix_branching
+
+    rows = [
+        ("u1", 0, 2, "b"), ("u1", 0, 1, "a"),   # arrives reversed
+        ("u1", 1, 1, "a"), ("u1", 1, 2, "z"),
+    ]
+    df = spark.createDataFrame(rows, "u string, s int, turn int, label string")
+    out = {r.depth: r for r in
+           prefix_branching(df, ["u", "s"], "label", ["turn"]).collect()}
+    # both convs start 'a'; continuations {b, z}
+    assert (out[1].n_prefixes, out[1].n_branching, out[1].max_fanout) == (1, 1, 2)
