@@ -68,10 +68,14 @@ class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
 
         Implementation: PERMISSIVE parse with ``columnNameOfCorruptRecord``;
         the corrupt column must be SELECTED before filtering (Spark refuses
-        a filter-only reference to it) and the input is cached for the two
-        passes (valid + quarantine) so the file parses once.  ``schema`` is
-        required: corrupt-record capture needs explicit types (inference
-        would just downgrade everything to string and hide the breakage).
+        a filter-only reference to it).  The quarantine write and the
+        returned clean plan each scan the file once (two passes total) —
+        deliberately NOT ``cache()``d: the returned Pipeline is lazy, so a
+        cache could never be safely unpersisted and would pin every
+        quarantined file's parsed contents in executor storage for the
+        session.  ``schema`` is required: corrupt-record capture needs
+        explicit types (inference would just downgrade everything to string
+        and hide the breakage).
         """
         from pyspark.sql import types as T
 
@@ -88,9 +92,16 @@ class read:  # noqa: N801 — fluent entry, mirrors reference `PipeFlow.From`
             "columnNameOfCorruptRecord": "_corrupt_record",
             **options,
         }
-        df = spark.read.options(**opts).schema(full).csv(path).cache()
+        df = spark.read.options(**opts).schema(full).csv(path)
+        # quarantine rows carry the raw line PLUS the partially-parsed
+        # columns (nulls where parsing failed) — useful for repair, and
+        # required: Spark refuses a plan referencing ONLY the corrupt-record
+        # column of a raw file (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+        # RECORD_COLUMN; its suggested cache() workaround would pin the file
+        # in executor storage forever — see docstring)
         bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
-            F.col("_corrupt_record").alias("raw")
+            F.col("_corrupt_record").alias("raw"),
+            *[f.name for f in schema.fields],
         )
         bad.write.mode("overwrite").json(quarantine_dir)
         good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")

@@ -223,5 +223,11 @@ def scan(
             if part is not None:
                 df = df.filter(part)
     if not keep_partition_cols:
-        df = df.drop(*[names[s] for s in specs])
+        # identity specs' partition column IS the source column — hiding the
+        # layout must not hide the user's data
+        drop = [
+            names[s] for s in specs if parse_spec(s)[0] != "identity"
+        ]
+        if drop:
+            df = df.drop(*drop)
     return df

@@ -181,7 +181,10 @@ def scd2_apply_batch(
     try:
         current = read_upsert_table(spark, table_path)
         has_table = True
-    except Exception:
+    except FileNotFoundError:
+        # ONLY the no-committed-snapshot signal may mean "first batch": a
+        # broader except would treat a transient read failure as an empty
+        # table and group_replace would then erase the touched keys' history
         has_table = False
     if has_table:
         existing = (

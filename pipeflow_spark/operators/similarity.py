@@ -472,10 +472,12 @@ def semantic_dup_pairs(
     quadratic itself.
     """
     # per-vector norm precomputed ONCE: the pair expression keeps the exact
-    # shape dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — same operations in
-    # the same order as :func:`cosine`, so results stay bit-identical to the
-    # oracle twin — but the two self-dots run per VECTOR instead of per pair
-    # (HOF dots per pair 3 → 1; measured ~2.5× at sf0.1).
+    # shape try_divide(dot(a,b), sqrt(dot(a,a)) * sqrt(dot(b,b))) — same
+    # operations in the same order as :func:`cosine`, including the
+    # zero-norm→NULL guard (plain `/` would raise under Spark 4's default
+    # ANSI mode), so results stay bit-identical to the oracle twin — but the
+    # two self-dots run per VECTOR instead of per pair (HOF dots per pair
+    # 3 → 1; measured ~2.5× at sf0.1).
     a = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col).select(
         "list_id",
         F.col(id_col).alias("id"),
@@ -492,7 +494,10 @@ def semantic_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "sim",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+            F.round(
+                F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+                6,
+            ),
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim", "list_id")

@@ -141,9 +141,20 @@ class SpanGuardSink:
             ).persist()
             try:
                 intra = posting.groupBy("gh").agg(F.count("*").alias("cnt"))
+
+                # store append FIRST (idempotent overwrite of our own dir;
+                # also the materialization point — the cleaned-commit plan
+                # below reads the counts BACK from this parquet, so the
+                # dominant gram aggregate runs once per batch, not twice)
+                part = os.path.join(self.ns_dir, f"batch_id={batch_id}")
+                if os.path.exists(part):
+                    shutil.rmtree(part)
+                intra.write.mode("overwrite").parquet(part)
+                intra_r = spark.read.parquet(part)
+
                 hist = self._history(spark, batch_id)
                 if hist is not None:
-                    totals = intra.join(hist, "gh", "left").select(
+                    totals = intra_r.join(hist, "gh", "left").select(
                         "gh",
                         "cnt",
                         (F.col("cnt") + F.coalesce("hist_cnt", F.lit(0))).alias(
@@ -151,18 +162,11 @@ class SpanGuardSink:
                         ),
                     )
                 else:
-                    totals = intra.select("gh", "cnt", F.col("cnt").alias("total"))
+                    totals = intra_r.select("gh", "cnt", F.col("cnt").alias("total"))
                 hot = totals.filter(F.col("total") >= self.min_count).select("gh")
                 dup = posting.join(hot, "gh").select("id", "pos")
                 spans = spans_from_dup_positions(dup, self.min_len, self.id_col)
                 cleaned = cut_spans(batch_df, spans, self.text_col, self.id_col)
-
-                # store append FIRST (idempotent overwrite of our own dir)
-                part = os.path.join(self.ns_dir, f"batch_id={batch_id}")
-                if os.path.exists(part):
-                    shutil.rmtree(part)
-                intra.write.mode("overwrite").parquet(part)
-
                 self.clean(cleaned, batch_id)
             finally:
                 posting.unpersist()
@@ -187,6 +191,13 @@ class SpanGuardSink:
         hi = self.clean._ledger.contiguous_committed_through()
         if hi < 0:
             return 0
+        # garbage-collect dirs a committed segment already absorbed (a crash
+        # between rename and removal leaves them; _store_dirs excludes them
+        # from reads, but nothing else would ever delete them)
+        folded_now = self._folded_ids(self.ns_dir)
+        for d in list(os.listdir(self.ns_dir)):
+            if d.startswith("batch_id=") and int(d.split("=")[1]) in folded_now:
+                shutil.rmtree(os.path.join(self.ns_dir, d), ignore_errors=True)
         olds = self._store_dirs(hi + 1)
         if len(olds) <= 1:
             return 0

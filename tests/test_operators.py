@@ -1904,3 +1904,33 @@ def test_prefix_branching_multi_conv_keys_and_order(spark):
            prefix_branching(df, ["u", "s"], "label", ["turn"]).collect()}
     # both convs start 'a'; continuations {b, z}
     assert (out[1].n_prefixes, out[1].n_branching, out[1].max_fanout) == (1, 1, 2)
+
+
+def test_hidden_partitioning_identity_keeps_source_column(spark, tmp_path):
+    """identity(c)'s partition column IS the source column — scan must not
+    hide the user's data with the layout."""
+    from pipeflow_spark.operators import partition as pt
+
+    df = spark.createDataFrame([(1, "eu"), (2, "us"), (3, "eu")],
+                               "id int, region string")
+    path = str(tmp_path / "ident")
+    pt.write_partitioned(df, path, ["identity(region)"])
+    back = pt.scan(spark, path, ["identity(region)"])
+    assert sorted(back.columns) == ["id", "region"]
+    out = pt.scan(spark, path, ["identity(region)"],
+                  filters=[("region", "=", "eu")])
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+    assert "region" in _partition_filters(out)
+
+
+def test_semantic_dup_pairs_zero_norm_vector_is_ignored(spark):
+    """A zero-norm embedding must not crash under ANSI mode (try_divide →
+    NULL → filtered), and never pairs with anything."""
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.999, 0.01]),
+        (2, [0.0, 0.0]),   # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    pairs = similarity.semantic_dup_pairs(df, [[1.0, 0.0]], threshold=0.9)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1)}
