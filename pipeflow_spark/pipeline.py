@@ -348,6 +348,47 @@ class Pipeline:
             .drop("__rn")
         )
 
+    def remove_dup_spans(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_len: int = 12,
+        min_count: int = 2,
+    ) -> "Pipeline":
+        """Fluent ExactSubstr span removal: cut every ≥``min_len``-token span
+        occurring ≥``min_count`` times corpus-wide out of the text, keeping
+        the unique remainder (``operators.dedupe.remove_dup_spans`` — gram-
+        frequency formulation, O(total tokens), never all-pairs).  Output
+        rows become ``(id_col, n_tokens, n_removed, clean_text)``."""
+        from .operators import dedupe as _dd
+
+        return self._wrap(
+            _dd.remove_dup_spans(self._df, text_col, id_col, min_len, min_count)
+        )
+
+    def scd2_enrich(
+        self,
+        dim: "Pipeline | DataFrame",
+        key_cols,
+        fact_ts: str,
+        how: str = "left",
+    ) -> "Pipeline":
+        """Fluent point-in-time enrichment against an SCD2 version table
+        (``operators.scd.scd2_enrich`` — equi-join on the key, interval
+        residual filters, never a nested loop)."""
+        from .operators import scd as _scd
+
+        d = dim.df if isinstance(dim, Pipeline) else dim
+        return self._wrap(_scd.scd2_enrich(self._df, d, key_cols, fact_ts, how=how))
+
+    def range_shards(self, key_cols, boundaries: list) -> "Pipeline":
+        """Fluent deterministic range sharding: add a 1-based ``shard`` column
+        from pinned boundary literals (``operators.sampling.
+        assign_range_shards`` — map-only, stable across cluster sizes)."""
+        from .operators import sampling as _s
+
+        return self._wrap(_s.assign_range_shards(self._df, key_cols, boundaries))
+
     def dedupe_near(
         self,
         threshold: float = 0.8,

@@ -275,3 +275,34 @@ def test_validate_throw_checks_rows_past_prefix_terminals(spark):
     ok = spark.createDataFrame([(1, 50), (2, 60)], "id int, age int")
     assert Pipeline(ok).validate(v, ValidationStrategy.THROW).first().id in (1, 2)
     assert len(Pipeline(ok).validate(v, ValidationStrategy.THROW).take(1).to_list()) == 1
+
+
+def test_fluent_span_scd2_shard_bridges(spark):
+    """The round-3 continuation fluent bridges delegate to their operators."""
+    from datetime import datetime as DT
+
+    from pipeflow_spark import Pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d p q r"), (2, "a b c d s t u")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           Pipeline(docs).remove_dup_spans(min_len=3).to_list()}
+    assert out[1]["clean_text"] == "p q r" and out[2]["n_removed"] == 4
+
+    dim = spark.createDataFrame(
+        [(1, "gold", DT(2024, 1, 1), None)],
+        "user_id int, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, DT(2024, 2, 1)), (11, 2, DT(2024, 2, 1))],
+        "fact_id int, user_id int, ts timestamp",
+    )
+    got = {r["fact_id"]: r["tier"] for r in
+           Pipeline(facts).scd2_enrich(dim, "user_id", "ts").to_list()}
+    assert got == {10: "gold", 11: None}
+
+    sh = {r["v"]: r["shard"] for r in
+          Pipeline(spark.createDataFrame([(1.0,), (5.0,), (9.0,)], "v double"))
+          .range_shards("v", [5.0]).to_list()}
+    assert sh == {1.0: 1, 5.0: 1, 9.0: 2}
