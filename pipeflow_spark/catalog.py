@@ -34,6 +34,7 @@ import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import sinks
 
@@ -84,6 +85,28 @@ def merge_into_sql(
     return stmt
 
 
+def _iceberg_transform(spec: str):
+    """Map a partition spec string to the pyspark DSv2 partitioning function
+    for ``writeTo(...).partitionedBy`` (Iceberg branch).  ``truncate`` has no
+    pyspark partitioning wrapper — use the parquet branch or SQL DDL."""
+    from pyspark.sql.functions import partitioning
+
+    from .operators.partition import parse_spec
+
+    kind, n, col = parse_spec(spec)
+    if kind == "identity":
+        return F.col(col)
+    if kind == "bucket":
+        return partitioning.bucket(n, col)
+    if kind == "truncate":
+        raise ValueError(
+            "truncate(...) has no pyspark partitioning function; create the "
+            "Iceberg table via SQL DDL (PARTITIONED BY truncate(W, col)) or "
+            "use the parquet branch"
+        )
+    return getattr(partitioning, kind)(col)
+
+
 class TableCatalog:
     """Format-dispatching table store.  ``format=None`` auto-detects:
     ``iceberg`` when the runtime jar is present, else ``parquet``."""
@@ -124,30 +147,79 @@ class TableCatalog:
 
     # -- IO ------------------------------------------------------------------
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_specs: list[str] | None = None,
+    ) -> None:
         """``overwrite`` replaces the table snapshot atomically; ``append``
         adds rows (parquet: previous snapshot unioned into the new one, so the
-        pointer flip stays the only commit point)."""
+        pointer flip stays the only commit point).
+
+        ``partition_specs`` lays the table out by Iceberg-style hidden
+        partition transforms (``operators/partition.py`` — e.g.
+        ``["days(ts)", "bucket(16, user_id)"]``).  Iceberg branch: mapped to
+        the native DSv2 ``partitionedBy`` transforms (``truncate`` has no
+        pyspark partitioning function and raises there).  Parquet branch:
+        the snapshot dir is written via ``write_partitioned``; read it with
+        :meth:`read_hidden` to get automatic predicate→partition pruning.
+        """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode: {mode!r}")
         if self.format == "iceberg":
             w = df.writeTo(self.ident(table))
+            if partition_specs:
+                w = w.partitionedBy(*[_iceberg_transform(s) for s in partition_specs])
             if mode == "overwrite":
                 w.createOrReplace()
             else:
                 w.append()
             return
         if mode == "append" and self.exists(table):
-            df = self.read(table).unionByName(df)
-        self._parquet_snapshot_write(df, table)
+            df = self.read_hidden(table, partition_specs or []).unionByName(df)
+        self._parquet_snapshot_write(df, table, partition_specs)
 
-    def _parquet_snapshot_write(self, df: DataFrame, table: str) -> None:
+    def read_hidden(
+        self,
+        table: str,
+        partition_specs: list[str],
+        filters: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
+        """Read a hidden-partitioned parquet table: source-column ``filters``
+        translate to partition predicates (driver-side directory pruning) and
+        the layout columns stay hidden.  Iceberg branch: the engine already
+        does this natively — plain ``read`` + row filters."""
+        from .operators import partition as _pt
+
+        if self.format == "iceberg":
+            df = self.read(table)
+            for col, op, value in filters or []:
+                expr = {"=": F.col(col) == value, "<": F.col(col) < value,
+                        "<=": F.col(col) <= value, ">": F.col(col) > value,
+                        ">=": F.col(col) >= value}[op]
+                df = df.filter(expr)
+            return df
+        snap = sinks._current_snapshot(self.ident(table))
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        return _pt.scan(self.spark, snap, partition_specs, filters=filters)
+
+    def _parquet_snapshot_write(
+        self, df: DataFrame, table: str, partition_specs: list[str] | None = None
+    ) -> None:
         import uuid
 
         path = self.ident(table)
         os.makedirs(path, exist_ok=True)
         snap = f"snapshot-{uuid.uuid4().hex[:12]}"
-        df.write.mode("overwrite").parquet(os.path.join(path, snap))
+        if partition_specs:
+            from .operators import partition as _pt
+
+            _pt.write_partitioned(df, os.path.join(path, snap), partition_specs)
+        else:
+            df.write.mode("overwrite").parquet(os.path.join(path, snap))
         prev = sinks._current_snapshot(path)
         sinks._publish_commit(path, snap)  # atomic flip, commit-log protocol
         if prev and os.path.basename(prev).startswith("snapshot-"):

@@ -125,3 +125,49 @@ def test_catalog_time_travel_parquet(spark, tmp_path):
     )
     assert cat.read("tt").first().v == "d"
     assert [s["version"] for s in cat.snapshots("tt")][-1] == 4
+
+
+def test_catalog_hidden_partitioned_write_and_pruned_read(spark, tmp_path):
+    """partition_specs on the parquet branch: snapshot laid out by the
+    transforms, read_hidden translates source predicates to partition
+    predicates and hides the layout columns; append preserves the layout."""
+    import re
+    from datetime import datetime as DT
+
+    from pipeflow_spark.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"), format="parquet")
+    df = spark.createDataFrame(
+        [(i, DT(2024, 1 + i % 3, 1 + i % 5), f"u{i%4}") for i in range(60)],
+        "id long, ts timestamp, user string",
+    )
+    specs = ["days(ts)", "bucket(4, id)"]
+    cat.write(df, "ev", partition_specs=specs)
+    back = cat.read_hidden("ev", specs)
+    assert sorted(back.columns) == ["id", "ts", "user"] and back.count() == 60
+
+    out = cat.read_hidden("ev", specs, filters=[("ts", ">=", "2024-03-01")])
+    assert out.count() == df.filter(F.col("ts") >= "2024-03-01").count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ts_days" in m.group(1)
+
+    cat.write(
+        spark.createDataFrame([(100, DT(2024, 3, 2), "u9")],
+                              "id long, ts timestamp, user string"),
+        "ev", mode="append", partition_specs=specs,
+    )
+    assert cat.read_hidden("ev", specs).count() == 61
+    assert cat.read_hidden("ev", specs, filters=[("id", "=", 100)]).count() == 1
+
+
+def test_iceberg_transform_mapping():
+    import pytest as _pytest
+
+    from pipeflow_spark.catalog import _iceberg_transform
+
+    assert _iceberg_transform("days(ts)") is not None
+    assert _iceberg_transform("bucket(16, id)") is not None
+    assert _iceberg_transform("identity(region)") is not None
+    with _pytest.raises(ValueError, match="truncate"):
+        _iceberg_transform("truncate(4, code)")
