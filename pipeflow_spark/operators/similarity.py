@@ -502,3 +502,145 @@ def semantic_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim", "list_id")
     )
+
+
+# -- Product Quantization (PQ) ANN: codebook encode + ADC scan ----------------
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int | None = None,
+    seed: int = 42,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): split the vector into ``m`` subspaces of
+    ``dim/m`` dims and run Lloyd's k-means with ``k`` centroids per
+    subspace, driver-side on a bounded deterministic sample (same recipe as
+    :func:`train_ivf_centroids`).  Returns ``(m, k, dim/m)`` float64.
+
+    A code is then ``m`` small ints (m=8, k=16 → 8 nibbles = 4 bytes/vec vs
+    512 B of float64 — a 128× compression of the scan column; int8
+    quantization (:func:`quantize_embeddings`) stops at 8×).
+    """
+    rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    if dim is None:
+        dim = X.shape[1]
+    if X.shape[1] != dim:
+        raise ValueError(f"embedding dim {X.shape[1]} != declared {dim}")
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, d), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * d : (j + 1) * d]
+        C = S[rng.choice(len(S), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                C[c] = members.mean(axis=0) if len(members) else S[rng.integers(len(S))]
+        books[j] = C
+    return books
+
+
+def _sub_sqdist(v: Column, j: int, centroid, d: int) -> Column:
+    """Rounded squared L2 distance between subvector j of ``v`` and a
+    centroid literal — the shared kernel of encode and LUT, so both engines
+    (and both stages) agree bit-for-bit.  Left-to-right sum over ascending
+    dims, rounded to 6 dp."""
+    acc = None
+    for i in range(d):
+        t = (F.get(v, j * d + i) - F.lit(float(centroid[i]))) ** 2
+        acc = t if acc is None else acc + t
+    return F.round(acc, 6)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``codes``: per subspace, the 0-based index of the nearest
+    codebook centroid (rounded squared L2; ties → lowest index, mirroring
+    the IVF argmax convention so the DuckDB twin agrees exactly).  Pure
+    Column algebra — the codebooks ride as plan literals, encoding is one
+    narrow projection, no shuffle.  Write ``codes`` next to (or instead of)
+    the float column; the ADC scan (:func:`pq_topk`) then never touches
+    floats except for rescore finalists."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, d = books.shape
+    v = F.col(vec_col).cast("array<double>")
+    code_cols = []
+    for j in range(m):
+        dists = F.array(*[_sub_sqdist(v, j, books[j][c], d) for c in range(k)])
+        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return embeddings.withColumn("codes", F.array(*code_cols))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks,
+    query_vec: list[float],
+    topk: int = 10,
+    rescore: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query's per-subspace distance to
+    every centroid is a tiny ``m × k`` lookup table computed ONCE (as plan
+    literals here; broadcast in spirit), and each row's approximate distance
+    is ``Σ_j LUT[j][codes[j]]`` — m array lookups and adds per row, no
+    float-vector arithmetic anywhere in the scan.  Output
+    ``(id_col, adist)`` ascending (ties → id).
+
+    ``rescore > 0`` re-ranks that many ADC finalists by exact cosine and
+    returns ``(id_col, sim)`` descending — the IVF/int8 two-stage pattern;
+    with ``rescore ≥ |corpus|`` it equals :func:`cosine_topk` exactly
+    (property-tested).
+
+    Scale: the ADC scan reads codes only (4 B/row at 8×16) — the cheapest
+    candidate generator in the family; LUT cost is O(m·k·d) once per query.
+    """
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, d = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    # explicit left-to-right accumulation (not numpy .sum(), whose pairwise
+    # summation could differ in the last ulp) — the same ascending-dim fold
+    # as _sub_sqdist and the SQL twin, so the 6-dp rounding sees identical
+    # doubles on every engine
+    def _lut_val(j: int, c: int) -> float:
+        acc = 0.0
+        for i in range(d):
+            acc += (float(q[j * d + i]) - float(books[j][c][i])) ** 2
+        return round(acc, 6)
+
+    lut = [[_lut_val(j, c) for c in range(k)] for j in range(m)]
+    adist = None
+    for j in range(m):
+        lut_j = F.array(*[F.lit(x) for x in lut[j]])
+        t = F.get(lut_j, F.get("codes", j))
+        adist = t if adist is None else adist + t
+    scored = encoded.select(F.col(id_col), F.round(adist, 6).alias("adist"))
+    cands = scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(
+        rescore if rescore > 0 else topk
+    )
+    if rescore <= 0:
+        return cands
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        encoded.join(cands.select(id_col), id_col, "semi")
+        .select(F.col(id_col), F.round(cosine(v, qlit), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(topk)
+    )

@@ -2800,6 +2800,56 @@ def embed_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "embed_pq_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+           FROM e WHERE vec_id % 31 = 0 AND vec_id < 496),
+    sub AS (SELECT unnest(range(0, 8)) AS j),
+    dists AS (
+      SELECT e.vec_id, s.j, cb.cid, round((e.v[s.j*8 + 1] - cb.cv[s.j*8 + 1]) ^ 2 + (e.v[s.j*8 + 2] - cb.cv[s.j*8 + 2]) ^ 2 + (e.v[s.j*8 + 3] - cb.cv[s.j*8 + 3]) ^ 2 + (e.v[s.j*8 + 4] - cb.cv[s.j*8 + 4]) ^ 2 + (e.v[s.j*8 + 5] - cb.cv[s.j*8 + 5]) ^ 2 + (e.v[s.j*8 + 6] - cb.cv[s.j*8 + 6]) ^ 2 + (e.v[s.j*8 + 7] - cb.cv[s.j*8 + 7]) ^ 2 + (e.v[s.j*8 + 8] - cb.cv[s.j*8 + 8]) ^ 2, 6) AS d2
+      FROM e CROSS JOIN sub s CROSS JOIN cb),
+    enc AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rk
+        FROM dists) t WHERE rk = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    lut AS (
+      SELECT s.j, cb.cid, round((q.qv[s.j*8 + 1] - cb.cv[s.j*8 + 1]) ^ 2 + (q.qv[s.j*8 + 2] - cb.cv[s.j*8 + 2]) ^ 2 + (q.qv[s.j*8 + 3] - cb.cv[s.j*8 + 3]) ^ 2 + (q.qv[s.j*8 + 4] - cb.cv[s.j*8 + 4]) ^ 2 + (q.qv[s.j*8 + 5] - cb.cv[s.j*8 + 5]) ^ 2 + (q.qv[s.j*8 + 6] - cb.cv[s.j*8 + 6]) ^ 2 + (q.qv[s.j*8 + 7] - cb.cv[s.j*8 + 7]) ^ 2 + (q.qv[s.j*8 + 8] - cb.cv[s.j*8 + 8]) ^ 2, 6) AS ld
+      FROM sub s CROSS JOIN cb CROSS JOIN q)
+    SELECT enc.vec_id, round(sum(lut.ld), 6) AS adist
+    FROM enc JOIN lut ON lut.j = enc.j AND lut.cid = enc.code
+    GROUP BY enc.vec_id
+    ORDER BY adist, enc.vec_id LIMIT 10
+    """,
+)
+def embed_pq_topk(spark, sf_dir):
+    """Product-Quantization ANN (operators/similarity.py pq_encode/pq_topk):
+    8 subspaces x 16 sample-codebook centroids -> 4-byte codes (128x
+    lighter than the float column), asymmetric-distance top-10 via an m x k
+    LUT of plan literals — the cheapest candidate generator in the ANN
+    family (exact -> LSH -> IVF -> int8 -> PQ).  The oracle is an
+    algorithm twin: same literal sample codebooks, same rounded ascending-
+    dim squared-distance fold for encode AND LUT, same lowest-index argmin
+    tie-break — a green row certifies encoding, table build, and the ADC
+    sum end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    import numpy as _np
+
+    sample = _np.asarray([[float(x) for x in r[0]] for r in cent])
+    books = sample.reshape(16, 8, 8).transpose(1, 0, 2)  # (m=8, k=16, d=8)
+    q = [float(x) for x in sample[0]]  # vec_id 0 is the query
+    enc = similarity.pq_encode(emb, books)
+    return similarity.pq_topk(enc, books, q, topk=10)
+
+
+@register(
     "embed_quantized_topk",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -6486,6 +6536,7 @@ _ORDER = [
     "conversation_branching",
     "stream_ivf_ingest_oracle",
     "embed_quantized_topk",
+    "embed_pq_topk",
     "stream_fanout_atomic_oracle",
     "reply_latency_profile",
     # batch twins of the promoted late-r3 streaming flagships (each stream

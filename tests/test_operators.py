@@ -1934,3 +1934,58 @@ def test_semantic_dup_pairs_zero_norm_vector_is_ignored(spark):
     pairs = similarity.semantic_dup_pairs(df, [[1.0, 0.0]], threshold=0.9)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(0, 1)}
+
+
+# -- Product Quantization ANN --------------------------------------------------
+
+def test_pq_encode_hand_math(spark):
+    """m=2 subspaces of d=2, k=2 centroids each: codes pick the nearest
+    centroid per subspace, and the ADC distance is exactly the LUT sum."""
+    books = [
+        [[0.0, 0.0], [10.0, 10.0]],   # subspace 0
+        [[5.0, 5.0], [-5.0, -5.0]],   # subspace 1
+    ]
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 4.0, 6.0]),    # codes (0, 0)
+         (2, [9.0, 9.5, -4.0, -6.0])], # codes (1, 1)
+        "vec_id int, embedding array<double>",
+    )
+    enc = similarity.pq_encode(df, books)
+    got = {r.vec_id: list(r.codes) for r in enc.collect()}
+    assert got == {1: [0, 0], 2: [1, 1]}
+    q = [0.0, 0.0, 5.0, 5.0]
+    out = {r.vec_id: r.adist for r in
+           similarity.pq_topk(enc, books, q, topk=2).collect()}
+    # adist(1) = d2(q0, c00) + d2(q1, c10) = 0 + 0 = 0
+    # adist(2) = d2(q0, c01) + d2(q1, c11) = (100+100) + (100+100) = 400
+    assert out[1] == 0.0 and out[2] == 400.0
+
+
+def test_pq_full_rescore_equals_exact(spark, sf_dir):
+    """With rescore >= corpus size the two-stage PQ search must equal the
+    exact brute-force cosine ranking bit-for-bit."""
+    from pipeflow_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    books = similarity.train_pq_codebooks(emb, m=8, k=8, sample=128)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    enc = similarity.pq_encode(emb, books)
+    got = [(r.vec_id, r.sim) for r in
+           similarity.pq_topk(enc, books, q, topk=10, rescore=10_000).collect()]
+    exact = [(r.vec_id, r.sim) for r in
+             similarity.cosine_topk(emb, q, k=10).collect()]
+    assert got == exact
+
+
+def test_pq_codebook_training_validates_and_is_deterministic(spark, sf_dir):
+    import numpy as np
+    import pytest as _pytest
+
+    from pipeflow_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(64)
+    b1 = similarity.train_pq_codebooks(emb, m=8, k=4, sample=64)
+    b2 = similarity.train_pq_codebooks(emb, m=8, k=4, sample=64)
+    assert b1.shape == (8, 4, 8) and np.array_equal(b1, b2)
+    with _pytest.raises(ValueError, match="not divisible"):
+        similarity.train_pq_codebooks(emb, m=7, k=4, sample=64)
