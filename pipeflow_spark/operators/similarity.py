@@ -644,3 +644,121 @@ def pq_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(topk)
     )
+
+
+# -- IVFADC: coarse IVF pruning + PQ over residuals ---------------------------
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC encoding (Jégou et al. TPAMI'11 §IV): assign each vector to
+    its coarse inverted list (:func:`ivf_assign`), then PQ-encode the
+    RESIDUAL ``v − centroid[list]`` — residuals concentrate around zero, so
+    a small codebook quantizes them far better than raw vectors, which is
+    why every billion-scale system (FAISS IVFADC) uses this composition.
+
+    Adds ``list_id`` (1-based) and ``codes`` (m small ints).  Pure Column
+    algebra end to end: centroids and codebooks are plan literals, the
+    residual is a ``zip_with`` subtraction under the same rounded
+    ascending-dim distance fold as :func:`pq_encode`.  Write partitioned by
+    ``list_id``: probe-time pruning then reads nprobe/n_lists of a corpus
+    whose data column is 4 bytes/row.
+    """
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, d = books.shape
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    cents = [list(map(float, c)) for c in centroids]
+    # residual per row: v - centroid[list_id]; built as a CASE over the
+    # (small) centroid table so everything stays in codegen
+    cent_arr = [F.array(*[F.lit(x) for x in c]).cast("array<double>") for c in cents]
+    resid = None
+    for li, ca in enumerate(cent_arr, start=1):
+        r = F.zip_with(v, ca, lambda x, y: x - y)
+        resid = F.when(F.col("list_id") == li, r) if resid is None else resid.when(
+            F.col("list_id") == li, r
+        )
+    assigned = assigned.withColumn("__resid", resid)
+    code_cols = []
+    for j in range(m):
+        dists = F.array(
+            *[_sub_sqdist(F.col("__resid"), j, books[j][c], d) for c in range(k)]
+        )
+        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return assigned.withColumn("codes", F.array(*code_cols)).drop("__resid")
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids,
+    codebooks,
+    query_vec: list[float],
+    topk: int = 10,
+    nprobe: int = 4,
+    rescore: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC search: probe the ``nprobe`` coarse lists nearest the query
+    (:func:`ivf_probes` — ``isin`` partition pruning), and inside each
+    probed list rank by the PQ approximate distance of the query's
+    PER-LIST residual (``q − centroid[list]``) — one m×k LUT per probed
+    list, all plan literals.  Output ``(id_col, adist)`` ascending (ties →
+    id), or exact-cosine rescore of ``rescore`` finalists when requested.
+
+    Scale: bytes read ≈ |corpus| × nprobe/n_lists × 4 B — the two prunings
+    compose multiplicatively; this is the standard billion-vector recipe.
+    """
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, d = books.shape
+    probes = ivf_probes(centroids, query_vec, nprobe)
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    def _lut(center) -> list[list[float]]:
+        rq = q - np.asarray(center, dtype=np.float64)
+        out = []
+        for j in range(m):
+            row = []
+            for c in range(k):
+                acc = 0.0
+                for i in range(d):
+                    acc += (float(rq[j * d + i]) - float(books[j][c][i])) ** 2
+                row.append(round(acc, 6))
+            out.append(row)
+        return out
+
+    adist = None
+    for li in probes:
+        lut = _lut(centroids[li - 1])
+        t = None
+        for j in range(m):
+            lut_j = F.array(*[F.lit(x) for x in lut[j]])
+            term = F.get(lut_j, F.get("codes", j))
+            t = term if t is None else t + term
+        adist = (
+            F.when(F.col("list_id") == li, t)
+            if adist is None
+            else adist.when(F.col("list_id") == li, t)
+        )
+    scored = (
+        encoded.filter(F.col("list_id").isin(probes))
+        .select(F.col(id_col), F.round(adist, 6).alias("adist"))
+    )
+    cands = scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(
+        rescore if rescore > 0 else topk
+    )
+    if rescore <= 0:
+        return cands
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        encoded.join(cands.select(id_col), id_col, "semi")
+        .select(F.col(id_col), F.round(cosine(v, qlit), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(topk)
+    )

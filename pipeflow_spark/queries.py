@@ -2850,6 +2850,78 @@ def embed_pq_topk(spark, sf_dir):
 
 
 @register(
+    "embed_ivfpq_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT (vec_id // 31) + 1 AS list_id, v AS cv FROM e
+           WHERE vec_id % 31 = 0 AND vec_id < 496),
+    pb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+           FROM e WHERE vec_id % 31 = 0 AND vec_id < 496),
+    sub AS (SELECT unnest(range(0, 8)) AS j),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    asn AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT e.vec_id, e.v, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY COALESCE(round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6), -2.0) DESC, c.list_id) AS rk
+        FROM e CROSS JOIN cb c) t WHERE rk = 1),
+    probes AS (
+      SELECT list_id FROM cb, q
+      ORDER BY COALESCE(round(list_dot_product(cb.cv, q.qv) / (sqrt(list_dot_product(cb.cv, cb.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6), -2.0) DESC, list_id
+      LIMIT 4),
+    rv AS (
+      SELECT a.vec_id, a.list_id,
+             list_transform(range(1, 65), i -> a.v[i] - cl.cv[i]) AS r
+      FROM asn a JOIN cb cl ON cl.list_id = a.list_id
+      WHERE a.list_id IN (SELECT list_id FROM probes)),
+    dists AS (
+      SELECT rv.vec_id, rv.list_id, s.j, pb.cid, round((rv.r[s.j*8 + 1] - pb.cv[s.j*8 + 1]) ^ 2 + (rv.r[s.j*8 + 2] - pb.cv[s.j*8 + 2]) ^ 2 + (rv.r[s.j*8 + 3] - pb.cv[s.j*8 + 3]) ^ 2 + (rv.r[s.j*8 + 4] - pb.cv[s.j*8 + 4]) ^ 2 + (rv.r[s.j*8 + 5] - pb.cv[s.j*8 + 5]) ^ 2 + (rv.r[s.j*8 + 6] - pb.cv[s.j*8 + 6]) ^ 2 + (rv.r[s.j*8 + 7] - pb.cv[s.j*8 + 7]) ^ 2 + (rv.r[s.j*8 + 8] - pb.cv[s.j*8 + 8]) ^ 2, 6) AS d2
+      FROM rv CROSS JOIN sub s CROSS JOIN pb),
+    enc AS (
+      SELECT vec_id, list_id, j, cid AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rk
+        FROM dists) t WHERE rk = 1),
+    qr AS (
+      SELECT p.list_id,
+             list_transform(range(1, 65), i -> q.qv[i] - cl.cv[i]) AS r
+      FROM probes p JOIN cb cl ON cl.list_id = p.list_id CROSS JOIN q),
+    lut AS (
+      SELECT qr.list_id, s.j, pb.cid, round((qr.r[s.j*8 + 1] - pb.cv[s.j*8 + 1]) ^ 2 + (qr.r[s.j*8 + 2] - pb.cv[s.j*8 + 2]) ^ 2 + (qr.r[s.j*8 + 3] - pb.cv[s.j*8 + 3]) ^ 2 + (qr.r[s.j*8 + 4] - pb.cv[s.j*8 + 4]) ^ 2 + (qr.r[s.j*8 + 5] - pb.cv[s.j*8 + 5]) ^ 2 + (qr.r[s.j*8 + 6] - pb.cv[s.j*8 + 6]) ^ 2 + (qr.r[s.j*8 + 7] - pb.cv[s.j*8 + 7]) ^ 2 + (qr.r[s.j*8 + 8] - pb.cv[s.j*8 + 8]) ^ 2, 6) AS ld
+      FROM qr CROSS JOIN sub s CROSS JOIN pb)
+    SELECT enc.vec_id, round(sum(lut.ld), 6) AS adist
+    FROM enc JOIN lut ON lut.list_id = enc.list_id AND lut.j = enc.j AND lut.cid = enc.code
+    GROUP BY enc.vec_id
+    ORDER BY adist, enc.vec_id LIMIT 10
+    """,
+)
+def embed_ivfpq_topk(spark, sf_dir):
+    """IVFADC (operators/similarity.py ivfpq_encode/ivfpq_topk): coarse IVF
+    list pruning composed with PQ over RESIDUALS — the canonical
+    billion-scale recipe (FAISS IVFADC): bytes read scale as
+    nprobe/n_lists x 4 B/row, the two prunings multiplying.  The oracle is
+    the full algorithm twin: literal sample coarse centroids AND PQ
+    codebooks, residual subtraction, per-list query-residual LUTs, the same
+    rounded ascending-dim folds and lowest-index tie-breaks at every stage
+    — a green row certifies assignment, residual encode, per-list tables,
+    and the ADC sum in one differential."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    import numpy as _np
+
+    sample = _np.asarray([[float(x) for x in r[0]] for r in cent])
+    centroids = [list(map(float, c)) for c in sample]
+    books = sample.reshape(16, 8, 8).transpose(1, 0, 2)
+    q = centroids[0]
+    enc = similarity.ivfpq_encode(emb, centroids, books)
+    return similarity.ivfpq_topk(enc, centroids, books, q, topk=10, nprobe=4)
+
+
+@register(
     "embed_quantized_topk",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -6537,6 +6609,7 @@ _ORDER = [
     "stream_ivf_ingest_oracle",
     "embed_quantized_topk",
     "embed_pq_topk",
+    "embed_ivfpq_topk",
     "stream_fanout_atomic_oracle",
     "reply_latency_profile",
     # batch twins of the promoted late-r3 streaming flagships (each stream

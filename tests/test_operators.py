@@ -1989,3 +1989,40 @@ def test_pq_codebook_training_validates_and_is_deterministic(spark, sf_dir):
     assert b1.shape == (8, 4, 8) and np.array_equal(b1, b2)
     with _pytest.raises(ValueError, match="not divisible"):
         similarity.train_pq_codebooks(emb, m=7, k=4, sample=64)
+
+
+def test_ivfpq_full_probe_full_rescore_equals_exact(spark, sf_dir):
+    """nprobe == n_lists and rescore >= corpus: IVFADC must reduce to the
+    exact brute-force cosine ranking."""
+    from pipeflow_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(150)
+    rows = emb.orderBy("vec_id").limit(8).collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in rows]
+    books = similarity.train_pq_codebooks(emb, m=8, k=8, sample=100)
+    q = centroids[3]
+    enc = similarity.ivfpq_encode(emb, centroids, books)
+    got = [(r.vec_id, r.sim) for r in
+           similarity.ivfpq_topk(enc, centroids, books, q, topk=10,
+                                 nprobe=len(centroids), rescore=10_000).collect()]
+    exact = [(r.vec_id, r.sim) for r in
+             similarity.cosine_topk(emb, q, k=10).collect()]
+    assert got == exact
+
+
+def test_ivfpq_residual_encoding_hand_math(spark):
+    """One coarse centroid: the residual is v - c, and codes match plain PQ
+    applied to the shifted vectors."""
+    c = [1.0, 1.0, 0.0, 0.0]
+    books = [
+        [[0.0, 0.0], [5.0, 5.0]],
+        [[0.0, 0.0], [-5.0, -5.0]],
+    ]
+    df = spark.createDataFrame(
+        [(1, [1.1, 1.2, 0.0, 0.1]),     # residual ~ (0.1,0.2, 0,0.1) -> (0,0)
+         (2, [6.0, 6.2, -5.0, -4.9])],  # residual ~ (5,5.2, -5,-4.9) -> (1,1)
+        "vec_id int, embedding array<double>",
+    )
+    enc = similarity.ivfpq_encode(df, [c], books)
+    got = {r.vec_id: (r.list_id, list(r.codes)) for r in enc.collect()}
+    assert got == {1: (1, [0, 0]), 2: (1, [1, 1])}
