@@ -169,6 +169,13 @@ class TableCatalog:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode: {mode!r}")
         if self.format == "iceberg":
+            if partition_specs and mode == "append":
+                # DataFrameWriterV2.partitionedBy only takes effect on
+                # create/replace; append would silently ignore it
+                raise ValueError(
+                    "partition_specs cannot change on append — the Iceberg "
+                    "layout is fixed at table creation (overwrite to re-lay)"
+                )
             w = df.writeTo(self.ident(table))
             if partition_specs:
                 w = w.partitionedBy(*[_iceberg_transform(s) for s in partition_specs])
@@ -178,19 +185,56 @@ class TableCatalog:
                 w.append()
             return
         if mode == "append" and self.exists(table):
+            stored = self._load_specs(table)
+            if partition_specs is None:
+                partition_specs = stored
+            elif stored is not None and list(partition_specs) != stored:
+                raise ValueError(
+                    f"partition_specs {partition_specs} differ from the "
+                    f"table's persisted layout {stored} — overwrite to re-lay"
+                )
             df = self.read_hidden(table, partition_specs or []).unionByName(df)
         self._parquet_snapshot_write(df, table, partition_specs)
+        self._save_specs(table, partition_specs)
+
+    # -- hidden-partition spec metadata (parquet branch) ----------------------
+
+    def _specs_path(self, table: str) -> str:
+        return os.path.join(self.ident(table), "_partition_specs.json")
+
+    def _load_specs(self, table: str) -> list[str] | None:
+        import json
+
+        try:
+            with open(self._specs_path(table)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _save_specs(self, table: str, specs: list[str] | None) -> None:
+        import json
+
+        p = self._specs_path(table)
+        if specs:
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(list(specs), f)
+            os.replace(tmp, p)
+        elif os.path.exists(p):
+            os.remove(p)  # overwrite without specs de-partitions the table
 
     def read_hidden(
         self,
         table: str,
-        partition_specs: list[str],
+        partition_specs: list[str] | None = None,
         filters: list[tuple[str, str, object]] | None = None,
     ) -> DataFrame:
         """Read a hidden-partitioned parquet table: source-column ``filters``
         translate to partition predicates (driver-side directory pruning) and
-        the layout columns stay hidden.  Iceberg branch: the engine already
-        does this natively — plain ``read`` + row filters."""
+        the layout columns stay hidden.  ``partition_specs`` defaults to the
+        layout persisted at write time (``_partition_specs.json``) — callers
+        normally never repeat it.  Iceberg branch: the engine already does
+        this natively — plain ``read`` + row filters."""
         from .operators import partition as _pt
 
         if self.format == "iceberg":
@@ -201,6 +245,8 @@ class TableCatalog:
                         ">=": F.col(col) >= value}[op]
                 df = df.filter(expr)
             return df
+        if partition_specs is None:
+            partition_specs = self._load_specs(table) or []
         snap = sinks._current_snapshot(self.ident(table))
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for table {table!r}")
@@ -235,7 +281,23 @@ class TableCatalog:
                     f"SELECT * FROM {self.ident(table)} VERSION AS OF {version}"
                 )
             return self.spark.read.table(self.ident(table))
-        return sinks.read_upsert_table(self.spark, self.ident(table), version=version)
+        df = sinks.read_upsert_table(self.spark, self.ident(table), version=version)
+        # hidden-partitioned tables: drop the derived layout columns that
+        # Spark infers from the directory names, so every read path honors
+        # the hidden contract (identity specs' column IS the data — kept)
+        specs = self._load_specs(table)
+        if specs:
+            from .operators import partition as _pt
+
+            drop = [
+                _pt.partition_col_name(sp)
+                for sp in specs
+                if _pt.parse_spec(sp)[0] != "identity"
+            ]
+            present = [c for c in drop if c in df.columns]
+            if present:
+                df = df.drop(*present)
+        return df
 
     def snapshots(self, table: str) -> list[dict]:
         """Snapshot inventory (``version`` / ``is_current`` per entry)."""

@@ -507,6 +507,47 @@ def semantic_dup_pairs(
 # -- Product Quantization (PQ) ANN: codebook encode + ADC scan ----------------
 
 
+def _pq_lut(books: np.ndarray, q: np.ndarray) -> list[list[float]]:
+    """The m×k asymmetric-distance lookup table for (residual-)query ``q``:
+    explicit left-to-right accumulation over ascending dims — the SAME fold
+    as :func:`_sub_sqdist` and the SQL twins' unrolled sums, so the 6-dp
+    rounding sees identical doubles on every engine.  Single home for the
+    ulp-sensitive arithmetic (pq_topk and ivfpq_topk both call it)."""
+    m, k, d = books.shape
+    out = []
+    for j in range(m):
+        row = []
+        for c in range(k):
+            acc = 0.0
+            for i in range(d):
+                acc += (float(q[j * d + i]) - float(books[j][c][i])) ** 2
+            row.append(round(acc, 6))
+        out.append(row)
+    return out
+
+
+def _rescore_exact(
+    encoded: DataFrame,
+    cands: DataFrame,
+    query_vec: list[float],
+    topk: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared exact-cosine second stage: semi-join the candidate ids, rank by
+    rounded cosine desc (ties → id).  One home for the tie-break/rounding so
+    the 'rescore ≥ |corpus| equals cosine_topk exactly' property cannot
+    diverge between the quantized searchers."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        encoded.join(cands.select(id_col), id_col, "semi")
+        .select(F.col(id_col), F.round(cosine(v, qlit), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(topk)
+    )
+
+
 def train_pq_codebooks(
     embeddings: DataFrame,
     m: int = 8,
@@ -529,6 +570,10 @@ def train_pq_codebooks(
     quantization (:func:`quantize_embeddings`) stops at 8×).
     """
     rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    if len(rows) < k:
+        raise ValueError(
+            f"PQ training needs at least k={k} sample vectors, got {len(rows)}"
+        )
     X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
     if dim is None:
         dim = X.shape[1]
@@ -614,17 +659,7 @@ def pq_topk(
     books = np.asarray(codebooks, dtype=np.float64)
     m, k, d = books.shape
     q = np.asarray(query_vec, dtype=np.float64)
-    # explicit left-to-right accumulation (not numpy .sum(), whose pairwise
-    # summation could differ in the last ulp) — the same ascending-dim fold
-    # as _sub_sqdist and the SQL twin, so the 6-dp rounding sees identical
-    # doubles on every engine
-    def _lut_val(j: int, c: int) -> float:
-        acc = 0.0
-        for i in range(d):
-            acc += (float(q[j * d + i]) - float(books[j][c][i])) ** 2
-        return round(acc, 6)
-
-    lut = [[_lut_val(j, c) for c in range(k)] for j in range(m)]
+    lut = _pq_lut(books, q)
     adist = None
     for j in range(m):
         lut_j = F.array(*[F.lit(x) for x in lut[j]])
@@ -636,14 +671,7 @@ def pq_topk(
     )
     if rescore <= 0:
         return cands
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
-    v = F.col(vec_col).cast("array<double>")
-    return (
-        encoded.join(cands.select(id_col), id_col, "semi")
-        .select(F.col(id_col), F.round(cosine(v, qlit), 6).alias("sim"))
-        .orderBy(F.col("sim").desc(), F.col(id_col))
-        .limit(topk)
-    )
+    return _rescore_exact(encoded, cands, query_vec, topk, id_col, vec_col)
 
 
 # -- IVFADC: coarse IVF pruning + PQ over residuals ---------------------------
@@ -719,22 +747,9 @@ def ivfpq_topk(
     probes = ivf_probes(centroids, query_vec, nprobe)
     q = np.asarray(query_vec, dtype=np.float64)
 
-    def _lut(center) -> list[list[float]]:
-        rq = q - np.asarray(center, dtype=np.float64)
-        out = []
-        for j in range(m):
-            row = []
-            for c in range(k):
-                acc = 0.0
-                for i in range(d):
-                    acc += (float(rq[j * d + i]) - float(books[j][c][i])) ** 2
-                row.append(round(acc, 6))
-            out.append(row)
-        return out
-
     adist = None
     for li in probes:
-        lut = _lut(centroids[li - 1])
+        lut = _pq_lut(books, q - np.asarray(centroids[li - 1], dtype=np.float64))
         t = None
         for j in range(m):
             lut_j = F.array(*[F.lit(x) for x in lut[j]])
@@ -754,11 +769,4 @@ def ivfpq_topk(
     )
     if rescore <= 0:
         return cands
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
-    v = F.col(vec_col).cast("array<double>")
-    return (
-        encoded.join(cands.select(id_col), id_col, "semi")
-        .select(F.col(id_col), F.round(cosine(v, qlit), 6).alias("sim"))
-        .orderBy(F.col("sim").desc(), F.col(id_col))
-        .limit(topk)
-    )
+    return _rescore_exact(encoded, cands, query_vec, topk, id_col, vec_col)

@@ -2817,7 +2817,7 @@ def embed_ivf_topk(spark, sf_dir):
     lut AS (
       SELECT s.j, cb.cid, round((q.qv[s.j*8 + 1] - cb.cv[s.j*8 + 1]) ^ 2 + (q.qv[s.j*8 + 2] - cb.cv[s.j*8 + 2]) ^ 2 + (q.qv[s.j*8 + 3] - cb.cv[s.j*8 + 3]) ^ 2 + (q.qv[s.j*8 + 4] - cb.cv[s.j*8 + 4]) ^ 2 + (q.qv[s.j*8 + 5] - cb.cv[s.j*8 + 5]) ^ 2 + (q.qv[s.j*8 + 6] - cb.cv[s.j*8 + 6]) ^ 2 + (q.qv[s.j*8 + 7] - cb.cv[s.j*8 + 7]) ^ 2 + (q.qv[s.j*8 + 8] - cb.cv[s.j*8 + 8]) ^ 2, 6) AS ld
       FROM sub s CROSS JOIN cb CROSS JOIN q)
-    SELECT enc.vec_id, round(sum(lut.ld), 6) AS adist
+    SELECT enc.vec_id, round(sum(lut.ld ORDER BY lut.j), 6) AS adist
     FROM enc JOIN lut ON lut.j = enc.j AND lut.cid = enc.code
     GROUP BY enc.vec_id
     ORDER BY adist, enc.vec_id LIMIT 10
@@ -2888,7 +2888,7 @@ def embed_pq_topk(spark, sf_dir):
     lut AS (
       SELECT qr.list_id, s.j, pb.cid, round((qr.r[s.j*8 + 1] - pb.cv[s.j*8 + 1]) ^ 2 + (qr.r[s.j*8 + 2] - pb.cv[s.j*8 + 2]) ^ 2 + (qr.r[s.j*8 + 3] - pb.cv[s.j*8 + 3]) ^ 2 + (qr.r[s.j*8 + 4] - pb.cv[s.j*8 + 4]) ^ 2 + (qr.r[s.j*8 + 5] - pb.cv[s.j*8 + 5]) ^ 2 + (qr.r[s.j*8 + 6] - pb.cv[s.j*8 + 6]) ^ 2 + (qr.r[s.j*8 + 7] - pb.cv[s.j*8 + 7]) ^ 2 + (qr.r[s.j*8 + 8] - pb.cv[s.j*8 + 8]) ^ 2, 6) AS ld
       FROM qr CROSS JOIN sub s CROSS JOIN pb)
-    SELECT enc.vec_id, round(sum(lut.ld), 6) AS adist
+    SELECT enc.vec_id, round(sum(lut.ld ORDER BY lut.j), 6) AS adist
     FROM enc JOIN lut ON lut.list_id = enc.list_id AND lut.j = enc.j AND lut.cid = enc.code
     GROUP BY enc.vec_id
     ORDER BY adist, enc.vec_id LIMIT 10

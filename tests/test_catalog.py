@@ -171,3 +171,42 @@ def test_iceberg_transform_mapping():
     assert _iceberg_transform("identity(region)") is not None
     with _pytest.raises(ValueError, match="truncate"):
         _iceberg_transform("truncate(4, code)")
+
+
+def test_catalog_partition_specs_persisted_lifecycle(spark, tmp_path):
+    """Specs live in table metadata: append without re-passing them keeps
+    the layout, mismatched specs raise, plain read() hides the derived
+    layout columns, overwrite-without-specs de-partitions."""
+    from datetime import datetime as DT
+
+    from pipeflow_spark.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"), format="parquet")
+    schema = "id long, ts timestamp, user string"
+    df = spark.createDataFrame(
+        [(i, DT(2024, 1 + i % 3, 1 + i % 5), f"u{i%4}") for i in range(30)], schema
+    )
+    specs = ["days(ts)", "bucket(4, id)"]
+    cat.write(df, "ev", partition_specs=specs)
+    # plain read(): hidden contract holds on every read path
+    assert sorted(cat.read("ev").columns) == ["id", "ts", "user"]
+    # append WITHOUT specs: stored layout reused, not crashed/dropped
+    cat.write(
+        spark.createDataFrame([(99, DT(2024, 3, 2), "u9")], schema),
+        "ev", mode="append",
+    )
+    assert cat.read_hidden("ev").count() == 31  # specs loaded from metadata
+    pruned = cat.read_hidden("ev", filters=[("id", "=", 99)])
+    assert pruned.count() == 1
+    # mismatched specs on append raise instead of silently re-laying
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="persisted layout"):
+        cat.write(
+            spark.createDataFrame([(100, DT(2024, 3, 3), "ux")], schema),
+            "ev", mode="append", partition_specs=["days(ts)"],
+        )
+    # overwrite without specs de-partitions and clears metadata
+    cat.write(df, "ev")
+    assert cat._load_specs("ev") is None
+    assert sorted(cat.read("ev").columns) == ["id", "ts", "user"]

@@ -1966,7 +1966,7 @@ def test_pq_full_rescore_equals_exact(spark, sf_dir):
     exact brute-force cosine ranking bit-for-bit."""
     from pipeflow_spark.session import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(200)
     books = similarity.train_pq_codebooks(emb, m=8, k=8, sample=128)
     q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
     enc = similarity.pq_encode(emb, books)
@@ -1983,12 +1983,17 @@ def test_pq_codebook_training_validates_and_is_deterministic(spark, sf_dir):
 
     from pipeflow_spark.session import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings").limit(64)
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(64)
     b1 = similarity.train_pq_codebooks(emb, m=8, k=4, sample=64)
     b2 = similarity.train_pq_codebooks(emb, m=8, k=4, sample=64)
     assert b1.shape == (8, 4, 8) and np.array_equal(b1, b2)
     with _pytest.raises(ValueError, match="not divisible"):
         similarity.train_pq_codebooks(emb, m=7, k=4, sample=64)
+    with _pytest.raises(ValueError, match="at least k"):
+        similarity.train_pq_codebooks(emb.limit(3), m=8, k=16, sample=64)
+    empty = emb.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="at least k"):
+        similarity.train_pq_codebooks(empty, m=8, k=4)
 
 
 def test_ivfpq_full_probe_full_rescore_equals_exact(spark, sf_dir):
@@ -1996,7 +2001,7 @@ def test_ivfpq_full_probe_full_rescore_equals_exact(spark, sf_dir):
     exact brute-force cosine ranking."""
     from pipeflow_spark.session import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings").limit(150)
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(150)
     rows = emb.orderBy("vec_id").limit(8).collect()
     centroids = [[float(x) for x in r["embedding"]] for r in rows]
     books = similarity.train_pq_codebooks(emb, m=8, k=8, sample=100)
