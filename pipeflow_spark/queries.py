@@ -6440,10 +6440,7 @@ _ORDER = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
     "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
     # flagship composite + exactly-once streaming oracle chains
     "curate_training_corpus",
     "stream_events_tumbling_oracle",
@@ -6458,7 +6455,6 @@ _ORDER = [
     "semi_anti_joins",
     "broadcast_join_brand_revenue",
     "asof_join_prev_event",
-    "range_join_price_bands",
     # dedupe / similarity family
     "dedup_clusters",
     "dedup_exact",
@@ -6471,11 +6467,9 @@ _ORDER = [
     # relational core + DataRow transforms + validation
     "relational_core",
     "validate_skip_counts",
-    "validate_with_results",
     "json_path_props",
     # change-data-feed on the snapshot table (new in r3; took ntile's slot —
     # ntile stays oracle-green past the boundary)
-    "change_feed_orders",
     # late-r3 flagships promoted into the window, funded by demoting five
     # plain relational shapes (window_topn_per_group / percentiles_by_type —
     # driver-green in CORRECTNESS_r02 under the same names;
@@ -6520,6 +6514,17 @@ _ORDER = [
     # full fluent chain as ONE stream: Filter → redact → quality gate →
     # windowed Batch → exactly-once Write, batch-equality oracled
     "stream_curation_gate_oracle",
+    # continuation-session flagships promoted into the certification window
+    # (displacing q10/q14/q19/range_join/validate_with_results/change_feed —
+    # every displaced entry stays green in the full check_oracles sweep):
+    # the real ExactSubstr pair (spans + per-token text removal), the
+    # streaming SCD2 dimension, the streaming span guard, and SemDeDup
+    "dedup_exact_substr",
+    "exact_substr_clean",
+    "stream_scd2_dim_oracle",
+    "stream_span_guard_oracle",
+    "dedup_semantic",
+    "scd2_tier_enrich",
     # ---- driver window boundary (first 50 above) ----
     # (window_lag_running / pivot_status_priority / text_profile /
     #  rollup_lineitem moved past the boundary in r3 — each has a green
@@ -6589,9 +6594,7 @@ _ORDER = [
     "stream_heavy_hitters_oracle",
     "stream_distinct_users_oracle",
     "stream_update_upsert_oracle",
-    "stream_scd2_dim_oracle",
     "stream_scd2_enrich_oracle",
-    "stream_span_guard_oracle",
     "stream_state_open_windows_oracle",
     "stream_join_replies_e2e",
     "stream_tumbling_e2e",
@@ -6624,14 +6627,10 @@ _ORDER = [
     # ExactSubstr pair: positioned span extraction + span removal with
     # per-token text equality vs the string-built oracle
     "dup_span_profile",
-    "dedup_exact_substr",
-    "exact_substr_clean",
     # SCD2 point-in-time enrichment (temporal join; operators/scd.py)
-    "scd2_tier_enrich",
     # deterministic range sharding (training-shard writer twin)
     "range_shard_stats",
     # SemDeDup cluster-partitioned semantic dedup (operators/similarity.py)
-    "dedup_semantic",
     # displaced from the window by the late-r3 flagships (still oracled,
     # certified by the full check_oracles sweep)
     "mmr_diverse_topk",
@@ -6640,6 +6639,14 @@ _ORDER = [
     # BPE rule table + batch histogram percentiles (window twins above)
     "bpe_merge_rules",
     "hist_quantiles_events",
+    # demoted from the certification window by the continuation-session
+    # flagships (all still oracle-certified by the full sweep)
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "range_join_price_bands",
+    "validate_with_results",
+    "change_feed_orders",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "
