@@ -52,6 +52,8 @@ HEADLINE = [
     "embed_cosine_topk",
     "embed_ivf_topk",
     "embed_quantized_topk",
+    "embed_pq_topk",
+    "embed_ivfpq_topk",
     "decontaminate_ngram",
     "pack_sequences",
     "session_transcripts",
