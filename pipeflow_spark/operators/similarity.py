@@ -16,6 +16,7 @@ No reference analog (PipeFlow has no vector ops) — training-data extension.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -609,11 +610,81 @@ def _sub_sqdist(v: Column, j: int, centroid, d: int) -> Column:
     return F.round(acc, 6)
 
 
+def _pq_codes_udf(books: np.ndarray):
+    """Arrow-vectorized PQ code assignment.  Arithmetic is the SAME
+    left-to-right ascending-dim accumulation as :func:`_sub_sqdist` — the
+    per-dim squared difference is added into the accumulator matrix one dim
+    at a time, so every float64 add happens in the identical order as the
+    Column fold and the SQL twin; ``np.argmin`` returns the first (lowest
+    index) minimum, matching ``array_position(array_min)``.  The only
+    difference is the 6-dp rounding mode (numpy half-even vs Spark/DuckDB
+    half-up), which can matter only when a distance lands EXACTLY on a
+    0.5e-6 representable boundary — pinned against the Column path on the
+    full test corpus in tests/test_operators.py, and continuously guarded
+    by the oracle differential (the registry queries run THIS path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, k, d = books.shape
+    B = np.ascontiguousarray(books, dtype=np.float64)
+
+    def _codes_of(X: np.ndarray) -> pd.Series:
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            acc = np.zeros((len(X), k), dtype=np.float64)
+            for i in range(d):
+                diff = X[:, j * d + i, None] - B[j, None, :, i]
+                acc += diff * diff
+            codes[:, j] = np.argmin(np.round(acc, 6), axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    @pandas_udf("array<int>")
+    def _enc(vs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        return _codes_of(X)
+
+    return _enc
+
+
+def _ivfpq_codes_udf(books: np.ndarray, centroids):
+    """Residual PQ codes in one Arrow pass: subtract the row's coarse
+    centroid (``v − C[list_id−1]``, float64 elementwise — the same
+    subtraction as the ``zip_with`` form), then the shared
+    :func:`_pq_codes_udf` accumulation."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, k, d = books.shape
+    B = np.ascontiguousarray(books, dtype=np.float64)
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+
+    def _codes_of(X: np.ndarray) -> pd.Series:
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            acc = np.zeros((len(X), k), dtype=np.float64)
+            for i in range(d):
+                diff = X[:, j * d + i, None] - B[j, None, :, i]
+                acc += diff * diff
+            codes[:, j] = np.argmin(np.round(acc, 6), axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    @pandas_udf("array<int>")
+    def _enc(vs: pd.Series, lists: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        R = X - C[lists.to_numpy(dtype=np.int64) - 1]
+        return _codes_of(R)
+
+    return _enc
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "udf",
 ) -> DataFrame:
     """Add ``codes``: per subspace, the 0-based index of the nearest
     codebook centroid (rounded squared L2; ties → lowest index, mirroring
@@ -625,6 +696,12 @@ def pq_encode(
     books = np.asarray(codebooks, dtype=np.float64)
     m, k, d = books.shape
     v = F.col(vec_col).cast("array<double>")
+    if method == "udf":
+        # the scale default: one Arrow batch pass.  The Column form below is
+        # plan-literal-only and its m*k*d expression tree costs ~10 s of
+        # Catalyst planning per fresh plan at 8x16x8 — planning, not rows,
+        # dominates it (measured flat from 500 to 5000 rows)
+        return embeddings.withColumn("codes", _pq_codes_udf(books)(v))
     code_cols = []
     for j in range(m):
         dists = F.array(*[_sub_sqdist(v, j, books[j][c], d) for c in range(k)])
@@ -698,27 +775,11 @@ def ivfpq_encode(
     whose data column is 4 bytes/row.
     """
     books = np.asarray(codebooks, dtype=np.float64)
-    m, k, d = books.shape
     assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
     v = F.col(vec_col).cast("array<double>")
-    cents = [list(map(float, c)) for c in centroids]
-    # residual per row: v - centroid[list_id]; built as a CASE over the
-    # (small) centroid table so everything stays in codegen
-    cent_arr = [F.array(*[F.lit(x) for x in c]).cast("array<double>") for c in cents]
-    resid = None
-    for li, ca in enumerate(cent_arr, start=1):
-        r = F.zip_with(v, ca, lambda x, y: x - y)
-        resid = F.when(F.col("list_id") == li, r) if resid is None else resid.when(
-            F.col("list_id") == li, r
-        )
-    assigned = assigned.withColumn("__resid", resid)
-    code_cols = []
-    for j in range(m):
-        dists = F.array(
-            *[_sub_sqdist(F.col("__resid"), j, books[j][c], d) for c in range(k)]
-        )
-        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return assigned.withColumn("codes", F.array(*code_cols)).drop("__resid")
+    return assigned.withColumn(
+        "codes", _ivfpq_codes_udf(books, centroids)(v, F.col("list_id"))
+    )
 
 
 def ivfpq_topk(

@@ -2081,3 +2081,26 @@ def test_ann_ladder_recall_at_10(spark, sf_dir):
     assert r_lsh >= 0.3, r_lsh
     assert r_pq >= 0.5, r_pq
     assert r_ivfpq >= 0.4, r_ivfpq
+
+
+def test_pq_udf_and_column_paths_agree_bitwise(spark, sf_dir):
+    """The Arrow encode (scale default) and the plan-literal Column encode
+    must assign identical codes on the full test corpus — the empirical
+    guard for the documented rounding-mode caveat (numpy half-even vs
+    Spark half-up at exact 0.5e-6 boundaries)."""
+    import numpy as np
+
+    from pipeflow_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496))
+        .orderBy("vec_id").collect()
+    )
+    sample = np.asarray([[float(x) for x in r["embedding"]] for r in rows])
+    books = sample.reshape(16, 8, 8).transpose(1, 0, 2)
+    a = {r.vec_id: tuple(r.codes) for r in
+         similarity.pq_encode(emb, books, method="udf").select("vec_id", "codes").collect()}
+    b = {r.vec_id: tuple(r.codes) for r in
+         similarity.pq_encode(emb, books, method="column").select("vec_id", "codes").collect()}
+    assert a == b
