@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["prefix_branching"]
+__all__ = ["prefix_branching", "prefix_rows_from_transcript", "branching_report"]
 
 
 def prefix_branching(
@@ -75,6 +75,37 @@ def prefix_branching(
             )
         ).alias("p")
     ).select("p.depth", "p.prefix", "p.cont")
+    return branching_report(pref)
+
+
+def prefix_rows_from_transcript(
+    df: DataFrame, transcript_col: str = "transcript", sep: str = ">"
+) -> DataFrame:
+    """``(depth, prefix, cont)`` rows from already-assembled transcript
+    STRINGS (the streaming session aggregate emits ``a>b>c`` per closed
+    conversation) — the stream-side twin of :func:`prefix_branching`'s
+    label-array explode, sharing the same single-turn guard."""
+    toked = df.select(F.split(F.col(transcript_col), sep).alias("__labels"))
+    depths = F.when(
+        F.size("__labels") > 1, F.sequence(F.lit(1), F.size("__labels") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return toked.select(
+        F.explode(
+            F.transform(
+                depths,
+                lambda d: F.struct(
+                    d.alias("depth"),
+                    F.array_join(F.slice("__labels", 1, d), sep).alias("prefix"),
+                    F.get("__labels", d).alias("cont"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.depth", "p.prefix", "p.cont")
+
+
+def branching_report(pref: DataFrame) -> DataFrame:
+    """Aggregate ``(depth, prefix, cont)`` rows into the per-depth branching
+    report — single home for the fan-out math (batch and stream paths)."""
     per_prefix = pref.groupBy("depth", "prefix").agg(
         F.countDistinct("cont").alias("fanout"),
         F.count("*").alias("n_cont"),

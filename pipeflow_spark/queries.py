@@ -1529,6 +1529,70 @@ def conversation_branching(spark, sf_dir):
 
 
 @register(
+    "stream_branching_oracle",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), conv AS (
+      SELECT user_id, session_id, list(event_type ORDER BY ts, event_id) AS l
+      FROM sess GROUP BY user_id, session_id
+    ), pref AS (
+      SELECT u.d AS depth,
+             array_to_string(list_slice(l, 1, u.d), '>') AS prefix,
+             l[u.d + 1] AS cont
+      FROM conv, unnest(range(1, len(l))) AS u(d)
+    ), per AS (
+      SELECT depth, prefix, count(DISTINCT cont) AS fanout, count(*) AS n_cont
+      FROM pref GROUP BY depth, prefix
+    )
+    SELECT depth, count(*) AS n_prefixes,
+           sum(CASE WHEN fanout >= 2 THEN 1 ELSE 0 END) AS n_branching,
+           max(fanout) AS max_fanout,
+           sum(n_cont) AS n_next_turns
+    FROM per GROUP BY depth ORDER BY depth
+    """,
+)
+def stream_branching_oracle(spark, sf_dir):
+    """Prefix-tree analytics over STREAM-ASSEMBLED conversations: the
+    session_window transcript aggregate (each conversation emitted complete,
+    exactly once, when the watermark closes it) feeds the per-batch prefix
+    explode (convtree.prefix_rows_from_transcript) through the ledgered
+    sink; the committed prefix rows aggregate to the identical per-depth
+    branching report as the batch twin.  The single-turn sentinel session
+    contributes zero prefixes by the shared guard, so no read-back filter
+    is needed.  Gap semantics are session_window's (new session at gap ≥
+    30 min), mirrored in the oracle's ``>=``."""
+    import shutil
+    import tempfile
+
+    from .operators.convtree import branching_report, prefix_rows_from_transcript
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_br_")
+    src = _events_stream_source(spark, sf_dir, work)
+    sp = StreamingPipeline(
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(_ordered_path().alias("transcript"))
+        .select("transcript")
+    ).per_batch(lambda df: prefix_rows_from_transcript(df))
+    pref = _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+    out = branching_report(pref.select("depth", "prefix", "cont"))
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "dedup_conversations",
     """
     WITH flagged AS (
@@ -6609,6 +6673,7 @@ _ORDER = [
     "stream_validate_dlq_oracle",
     "dedup_conversations",
     "conversation_branching",
+    "stream_branching_oracle",
     "stream_ivf_ingest_oracle",
     "embed_quantized_topk",
     "embed_pq_topk",
