@@ -3073,6 +3073,83 @@ def stream_ivf_ingest_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "stream_ivfpq_ingest_oracle",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT (vec_id // 31) + 1 AS list_id, v AS cv FROM e
+           WHERE vec_id % 31 = 0 AND vec_id < 496),
+    pb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+           FROM e WHERE vec_id % 31 = 0 AND vec_id < 496),
+    sub AS (SELECT unnest(range(0, 8)) AS j),
+    asn AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT e.vec_id, e.v, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY COALESCE(round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6), -2.0) DESC, c.list_id) AS rk
+        FROM e CROSS JOIN cb c) t WHERE rk = 1),
+    rv AS (
+      SELECT a.vec_id, a.list_id,
+             list_transform(range(1, 65), i -> a.v[i] - cl.cv[i]) AS r
+      FROM asn a JOIN cb cl ON cl.list_id = a.list_id),
+    dists AS (
+      SELECT rv.vec_id, rv.list_id, s.j, pb.cid, round((rv.r[s.j*8 + 1] - pb.cv[s.j*8 + 1]) ^ 2 + (rv.r[s.j*8 + 2] - pb.cv[s.j*8 + 2]) ^ 2 + (rv.r[s.j*8 + 3] - pb.cv[s.j*8 + 3]) ^ 2 + (rv.r[s.j*8 + 4] - pb.cv[s.j*8 + 4]) ^ 2 + (rv.r[s.j*8 + 5] - pb.cv[s.j*8 + 5]) ^ 2 + (rv.r[s.j*8 + 6] - pb.cv[s.j*8 + 6]) ^ 2 + (rv.r[s.j*8 + 7] - pb.cv[s.j*8 + 7]) ^ 2 + (rv.r[s.j*8 + 8] - pb.cv[s.j*8 + 8]) ^ 2, 6) AS d2
+      FROM rv CROSS JOIN sub s CROSS JOIN pb)
+    SELECT vec_id, list_id, j, cid AS code FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rk
+      FROM dists) t WHERE rk = 1
+    ORDER BY vec_id, j
+    """,
+)
+def stream_ivfpq_ingest_oracle(spark, sf_dir):
+    """Streaming IVFADC index ingest: embeddings replayed as a file stream
+    through the stateless coarse-assign + Arrow residual-PQ encode
+    (ivfpq_encode — centroids and codebooks as plan/kernel constants, zero
+    state, no watermark) into the exactly-once sink; the committed
+    (vec_id, list_id, codes) table, exploded per subspace, must equal the
+    SQL encode twin.  This is the write path that keeps the billion-scale
+    index fresh at ingest — and because the registry runs the SAME Arrow
+    kernel as production, a green row certifies the numpy accumulation
+    order against DuckDB directly."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_ivfpq_")
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    import numpy as _np
+
+    sample = _np.asarray([[float(x) for x in r[0]] for r in cent_rows])
+    centroids = [list(map(float, c)) for c in sample]
+    books = sample.reshape(16, 8, 8).transpose(1, 0, 2)
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    _os.symlink(
+        _os.path.join(sf_dir, "embeddings.parquet"), _os.path.join(src, "part-00000.parquet")
+    )
+    stream = spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    enc = similarity.ivfpq_encode(stream, centroids, books)
+    sp = StreamingPipeline(enc.select("vec_id", "list_id", "codes"))
+    committed = _committed(spark, sp, work + "/sink", work + "/ckpt")
+    out = (
+        committed.select(
+            "vec_id", "list_id", F.posexplode("codes").alias("j", "code")
+        )
+        .orderBy("vec_id", "j")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _BAND_POSTINGS = "\n      UNION ALL ".join(
     f"SELECT vec_id, v, {j} AS band, ({similarity.bucket_sql('v', 64, 4, offset=j * 4)}) AS bucket FROM e"
     for j in range(12)
@@ -6675,6 +6752,7 @@ _ORDER = [
     "conversation_branching",
     "stream_branching_oracle",
     "stream_ivf_ingest_oracle",
+    "stream_ivfpq_ingest_oracle",
     "embed_quantized_topk",
     "embed_pq_topk",
     "embed_ivfpq_topk",
