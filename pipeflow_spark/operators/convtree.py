@@ -58,12 +58,19 @@ def prefix_branching(
         )
         .select(F.transform("__ord", lambda s: s["__l"]).alias("__labels"))
     )
-    # guard the single-turn conv: sequence(1, 0) would generate DESCENDING
-    # [1, 0], not an empty list — explode an empty array instead
+    return branching_report(_explode_prefixes(labels, sep))
+
+
+def _explode_prefixes(labels: DataFrame, sep: str) -> DataFrame:
+    """``(depth, prefix, cont)`` from a ``__labels`` array column — single
+    home for the explode (batch turns path and stream transcript path).
+    Guards the single-turn conv: ``sequence(1, 0)`` would generate
+    DESCENDING ``[1, 0]``, not an empty list — explode an empty array
+    instead."""
     depths = F.when(
         F.size("__labels") > 1, F.sequence(F.lit(1), F.size("__labels") - 1)
     ).otherwise(F.array().cast("array<int>"))
-    pref = labels.select(
+    return labels.select(
         F.explode(
             F.transform(
                 depths,
@@ -75,7 +82,6 @@ def prefix_branching(
             )
         ).alias("p")
     ).select("p.depth", "p.prefix", "p.cont")
-    return branching_report(pref)
 
 
 def prefix_rows_from_transcript(
@@ -84,23 +90,16 @@ def prefix_rows_from_transcript(
     """``(depth, prefix, cont)`` rows from already-assembled transcript
     STRINGS (the streaming session aggregate emits ``a>b>c`` per closed
     conversation) — the stream-side twin of :func:`prefix_branching`'s
-    label-array explode, sharing the same single-turn guard."""
-    toked = df.select(F.split(F.col(transcript_col), sep).alias("__labels"))
-    depths = F.when(
-        F.size("__labels") > 1, F.sequence(F.lit(1), F.size("__labels") - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    return toked.select(
-        F.explode(
-            F.transform(
-                depths,
-                lambda d: F.struct(
-                    d.alias("depth"),
-                    F.array_join(F.slice("__labels", 1, d), sep).alias("prefix"),
-                    F.get("__labels", d).alias("cont"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.depth", "p.prefix", "p.cont")
+    label-array explode, sharing the same explode and single-turn guard.
+    ``sep`` is treated LITERALLY (``F.split`` takes a regex, so the
+    separator is escaped — a ``sep='|'`` caller must not get per-character
+    splits while ``array_join`` re-joins with the literal)."""
+    import re as _re
+
+    toked = df.select(
+        F.split(F.col(transcript_col), _re.escape(sep)).alias("__labels")
+    )
+    return _explode_prefixes(toked, sep)
 
 
 def branching_report(pref: DataFrame) -> DataFrame:

@@ -2104,3 +2104,47 @@ def test_pq_udf_and_column_paths_agree_bitwise(spark, sf_dir):
     b = {r.vec_id: tuple(r.codes) for r in
          similarity.pq_encode(emb, books, method="column").select("vec_id", "codes").collect()}
     assert a == b
+
+
+def test_pq_encode_null_and_wrong_length_rows_get_null_codes(spark):
+    """A NULL or wrong-length embedding must not crash the Arrow batch —
+    those rows carry NULL codes; valid rows are unaffected.  Same for a
+    NULL/out-of-range list_id in the IVFADC encoder."""
+    books = [[[0.0, 0.0], [5.0, 5.0]], [[0.0, 0.0], [-5.0, -5.0]]]
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.1, 0.2]), (2, None), (3, [1.0, 2.0])],
+        "vec_id int, embedding array<double>",
+    )
+    got = {r.vec_id: r.codes for r in
+           similarity.pq_encode(df, books).select("vec_id", "codes").collect()}
+    assert got[1] == [0, 0] and got[2] is None and got[3] is None
+
+    enc = similarity.ivfpq_encode(
+        spark.createDataFrame(
+            [(1, [0.1, 0.2, 0.1, 0.2]), (2, None)],
+            "vec_id int, embedding array<double>",
+        ),
+        [[0.0, 0.0, 0.0, 0.0]],
+        books,
+    )
+    got2 = {r.vec_id: r.codes for r in enc.select("vec_id", "codes").collect()}
+    assert got2[1] == [0, 0] and got2[2] is None
+
+
+def test_pq_encode_method_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id int, embedding array<double>")
+    with _pytest.raises(ValueError, match="method must be"):
+        similarity.pq_encode(df, [[[0.0], [1.0]], [[0.0], [1.0]]], method="arrow")
+
+
+def test_prefix_rows_from_transcript_literal_separator(spark):
+    """A regex-metachar separator must split literally (escaped), matching
+    the literal array_join on the way back."""
+    from pipeflow_spark.operators.convtree import prefix_rows_from_transcript
+
+    df = spark.createDataFrame([("a|b|c",)], "transcript string")
+    rows = {(r.depth, r.prefix, r.cont) for r in
+            prefix_rows_from_transcript(df, sep="|").collect()}
+    assert rows == {(1, "a", "b"), (2, "a|b", "c")}
