@@ -478,10 +478,10 @@ def q8_market_share(spark, sf_dir):
     "q12_priority_by_linestatus",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY l_linestatus ORDER BY l_linestatus
@@ -1505,9 +1505,9 @@ def session_transcripts(spark, sf_dir):
       FROM pref GROUP BY depth, prefix
     )
     SELECT depth, count(*) AS n_prefixes,
-           sum(CASE WHEN fanout >= 2 THEN 1 ELSE 0 END) AS n_branching,
+           CAST(sum(CASE WHEN fanout >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_branching,
            max(fanout) AS max_fanout,
-           sum(n_cont) AS n_next_turns
+           CAST(sum(n_cont) AS BIGINT) AS n_next_turns
     FROM per GROUP BY depth ORDER BY depth
     """,
 )
@@ -1555,9 +1555,9 @@ def conversation_branching(spark, sf_dir):
       FROM pref GROUP BY depth, prefix
     )
     SELECT depth, count(*) AS n_prefixes,
-           sum(CASE WHEN fanout >= 2 THEN 1 ELSE 0 END) AS n_branching,
+           CAST(sum(CASE WHEN fanout >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_branching,
            max(fanout) AS max_fanout,
-           sum(n_cont) AS n_next_turns
+           CAST(sum(n_cont) AS BIGINT) AS n_next_turns
     FROM per GROUP BY depth ORDER BY depth
     """,
 )
@@ -1945,8 +1945,9 @@ def hybrid_rrf_search(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, event_id, c,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                  AS BIGINT) AS session_id
       FROM flagged
     ), seq AS (
       SELECT user_id, session_id, string_agg(c, '' ORDER BY ts, event_id) AS s
@@ -5094,7 +5095,7 @@ def dedup_keep_best(spark, sf_dir):
     -- round-to-6 boundaries where float summation order flips the digit;
     -- averaging the exact scaled integers makes both engines compute the
     -- identical double before the final round.
-    SELECT source, count(*) AS n_kept, sum(n_tokens) AS total_tokens,
+    SELECT source, count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(CAST(round(q * 1000000) AS BIGINT)) / 1000000, 6) AS avg_quality
     FROM survivors s LEFT JOIN comps c ON s.doc_id = c.node
     WHERE c.node IS NULL OR c.component = s.doc_id
@@ -5495,7 +5496,7 @@ def _stream_curation_oracle_sql() -> str:
     tables the Spark side uses (text.PII_RULES / _QUALITY_SQL /
     _PII_RAW_SQL) so neither engine can drift from the other."""
     counts = ",\n           ".join(
-        f"sum(length(regexp_extract_all(raw, '{pat}'))) AS {alias}"
+        f"CAST(sum(length(regexp_extract_all(raw, '{pat}'))) AS BIGINT) AS {alias}"
         for (pat, _), alias in zip(text.PII_RULES, _PII_ALIASES)
     )
     return f"""
@@ -5944,7 +5945,7 @@ def event_transition_matrix(spark, sf_dir):
 _BUDGET_ORACLE = """
     WITH s AS (
       SELECT source, doc_id, n_chars,
-             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+             CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
       FROM documents
     )
     SELECT source, doc_id, n_chars, cum, cum <= 4000 AS kept
@@ -6009,7 +6010,7 @@ _SPIKES_ORACLE = """
     ), s AS (
       SELECT ws, user_id, n,
              count(*) OVER p AS n_prev,
-             coalesce(sum(n) OVER p, 0) AS sum_prev,
+             CAST(coalesce(sum(n) OVER p, 0) AS BIGINT) AS sum_prev,
              coalesce(max(n) OVER p, 0) AS max_prev
       FROM w
       WINDOW p AS (PARTITION BY user_id ORDER BY ws
@@ -6133,7 +6134,7 @@ def avro_roundtrip_events(spark, sf_dir):
     )
     SELECT p.doc_id,
            count(*) AS n_grams,
-           sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup_grams,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
            round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_ratio
     FROM posting p JOIN freq USING (g)
     GROUP BY p.doc_id ORDER BY p.doc_id
@@ -6576,27 +6577,177 @@ def exact_substr_clean(spark, sf_dir):
     return dedupe.remove_dup_spans(docs, min_len=12, min_count=2).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Driver-environment type probes (VERDICT r3 "next round" #1)
+# ---------------------------------------------------------------------------
+# One tiny constant-output query per value class, sitting at the head of the
+# certification window.  If a CORRECTNESS round ever shows a hash mismatch
+# again, the probe rows localize WHICH type class the driver's harness
+# normalizes differently — the r3 investigation found exactly one such class:
+# DuckDB HUGEINT (``sum`` over INTEGER/BIGINT promotes to int128, which a
+# pandas/Arrow materialization silently converts to float64/decimal — '1234.0'
+# vs Spark's '1234'), matching the four red r3 rows exactly and no green row.
+# Fix: every oracle casts integer sums to BIGINT; ``tests/test_oracle_types.py``
+# gates the whole registry on pandas-safe DuckDB output types, and
+# ``tools/check_oracles.py`` compares under BOTH fetchall-style and
+# pandas-style normalization.
+
+
+@register(
+    "probe_types_core",
+    """
+    SELECT 'control' AS label,
+           CAST(42 AS INT) AS i32,
+           CAST(9007199254740993 AS BIGINT) AS i64,
+           'quoted ''str'' + unicode ✓' AS s,
+           CAST(NULL AS VARCHAR) AS s_null,
+           TIMESTAMP '2024-06-01 12:34:56' AS ts,
+           DATE '2024-06-01' AS dt
+    """,
+)
+def probe_types_core(spark, sf_dir):
+    """Diagnostic literal row: ints (i64 = 2**53 + 1, unrepresentable in
+    float64 — flips to ...992 under any silent float coercion), strings with
+    quoting/unicode, NULL, TIMESTAMP, DATE.  Expected green; a red row here
+    localizes a harness normalization difference to one of these classes."""
+    import datetime as _dt
+
+    return spark.range(1).select(
+        F.lit("control").alias("label"),
+        F.lit(42).cast("int").alias("i32"),
+        F.lit(9007199254740993).alias("i64"),
+        F.lit("quoted 'str' + unicode ✓").alias("s"),
+        F.lit(None).cast("string").alias("s_null"),
+        F.lit(_dt.datetime(2024, 6, 1, 12, 34, 56)).alias("ts"),
+        F.lit(_dt.date(2024, 6, 1)).alias("dt"),
+    )
+
+
+@register(
+    "probe_types_bool",
+    "SELECT TRUE AS t, FALSE AS f, (count(*) > 0) AS derived FROM nation",
+)
+def probe_types_bool(spark, sf_dir):
+    """Diagnostic booleans (literal + computed).  BOOLEAN outputs were
+    driver-green in r3 (``dedup_clusters.keep``, ``dedup_semantic.keep``);
+    this pins that evidence as its own row."""
+    return (
+        _t(spark, sf_dir, "nation")
+        .agg((F.count("*") > 0).alias("derived"))
+        .select(F.lit(True).alias("t"), F.lit(False).alias("f"), "derived")
+    )
+
+
+@register(
+    "probe_types_numeric",
+    """
+    SELECT CAST(sum(n_nationkey) AS BIGINT) AS sum_cast,
+           count(*) AS n,
+           round(avg(n_nationkey), 4) AS avg_round,
+           round(sum(n_nationkey) / 7.0, 6) AS d_grid,
+           CAST(-0.1 AS DOUBLE) AS d_neg,
+           1.0e15 AS d_big
+    FROM nation
+    """,
+)
+def probe_types_numeric(spark, sf_dir):
+    """Diagnostic numerics: ``CAST(sum(..) AS BIGINT)`` is the exact repaired
+    HUGEINT shape from the r3 red rows (uncast, DuckDB promotes the sum to
+    int128 and a pandas materialization floats it); plus round-avg and
+    round-division doubles, a negative, and 1e15 (the repr-formatting
+    boundary)."""
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.agg(
+            F.sum("n_nationkey").cast("long").alias("sum_cast"),
+            F.count("*").alias("n"),
+            F.round(F.avg("n_nationkey"), 4).alias("avg_round"),
+            F.round(F.sum("n_nationkey") / 7.0, 6).alias("d_grid"),
+        ).select(
+            "sum_cast",
+            "n",
+            "avg_round",
+            "d_grid",
+            F.lit(-0.1).alias("d_neg"),
+            F.lit(1.0e15).alias("d_big"),
+        )
+    )
+
+
 _ORDER = [
-    # TPC-H shapes (scan/filter/join/agg plan quality)
+    # --- r4 certification window: the driver certifies the FIRST 50 entries.
+    # Head: 3 driver-environment type probes, then the four repaired r3 rows,
+    # then ~43 never-driver-certified entries (VERDICT r3 rotation ask) so
+    # every operator family earns a driver row across r2+r3+r4.  Everything
+    # past the window was driver-certified in an earlier round (or is one of
+    # the remaining never-certified entries queued for r5) and is re-verified
+    # every session by tools/certify_all.py.
+    "probe_types_core",
+    "probe_types_bool",
+    "probe_types_numeric",
+    "curate_training_corpus",
+    "stream_budget_cap_oracle",
+    "stream_turn_rate_spikes_oracle",
+    "stream_curation_gate_oracle",
+    "q2_groupwise_min_price",
+    "q4_exists_late_orders",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_value_concentration",
+    "q12_priority_by_linestatus",
+    "q15_top_revenue_supplier",
+    "q16_notin_supplier_cnt",
+    "q20_promo_heavy_suppliers",
+    "q21_lone_late_supplier",
+    "q22_dormant_customers",
+    "tfidf_keywords",
+    "bm25_search",
+    "mmr_diverse_topk",
+    "embed_quantized_topk",
+    "embed_pq_topk",
+    "embed_ivfpq_topk",
+    "bpe_merge_rules",
+    "pruned_scan_orders",
+    "avro_roundtrip_events",
+    "udtf_json_props",
+    "gen_transcripts_profile",
+    "turn_rate_spikes",
+    "budget_cap",
+    "dup_span_profile",
+    "pattern_funnel_sessions",
+    "conversation_branching",
+    "stream_branching_oracle",
+    "validate_with_results",
+    "hist_quantiles_events",
+    "contamination_audit",
+    "dedup_keep_best",
+    "chunk_documents",
+    "stratified_sample_sources",
+    "weighted_sample_topk",
+    "event_transition_matrix",
+    "change_feed_orders",
+    "unpivot_lineitem_measures",
+    "grouping_multi",
+    "set_ops_multi",
+    "window_ntile_quartiles",
+    # --- past the certification boundary (earlier-round-certified + r5 queue)
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_local_supplier_volume",
     "q18_large_volume_orders",
-    # flagship composite + exactly-once streaming oracle chains
-    "curate_training_corpus",
     "stream_events_tumbling_oracle",
     "stream_events_sliding_oracle",
     "stream_events_session_oracle",
     "stream_events_transcripts_oracle",
     "stream_events_join_oracle",
-    # joins and subqueries
     "left_outer_join_custdist",
     "full_outer_join_daily_recon",
     "scalar_subquery_below_half_avg",
     "semi_anti_joins",
     "broadcast_join_brand_revenue",
     "asof_join_prev_event",
-    # dedupe / similarity family
     "dedup_clusters",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -6605,119 +6756,47 @@ _ORDER = [
     "dedup_embed_cosine",
     "embed_cosine_topk",
     "decontaminate_ngram",
-    # relational core + DataRow transforms + validation
     "relational_core",
     "validate_skip_counts",
     "json_path_props",
-    # change-data-feed on the snapshot table (new in r3; took ntile's slot —
-    # ntile stays oracle-green past the boundary)
-    # late-r3 flagships promoted into the window, funded by demoting five
-    # plain relational shapes (window_topn_per_group / percentiles_by_type —
-    # driver-green in CORRECTNESS_r02 under the same names;
-    # unpivot_lineitem_measures / grouping_multi / set_ops_multi —
-    # judge-verified pass* in r2; all five still oracle-checked past the
-    # boundary by tools/check_oracles.py):
     "stream_neardup_guard_oracle",
-    "stream_budget_cap_oracle",
-    "stream_turn_rate_spikes_oracle",
     "stream_window_topk_oracle",
     "stream_multi_source_union_oracle",
-    # event-time windows / sessions / skew
     "sessionize_events",
     "session_transcripts",
     "salted_agg_events",
     "multimodal_features",
-    # r3 flagships promoted into the window (funded by demoting
-    # flatmap_token_counts / transform_dedupe_first / time_window_counts /
-    # group_agg_events — each a plain shape already driver-green in
-    # CORRECTNESS_r02 under the same or pre-rename name (flatmap_token_counts,
-    # remove_duplicates_first, tumbling/sliding_window_counts,
-    # group_agg_events), all still oracle-checked past the boundary):
-    # the LEFT OUTER stream-stream join (NULL rows at watermark eviction),
-    # MMR diversified re-ranking (recursive-CTE greedy oracle), and
-    # manifest-based file skipping (driver-side min/max prune).
     "stream_left_join_unanswered_oracle",
-    # late-r3 flagships promoted into the window (took the mmr /
-    # gen_transcripts_profile / chunk_documents slots — those stay green via
-    # the full tools/check_oracles.py sweep past the boundary):
-    # integer-exact domain PageRank, the BPE learn-then-apply composite
-    # (re-learns the rules, so it certifies bpe_merge_rules' semantics too),
-    # and the bounded-state streaming histogram-percentile chain (its batch
-    # twin hist_quantiles_events is the same integer pipeline).
     "domain_pagerank",
     "hybrid_rrf_search",
     "bpe_token_counts",
     "stream_hist_quantiles_oracle",
     "pretraining_batches",
-    # CEP pattern matching (new in r3): streaming automaton (its batch twin
-    # pattern_funnel_events sits past the boundary — same matcher, green)
     "stream_pattern_funnel_oracle",
-    # full fluent chain as ONE stream: Filter → redact → quality gate →
-    # windowed Batch → exactly-once Write, batch-equality oracled
-    "stream_curation_gate_oracle",
-    # continuation-session flagships promoted into the certification window
-    # (displacing q10/q14/q19/range_join/validate_with_results/change_feed —
-    # every displaced entry stays green in the full check_oracles sweep):
-    # the real ExactSubstr pair (spans + per-token text removal), the
-    # streaming SCD2 dimension, the streaming span guard, and SemDeDup
     "dedup_exact_substr",
     "exact_substr_clean",
     "stream_scd2_dim_oracle",
     "stream_span_guard_oracle",
     "dedup_semantic",
     "scd2_tier_enrich",
-    # ---- driver window boundary (first 50 above) ----
-    # (window_lag_running / pivot_status_priority / text_profile /
-    #  rollup_lineitem moved past the boundary in r3 — each has a green
-    #  CORRECTNESS_r02 row under the same name; the slots fund the new
-    #  training-data + CEP entries above.  vocab_topk / unigram_quality sit
-    #  just past the boundary: both are plain group-agg shapes whose oracle
-    #  runs in tools/check_oracles.py; the boundary slots go to the two CEP
-    #  queries, which certify a genuinely new operator class.)
     "window_topn_per_group",
-    "unpivot_lineitem_measures",
-    "grouping_multi",
-    "set_ops_multi",
     "percentiles_by_type",
-    "pruned_scan_orders",
     "vocab_topk",
     "unigram_quality",
     "window_lag_running",
-    "window_ntile_quartiles",
     "pivot_status_priority",
     "text_profile",
     "rollup_lineitem",
-    # TPC-H subquery/decorrelation shapes (r3): correlated EXISTS/NOT EXISTS,
-    # null-aware NOT IN, dim self-join aliases, groupwise-min join-back,
-    # global-scalar HAVING — oracle-checked via tools/check_oracles.py
-    "q4_exists_late_orders",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q12_priority_by_linestatus",
-    "q15_top_revenue_supplier",
-    "q16_notin_supplier_cnt",
-    "q22_dormant_customers",
-    "q2_groupwise_min_price",
-    "q11_value_concentration",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "q20_promo_heavy_suppliers",
-    "q21_lone_late_supplier",
     "embed_ann_lsh",
     "embed_knn_blocked",
     "embed_ivf_topk",
     "lang_distribution",
     "quality_histogram",
     "uniform_sample_topk",
-    "tfidf_keywords",
-    "bm25_search",
-    "pattern_funnel_sessions",
     "flatmap_token_counts",
     "transform_dedupe_first",
     "group_agg_events",
     "time_window_counts",
-    "stratified_sample_sources",
-    "weighted_sample_topk",
     "corpus_report",
     "pii_redaction",
     "repetition_profile",
@@ -6727,7 +6806,7 @@ _ORDER = [
     "user_event_paths",
     "distinct_users_exact",
     "approx_distinct_users",
-    "multimodal_frame_sample",  # oracled in r3 (real AVI decode)
+    "multimodal_frame_sample",
     "stream_enrich_static_oracle",
     "stream_full_join_oracle",
     "session_dynamic_gap",
@@ -6742,54 +6821,19 @@ _ORDER = [
     "decontaminate_bloom",
     "stream_asof_attribution_oracle",
     "stream_window_median_oracle",
-    "udtf_json_props",
-    "dedup_keep_best",
-    "contamination_audit",
     "stream_decontaminate_oracle",
     "pattern_funnel_events",
     "stream_validate_dlq_oracle",
     "dedup_conversations",
-    "conversation_branching",
-    "stream_branching_oracle",
     "stream_ivf_ingest_oracle",
     "stream_ivfpq_ingest_oracle",
-    "embed_quantized_topk",
-    "embed_pq_topk",
-    "embed_ivfpq_topk",
     "stream_fanout_atomic_oracle",
     "reply_latency_profile",
-    # batch twins of the promoted late-r3 streaming flagships (each stream
-    # twin's oracle IS the batch semantics, so these certify via
-    # tools/check_oracles.py past the boundary)
-    "turn_rate_spikes",
-    "budget_cap",
-    "event_transition_matrix",
-    # Avro OCF round-trip through the stdlib codec (avro_py.py)
-    "avro_roundtrip_events",
-    # span-level duplication profile (ExactSubstr proxy) and the real
-    # ExactSubstr pair: positioned span extraction + span removal with
-    # per-token text equality vs the string-built oracle
-    "dup_span_profile",
-    # SCD2 point-in-time enrichment (temporal join; operators/scd.py)
-    # deterministic range sharding (training-shard writer twin)
     "range_shard_stats",
-    # SemDeDup cluster-partitioned semantic dedup (operators/similarity.py)
-    # displaced from the window by the late-r3 flagships (still oracled,
-    # certified by the full check_oracles sweep)
-    "mmr_diverse_topk",
-    "gen_transcripts_profile",
-    "chunk_documents",
-    # BPE rule table + batch histogram percentiles (window twins above)
-    "bpe_merge_rules",
-    "hist_quantiles_events",
-    # demoted from the certification window by the continuation-session
-    # flagships (all still oracle-certified by the full sweep)
     "q10_returned_items",
     "q14_promo_revenue",
     "q19_disjunctive_predicates",
     "range_join_price_bands",
-    "validate_with_results",
-    "change_feed_orders",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

@@ -8,6 +8,7 @@ Usage: python tools/check_oracles.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import datetime
 import math
 import os
 import sys
@@ -38,6 +39,43 @@ def canon(rows, cols):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def canon_pandas(pdf):
+    """Driver-style normalization: materialize through pandas (the path a
+    harness built on ``DataFrame.toPandas()`` / ``duckdb.sql().df()`` takes)
+    and stringify each cell with plain ``str``.
+
+    This is the normalization under which the four CORRECTNESS_r03 hash
+    mismatches reproduce: DuckDB HUGEINT (``sum`` over INTEGER/BIGINT)
+    cannot be represented by numpy, so ``.df()`` silently converts it to
+    float64 — ``str`` then yields '1234.0' against Spark's int64 '1234',
+    while row counts and column names still match.  Running BOTH this and
+    the fetchall-style :func:`canon` keeps every future oracle honest under
+    either materialization."""
+    cols = sorted(pdf.columns)
+    out = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        cells = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                cells.append("∅")
+            elif isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+                # Spark DATE survives toPandas as datetime.date while DuckDB
+                # .df() widens it to a midnight Timestamp; the driver proved
+                # DATE columns hash equal (full_outer_join_daily_recon green
+                # r3), so canonicalize instead of false-flagging
+                cells.append(f"{v} 00:00:00")
+            elif isinstance(v, float):
+                # deliberately NO precision-forgiving %.6g here: the driver's
+                # stringification keeps the float dtype visible ('1234.0' vs
+                # '1234'), which is how HUGEINT→float64 divergence shows up —
+                # repr is the faithful, stricter simulation
+                cells.append(repr(v))
+            else:
+                cells.append(str(v))
+        out.append(tuple(cells))
+    return sorted(out)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -62,6 +100,7 @@ def main():
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:200]}")
@@ -72,6 +111,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             d_cols, d_rows = rel.columns, rel.fetchall()
+            d_pdf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:200]}")
@@ -86,6 +126,14 @@ def main():
             if cs != cd:
                 diff = next((i, a, b) for i, (a, b) in enumerate(zip(cs, cd)) if a != b)
                 problems.append(f"values differ at sorted-row {diff[0]}: spark={diff[1]} duck={diff[2]}")
+        if not problems:
+            ps, pd_ = canon_pandas(s_pdf), canon_pandas(d_pdf)
+            if ps != pd_:
+                diff = next((i, a, b) for i, (a, b) in enumerate(zip(ps, pd_)) if a != b)
+                problems.append(
+                    f"pandas-normalized values differ at sorted-row {diff[0]}: "
+                    f"spark={diff[1]} duck={diff[2]}"
+                )
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
