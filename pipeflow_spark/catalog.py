@@ -195,33 +195,33 @@ class TableCatalog:
                 )
             df = self.read_hidden(table, partition_specs or []).unionByName(df)
         self._parquet_snapshot_write(df, table, partition_specs)
-        self._save_specs(table, partition_specs)
 
     # -- hidden-partition spec metadata (parquet branch) ----------------------
-
-    def _specs_path(self, table: str) -> str:
-        return os.path.join(self.ident(table), "_partition_specs.json")
+    #
+    # The spec list travels INSIDE each snapshot directory and is written
+    # BEFORE the atomic pointer flip (_publish_commit), so the single commit
+    # point covers data + layout metadata together: a crash anywhere in the
+    # write leaves the previous snapshot (with its own specs) fully intact,
+    # and a committed snapshot can never be missing or carrying a stale spec
+    # list (ADVICE r3 — the old table-level _partition_specs.json was saved
+    # after the flip, leaving a crash window that violated the protocol).
 
     def _load_specs(self, table: str) -> list[str] | None:
         import json
 
+        snap = sinks._current_snapshot(self.ident(table))
+        if snap is not None:
+            try:
+                with open(os.path.join(snap, "_partition_specs.json")) as f:
+                    return json.load(f) or None
+            except FileNotFoundError:
+                pass
+        # legacy location (tables written before the in-snapshot protocol)
         try:
-            with open(self._specs_path(table)) as f:
+            with open(os.path.join(self.ident(table), "_partition_specs.json")) as f:
                 return json.load(f)
         except FileNotFoundError:
             return None
-
-    def _save_specs(self, table: str, specs: list[str] | None) -> None:
-        import json
-
-        p = self._specs_path(table)
-        if specs:
-            tmp = p + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(list(specs), f)
-            os.replace(tmp, p)
-        elif os.path.exists(p):
-            os.remove(p)  # overwrite without specs de-partitions the table
 
     def read_hidden(
         self,
@@ -255,6 +255,7 @@ class TableCatalog:
     def _parquet_snapshot_write(
         self, df: DataFrame, table: str, partition_specs: list[str] | None = None
     ) -> None:
+        import json
         import uuid
 
         path = self.ident(table)
@@ -266,6 +267,11 @@ class TableCatalog:
             _pt.write_partitioned(df, os.path.join(path, snap), partition_specs)
         else:
             df.write.mode("overwrite").parquet(os.path.join(path, snap))
+        # layout metadata lands inside the snapshot BEFORE the pointer flip —
+        # the flip is the single commit point for data AND specs (underscore
+        # prefix keeps the file invisible to parquet directory scans)
+        with open(os.path.join(path, snap, "_partition_specs.json"), "w") as f:
+            json.dump(list(partition_specs or []), f)
         prev = sinks._current_snapshot(path)
         sinks._publish_commit(path, snap)  # atomic flip, commit-log protocol
         if prev and os.path.basename(prev).startswith("snapshot-"):

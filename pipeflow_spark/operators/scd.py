@@ -118,14 +118,19 @@ def scd2_enrich(
             | (facts[fact_ts] < d[f"__scd_{valid_to}"])
         )
     )
+    attr_out = [c for c in dim.columns if c not in keys + [valid_from, valid_to]]
+    # a dim attribute aliased back onto a name facts already uses would make
+    # the output ambiguous (two columns, one name) — refuse loudly (ADVICE r3)
+    clash = [c for c in attr_out if c in facts.columns]
+    if clash:
+        raise ValueError(
+            f"scd2_enrich: dimension attribute column(s) {clash} collide with "
+            "fact columns — rename them on one side before enriching"
+        )
     joined = facts.join(d, cond, how)
     # drop the dimension's duplicate key columns and the interval bounds
     out_cols: list[Column] = [facts[c] for c in facts.columns]
-    out_cols += [
-        d[f"__scd_{c}"].alias(c)
-        for c in dim.columns
-        if c not in keys + [valid_from, valid_to]
-    ]
+    out_cols += [d[f"__scd_{c}"].alias(c) for c in attr_out]
     return joined.select(*out_cols)
 
 

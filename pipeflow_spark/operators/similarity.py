@@ -333,7 +333,7 @@ def ivf_probes(centroids, query_vec: list[float], nprobe: int) -> list[int]:
     C = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
     denom = np.linalg.norm(C, axis=1) * np.linalg.norm(q)
-    sims = np.round((C @ q) / np.where(denom == 0, np.nan, denom), 6)
+    sims = _round6_half_up((C @ q) / np.where(denom == 0, np.nan, denom))
     sims = np.where(np.isnan(sims), -2.0, sims)
     order = sorted(range(len(C)), key=lambda i: (-sims[i], i))
     return [i + 1 for i in order[:nprobe]]
@@ -598,6 +598,16 @@ def train_pq_codebooks(
     return books
 
 
+def _round6_half_up(x: np.ndarray) -> np.ndarray:
+    """Explicit round-half-away-from-zero to 6 dp — the rounding mode Spark
+    (``F.round`` on DOUBLE, HALF_UP) and DuckDB (``round``) both apply.
+    ``np.round`` is half-EVEN, which diverges when a value lands exactly on
+    a representable 0.5e-6 boundary; this makes the numpy kernels match the
+    Column path and the SQL twins by construction instead of by documented
+    luck (ADVICE r3)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _sub_sqdist(v: Column, j: int, centroid, d: int) -> Column:
     """Rounded squared L2 distance between subvector j of ``v`` and a
     centroid literal — the shared kernel of encode and LUT, so both engines
@@ -623,7 +633,7 @@ def _pq_accumulate_codes(X: np.ndarray, B: np.ndarray) -> np.ndarray:
         for i in range(d):
             diff = X[:, j * d + i, None] - B[j, None, :, i]
             acc += diff * diff
-        codes[:, j] = np.argmin(np.round(acc, 6), axis=1)
+        codes[:, j] = np.argmin(_round6_half_up(acc), axis=1)
     return codes
 
 
@@ -648,12 +658,13 @@ def _pq_codes_udf(books: np.ndarray):
     per-dim squared difference is added into the accumulator matrix one dim
     at a time, so every float64 add happens in the identical order as the
     Column fold and the SQL twin; ``np.argmin`` returns the first (lowest
-    index) minimum, matching ``array_position(array_min)``.  The only
-    difference is the 6-dp rounding mode (numpy half-even vs Spark/DuckDB
-    half-up), which can matter only when a distance lands EXACTLY on a
-    0.5e-6 representable boundary — pinned against the Column path on the
-    full test corpus in tests/test_operators.py, and continuously guarded
-    by the oracle differential (the registry queries run THIS path)."""
+    index) minimum, matching ``array_position(array_min)``; the 6-dp
+    rounding is explicit half-away-from-zero (:func:`_round6_half_up`),
+    the same mode Spark's ``F.round`` and DuckDB's ``round`` apply — so
+    boundary distances agree by construction.  Pinned against the Column
+    path on the full test corpus in tests/test_operators.py, and
+    continuously guarded by the oracle differential (the registry queries
+    run THIS path)."""
     from pyspark.sql.functions import pandas_udf
 
     m, k, d = books.shape
@@ -783,8 +794,13 @@ def pq_topk(
         t = F.get(lut_j, F.get("codes", j))
         adist = t if adist is None else adist + t
     scored = encoded.select(F.col(id_col), F.round(adist, 6).alias("adist"))
-    cands = scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(
-        rescore if rescore > 0 else topk
+    # null-masked rows (NULL/wrong-length embeddings get NULL codes from the
+    # Arrow encoder, hence NULL adist) are not candidates: Spark ASC sorts
+    # NULLS FIRST, which would put them at the head of the top-k (ADVICE r3)
+    cands = (
+        scored.filter(F.col("adist").isNotNull())
+        .orderBy(F.col("adist").asc(), F.col(id_col))
+        .limit(rescore if rescore > 0 else topk)
     )
     if rescore <= 0:
         return cands
@@ -807,12 +823,16 @@ def ivfpq_encode(
     a small codebook quantizes them far better than raw vectors, which is
     why every billion-scale system (FAISS IVFADC) uses this composition.
 
-    Adds ``list_id`` (1-based) and ``codes`` (m small ints).  Pure Column
-    algebra end to end: centroids and codebooks are plan literals, the
-    residual is a ``zip_with`` subtraction under the same rounded
-    ascending-dim distance fold as :func:`pq_encode`.  Write partitioned by
-    ``list_id``: probe-time pruning then reads nprobe/n_lists of a corpus
-    whose data column is 4 bytes/row.
+    Adds ``list_id`` (1-based) and ``codes`` (m small ints).  Coarse
+    assignment is Column algebra (centroid literals); residual encode runs
+    the Arrow pandas-UDF kernel (``_ivfpq_codes_udf``) — the residual
+    subtraction and the ascending-dim distance fold happen in one
+    vectorized float64 pass per batch, in the identical add order as the
+    Column form, with NULL/wrong-length embeddings masked to NULL codes
+    rather than crashing the batch (same null behavior as
+    :func:`pq_encode`).  Write partitioned by ``list_id``: probe-time
+    pruning then reads nprobe/n_lists of a corpus whose data column is
+    4 bytes/row.
     """
     books = np.asarray(codebooks, dtype=np.float64)
     assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
@@ -865,8 +885,11 @@ def ivfpq_topk(
         encoded.filter(F.col("list_id").isin(probes))
         .select(F.col(id_col), F.round(adist, 6).alias("adist"))
     )
-    cands = scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(
-        rescore if rescore > 0 else topk
+    # exclude null-code rows (NULL adist would sort NULLS FIRST — ADVICE r3)
+    cands = (
+        scored.filter(F.col("adist").isNotNull())
+        .orderBy(F.col("adist").asc(), F.col(id_col))
+        .limit(rescore if rescore > 0 else topk)
     )
     if rescore <= 0:
         return cands

@@ -210,3 +210,49 @@ def test_catalog_partition_specs_persisted_lifecycle(spark, tmp_path):
     cat.write(df, "ev")
     assert cat._load_specs("ev") is None
     assert sorted(cat.read("ev").columns) == ["id", "ts", "user"]
+
+
+def test_partition_specs_commit_inside_snapshot(spark, tmp_path):
+    """ADVICE r3: the spec list must be covered by the SAME atomic commit
+    point as the data.  The file lives inside the snapshot dir and is
+    written before the pointer flip — a crash between data-write and flip
+    leaves the old snapshot (with its own specs) fully consistent."""
+    import json
+    import os
+    from datetime import datetime as DT
+
+    from pipeflow_spark import sinks
+    from pipeflow_spark.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"), format="parquet")
+    schema = "id long, ts timestamp, user string"
+    df = spark.createDataFrame(
+        [(i, DT(2024, 1 + i % 3, 1 + i % 5), f"u{i%4}") for i in range(10)], schema
+    )
+    cat.write(df, "ev", partition_specs=["days(ts)"])
+    snap = sinks._current_snapshot(cat.ident("ev"))
+    spec_file = os.path.join(snap, "_partition_specs.json")
+    assert os.path.exists(spec_file), "specs must live inside the committed snapshot"
+    assert json.load(open(spec_file)) == ["days(ts)"]
+    assert cat._load_specs("ev") == ["days(ts)"]
+    # no stray post-flip table-level spec file in the new protocol
+    assert not os.path.exists(os.path.join(cat.ident("ev"), "_partition_specs.json"))
+
+    # a NEW overwrite that crashes BEFORE its flip leaves the committed
+    # snapshot (and its specs) untouched: simulate by writing an orphan
+    # snapshot dir with different specs but never publishing it
+    orphan = os.path.join(cat.ident("ev"), "snapshot-deadbeef0000")
+    os.makedirs(orphan)
+    json.dump(["bucket(4, id)"], open(os.path.join(orphan, "_partition_specs.json"), "w"))
+    assert cat._load_specs("ev") == ["days(ts)"], "uncommitted snapshot must not leak specs"
+    assert cat.read_hidden("ev", filters=[("id", "=", 3)]).count() == 1
+
+    # legacy tables (spec file at table level, pre-protocol) still resolve
+    legacy = TableCatalog(spark, str(tmp_path / "wh2"), format="parquet")
+    legacy.write(df, "old", partition_specs=["days(ts)"])
+    snap2 = sinks._current_snapshot(legacy.ident("old"))
+    os.rename(
+        os.path.join(snap2, "_partition_specs.json"),
+        os.path.join(legacy.ident("old"), "_partition_specs.json"),
+    )
+    assert legacy._load_specs("old") == ["days(ts)"]

@@ -2148,3 +2148,84 @@ def test_prefix_rows_from_transcript_literal_separator(spark):
     rows = {(r.depth, r.prefix, r.cont) for r in
             prefix_rows_from_transcript(df, sep="|").collect()}
     assert rows == {(1, "a", "b"), (2, "a|b", "c")}
+
+
+def test_pq_topk_excludes_null_code_rows(spark):
+    """ADVICE r3: rows whose embeddings were null-masked at encode time
+    (NULL codes → NULL adist) must never occupy top-k slots — Spark ASC
+    sorts NULLS FIRST, so an unguarded orderBy would rank them on top."""
+    books = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[5.0, 5.0], [-5.0, -5.0]],
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, 0.2, 4.0, 6.0]),
+            (2, [9.0, 9.5, -4.0, -6.0]),
+            (3, None),                  # NULL embedding -> NULL codes
+            (4, [1.0, 2.0]),            # wrong length -> NULL codes
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    enc = similarity.pq_encode(df, books)
+    q = [0.0, 0.0, 5.0, 5.0]
+    top = similarity.pq_topk(enc, books, q, topk=3).collect()
+    ids = [r.vec_id for r in top]
+    assert 3 not in ids and 4 not in ids
+    assert ids == [1, 2]
+    assert all(r.adist is not None for r in top)
+
+    cen = [[0.0, 0.0, 0.0, 0.0]]
+    enc2 = similarity.ivfpq_encode(df, cen, books)
+    top2 = similarity.ivfpq_topk(enc2, cen, books, q, topk=3, nprobe=1).collect()
+    ids2 = [r.vec_id for r in top2]
+    assert 3 not in ids2 and 4 not in ids2
+    assert ids2 == [1, 2]
+
+
+def test_round6_half_up_matches_spark_and_duckdb(spark):
+    """ADVICE r3: the numpy kernels' 6-dp rounding must be explicit
+    half-away-from-zero, matching F.round (HALF_UP) and DuckDB round on
+    exact 0.5e-6 boundaries where np.round (half-even) diverges."""
+    import duckdb
+    import numpy as np
+
+    from pipeflow_spark.operators.similarity import _round6_half_up
+
+    vals = [1.5e-6, 2.5e-6, 0.0000125, -1.5e-6, -2.5e-6, 0.1234565, 3.0]
+    ours = _round6_half_up(np.array(vals))
+    duck = [
+        duckdb.sql(f"SELECT round(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
+        for v in vals
+    ]
+    srows = spark.createDataFrame([(v,) for v in vals], "v double").select(
+        F.round("v", 6).alias("r")
+    ).collect()
+    sp = [r.r for r in srows]
+    assert list(ours) == duck == sp, (list(ours), duck, sp)
+    # np.round (half-even) provably differs on at least one of these inputs,
+    # i.e. the explicit kernel is not a no-op
+    assert list(np.round(np.array(vals), 6)) != list(ours)
+
+
+def test_scd2_enrich_raises_on_attr_collision(spark):
+    """ADVICE r3: a dimension attribute sharing a name with a fact column
+    would produce two output columns with one name — refuse loudly."""
+    import pytest as _pytest
+
+    from pipeflow_spark.operators import scd
+
+    facts = spark.createDataFrame(
+        [(1, "2024-01-05", "x")], "k int, ts string, tier string"
+    ).select("k", F.col("ts").cast("timestamp"), "tier")
+    dim = spark.createDataFrame(
+        [(1, "2024-01-01", None, "gold")],
+        "k int, valid_from string, valid_to string, tier string",
+    ).select(
+        "k",
+        F.col("valid_from").cast("timestamp"),
+        F.col("valid_to").cast("timestamp"),
+        "tier",
+    )
+    with _pytest.raises(ValueError, match="collide with"):
+        scd.scd2_enrich(facts, dim, "k", "ts")
