@@ -549,6 +549,26 @@ def _rescore_exact(
     )
 
 
+def _kmeans_one_subspace(
+    S: np.ndarray, k: int, iters: int, seed: int, j: int
+) -> np.ndarray:
+    """Lloyd's k-means for ONE subspace — the single home for the training
+    math, called by both the driver loop and the grouped executor kernel so
+    the two paths are bit-identical by construction.  The rng is seeded
+    per-subspace (``default_rng([seed, j])``): no state flows between
+    subspaces, which is exactly what makes the training embarrassingly
+    parallel."""
+    rng = np.random.default_rng([seed, j])
+    C = S[rng.choice(len(S), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = S[assign == c]
+            C[c] = members.mean(axis=0) if len(members) else S[rng.integers(len(S))]
+    return C
+
+
 def train_pq_codebooks(
     embeddings: DataFrame,
     m: int = 8,
@@ -559,18 +579,33 @@ def train_pq_codebooks(
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "driver",
 ) -> np.ndarray:
     """Train PQ codebooks (Jégou et al., "Product Quantization for Nearest
     Neighbor Search", TPAMI 2011): split the vector into ``m`` subspaces of
     ``dim/m`` dims and run Lloyd's k-means with ``k`` centroids per
-    subspace, driver-side on a bounded deterministic sample (same recipe as
+    subspace on a bounded deterministic sample (same recipe as
     :func:`train_ivf_centroids`).  Returns ``(m, k, dim/m)`` float64.
+
+    ``method='driver'`` (default, right for small m·k·d) loops the subspaces
+    in one process; ``method='grouped'`` ships each subspace's sample slice
+    to an ``applyInPandas`` group keyed on the subspace index, so the ``m``
+    independent k-means runs train in parallel on executors (the shape that
+    matters when m·iters·sample·d grows — e.g. wide embeddings with m=32).
+    Both paths call :func:`_kmeans_one_subspace` with per-subspace seeds, so
+    grouped ≡ driver bit-for-bit (property-pinned in
+    ``test_pq_codebooks_grouped_equals_driver``).
 
     A code is then ``m`` small ints (m=8, k=16 → 8 nibbles = 4 bytes/vec vs
     512 B of float64 — a 128× compression of the scan column; int8
     quantization (:func:`quantize_embeddings`) stops at 8×).
     """
-    rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    if method not in ("driver", "grouped"):
+        raise ValueError(f"method must be 'driver' or 'grouped', got {method!r}")
+    sample_df = embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample)
+    if method == "grouped":
+        return _train_pq_grouped(sample_df, m, k, dim, seed, iters, id_col, vec_col)
+    rows = sample_df.collect()
     if len(rows) < k:
         raise ValueError(
             f"PQ training needs at least k={k} sample vectors, got {len(rows)}"
@@ -583,18 +618,76 @@ def train_pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     d = dim // m
-    rng = np.random.default_rng(seed)
     books = np.empty((m, k, d), dtype=np.float64)
     for j in range(m):
-        S = X[:, j * d : (j + 1) * d]
-        C = S[rng.choice(len(S), size=k, replace=False)].copy()
-        for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(k):
-                members = S[assign == c]
-                C[c] = members.mean(axis=0) if len(members) else S[rng.integers(len(S))]
-        books[j] = C
+        books[j] = _kmeans_one_subspace(X[:, j * d : (j + 1) * d], k, iters, seed, j)
+    return books
+
+
+def _train_pq_grouped(
+    sample_df: DataFrame,
+    m: int,
+    k: int,
+    dim: int | None,
+    seed: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> np.ndarray:
+    """Executor-side PQ training: explode the bounded sample into one row
+    per (subspace, vector) carrying just that subspace's ``d`` dims, then
+    one ``applyInPandas`` group per subspace runs the shared k-means
+    kernel.  Each group sorts by the sample rank so its matrix is row-for-
+    row the same ``S`` the driver loop sees."""
+    import pandas as pd  # noqa: F401  (executor-side)
+
+    n = sample_df.count()  # bounded (≤ sample rows) — cheap driver-side gate
+    if n < k:
+        raise ValueError(
+            f"PQ training needs at least k={k} sample vectors, got {n}"
+        )
+    first = sample_df.select(vec_col).first()
+    if dim is None:
+        dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    exploded = sample_df.select(
+        F.col(id_col).alias("rid"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"), F.slice(v, j * d + 1, d).alias("sub")
+                )
+                for j in range(m)
+            ])
+        ).alias("e"),
+    ).select("rid", F.col("e.j").alias("j"), F.col("e.sub").alias("sub"))
+
+    def fit(pdf):
+        import pandas as pd
+
+        j = int(pdf["j"].iloc[0])
+        pdf = pdf.sort_values("rid")
+        S = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["sub"]])
+        if len(S) < k:
+            raise ValueError(
+                f"PQ training needs at least k={k} sample vectors, got {len(S)}"
+            )
+        C = _kmeans_one_subspace(S, k, iters, seed, j)
+        return pd.DataFrame(
+            {"j": j, "c": np.arange(k, dtype=np.int32), "centroid": [list(r) for r in C]}
+        )
+
+    out = (
+        exploded.groupBy("j")
+        .applyInPandas(fit, schema="j int, c int, centroid array<double>")
+        .collect()
+    )
+    books = np.empty((m, k, d), dtype=np.float64)
+    for r in out:
+        books[r.j, r.c] = np.asarray(r.centroid, dtype=np.float64)
     return books
 
 

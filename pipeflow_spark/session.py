@@ -78,6 +78,27 @@ def get_spark(
         .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "64")
         .config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "64")
     )
+    # Iceberg config flip (SURVEY §7.0 / catalog.py): one command online —
+    #   PIPEFLOW_ICEBERG_WAREHOUSE=/path/to/wh python <job>.py
+    # resolves the Iceberg Spark runtime via spark.jars.packages (needs
+    # network on first run; override the artifact with
+    # PIPEFLOW_ICEBERG_PACKAGE) and registers the catalog configs, after
+    # which TableCatalog auto-detects the jar and every table commit becomes
+    # an Iceberg snapshot commit.  Offline (this sandbox) the flag stays
+    # unset and nothing changes.
+    iceberg_wh = os.environ.get("PIPEFLOW_ICEBERG_WAREHOUSE")
+    if iceberg_wh:
+        from .catalog import iceberg_session_conf
+
+        builder = builder.config(
+            "spark.jars.packages",
+            os.environ.get(
+                "PIPEFLOW_ICEBERG_PACKAGE",
+                "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0",
+            ),
+        )
+        for k, v in iceberg_session_conf(iceberg_wh).items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
