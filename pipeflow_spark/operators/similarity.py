@@ -75,23 +75,72 @@ def _bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
     return acc.cast("long")
 
 
+def _lsh_buckets_udf(planes: np.ndarray, bands: int, band_planes: int):
+    """Arrow sign-LSH bucketing kernel: per row, ``bands`` bucket ids, bit i
+    of band j = ``(vec · planes[j·bp + i]) > 0``.  Exact Column semantics —
+    dots accumulate in ascending dim order (the ``F.aggregate`` fold; the
+    sign margin is also ≫ float noise on this data, see :func:`bucket_sql`),
+    NULL/wrong-length vectors get bucket 0 in every band (a NULL dot fails
+    ``> 0``).  Planes ride the closure: the Column form plans
+    bands·band_planes·dim literals (3072 at the dedupe defaults, ~6 s of
+    Catalyst planning + interpreted per-element lambda eval, measured) while
+    this is one vectorized pass per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.ascontiguousarray(planes, dtype=np.float64)
+    n_planes, dim = P.shape
+    assert n_planes == bands * band_planes
+
+    @pandas_udf("array<long>")
+    def buckets(vs):
+        import pandas as pd
+
+        n = len(vs)
+        ok = np.fromiter((v is not None and len(v) == dim for v in vs), dtype=bool, count=n)
+        out = np.zeros((n, bands), dtype=np.int64)
+        if ok.any():
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v, o in zip(vs, ok) if o])
+            acc = np.zeros((len(X), n_planes))
+            for i in range(dim):  # ascending-dim adds — the Column fold order
+                acc += X[:, i, None] * P[None, :, i]
+            bits = (acc > 0).astype(np.int64)
+            weights = 1 << np.arange(band_planes, dtype=np.int64)
+            out[ok] = (bits.reshape(len(X), bands, band_planes) * weights[None, None, :]).sum(
+                axis=2
+            )
+        return pd.Series([row.tolist() for row in out])
+
+    return buckets
+
+
 def build_lsh_buckets(
     embeddings: DataFrame,
     n_planes: int = 12,
     seed: int = 42,
     vec_col: str = "embedding",
     dim: int | None = None,
+    method: str = "arrow",
 ) -> DataFrame:
     """Assign every vector a sign-LSH bucket.  At scale this is the *write*
     side: persist partitioned/bucketed by ``bucket`` so probes prune.
 
+    ``method='arrow'`` (default): planes ride the UDF closure — constant
+    plan size.  ``method='column'``: plan-literal form, zero Python,
+    bit-identical (parity pytest-pinned).
+
     Pass ``dim`` explicitly in production — the fallback learns it from a
     driver-side ``first()`` at plan-build time, which is an extra job and
     assumes the table is non-empty."""
+    if method not in ("arrow", "column"):
+        raise ValueError(f"method must be 'arrow' or 'column', got {method!r}")
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
+    if method == "arrow":
+        return embeddings.withColumn(
+            "bucket", F.get(_lsh_buckets_udf(planes, 1, n_planes)(v), 0)
+        )
     return embeddings.withColumn("bucket", _bucket_expr(v, planes))
 
 
@@ -130,6 +179,54 @@ def lsh_topk(
     )
 
 
+def _pair_cosine_udf(dim: int):
+    """Arrow verify kernel for candidate pairs: rounded cosine of two vector
+    columns with the EXACT Column-fold semantics — per-dim products
+    accumulated in ascending dim order (the ``F.aggregate`` fold), 6-dp
+    half-up rounding, NULL (not NaN — Spark orders NaN above every number,
+    so a NaN would pass a ``>= threshold`` filter) for zero-norm or
+    malformed inputs.  The higher-order Column form evaluates its lambda
+    per element per pair interpreted (no codegen for ``aggregate``/
+    ``zip_with``), which made the verify stage the dominant cost of the
+    banded-LSH dedupe; one vectorized float64 pass per Arrow batch does the
+    same math in the same order."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def sim(va, vb):
+        import pandas as pd
+
+        n = len(va)
+        ok = np.fromiter(
+            (
+                a is not None and b is not None and len(a) == dim and len(b) == dim
+                for a, b in zip(va, vb)
+            ),
+            dtype=bool,
+            count=n,
+        )
+        res = np.full(n, np.nan, dtype=np.float64)
+        if ok.any():
+            A = np.asarray([np.asarray(a, dtype=np.float64) for a, o in zip(va, ok) if o])
+            B = np.asarray([np.asarray(b, dtype=np.float64) for b, o in zip(vb, ok) if o])
+            dot = np.zeros(len(A))
+            na = np.zeros(len(A))
+            nb = np.zeros(len(A))
+            for i in range(dim):  # ascending-dim adds — the Column fold order
+                dot += A[:, i] * B[:, i]
+                na += A[:, i] * A[:, i]
+                nb += B[:, i] * B[:, i]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(invalid="ignore"):
+                s = np.where(denom == 0, np.nan, dot / np.where(denom == 0, 1.0, denom))
+            res[ok] = _round6_half_up(s)
+        out = pd.array(res, dtype="Float64")
+        out[np.isnan(res)] = pd.NA  # → SQL NULL, matching try_divide
+        return pd.Series(out)
+
+    return sim
+
+
 def cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,
@@ -160,31 +257,41 @@ def cosine_dup_pairs(
         dim = len(embeddings.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, bands * band_planes, seed)
     v = F.col(vec_col).cast("array<double>")
-    band_buckets = F.array(
-        *[
-            _bucket_expr(v, planes[j * band_planes : (j + 1) * band_planes])
-            for j in range(bands)
-        ]
-    )
+    # Arrow bucketing kernel: one vectorized pass computes all 12 band
+    # buckets per row (the plan-literal _bucket_expr form carries
+    # bands·band_planes·dim literals and evaluates its fold lambdas
+    # interpreted — measured as the dominant cost of this operator)
+    band_buckets = _lsh_buckets_udf(planes, bands, band_planes)(v)
+    # narrow posting: ids only — carrying the float vectors through the
+    # banded self-join shuffles |candidates| × 2 vectors (~1 KB/row at
+    # dim=64) where 16-byte id pairs suffice; the vectors re-attach AFTER
+    # the candidate pairs are deduped, so each unique pair's verify cosine
+    # is also computed exactly once instead of once per colliding band
     posting = embeddings.select(
         F.col(id_col).alias("id"),
-        v.alias("v"),
         F.posexplode(band_buckets).alias("band", "bucket"),
     )
     a, b = posting.alias("a"), posting.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = embeddings.select(F.col(id_col).alias("__vid"), v.alias("__vv"))
+    return (
+        cand.join(vecs, cand.id_a == vecs["__vid"])
+        .select("id_a", "id_b", F.col("__vv").alias("va"))
+        .join(vecs, F.col("id_b") == vecs["__vid"])
+        .select(
+            "id_a",
+            "id_b",
+            _pair_cosine_udf(dim)(F.col("va"), F.col("__vv")).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 
@@ -296,16 +403,74 @@ def train_ivf_centroids(
     return C
 
 
+def _ivf_assign_udf(centroids):
+    """Arrow assignment kernel: per row, the 1-based argmax-cosine list with
+    the EXACT semantics of the Column form — per-dim products accumulated
+    left-to-right in ascending dim order (the ``F.aggregate`` fold), 6-dp
+    half-up rounding, zero-norm/NULL/wrong-length → the -2.0 sentinel for
+    every list (→ list 1 after the lowest-index tiebreak).  Centroids ride
+    the closure, so the plan carries zero per-centroid literals — the
+    Column form's n_lists·dim literal matrix costs Catalyst ~1.5 s of
+    planning at 16×64 (measured), per fresh plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    n_lists, dim = C.shape
+    # centroid norms with the same scalar fold order as sqrt(_dot(c, c))
+    cn = np.empty(n_lists)
+    for li in range(n_lists):
+        acc = 0.0
+        for i in range(dim):
+            acc += float(C[li, i]) * float(C[li, i])
+        cn[li] = np.sqrt(acc)
+
+    @pandas_udf("int")
+    def assign(vs):
+        import pandas as pd
+
+        n = len(vs)
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vs), dtype=bool, count=n
+        )
+        out = np.ones(n, dtype=np.int32)  # invalid rows → all-sentinel → list 1
+        if ok.any():
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v, o in zip(vs, ok) if o])
+            # row norms: ascending-dim accumulation, matching the Column fold
+            acc = np.zeros(len(X))
+            for i in range(dim):
+                acc += X[:, i] * X[:, i]
+            vnorm = np.sqrt(acc)
+            sims = np.empty((len(X), n_lists))
+            for li in range(n_lists):
+                dot = np.zeros(len(X))
+                for i in range(dim):
+                    dot += X[:, i] * C[li, i]
+                denom = vnorm * cn[li]
+                with np.errstate(invalid="ignore"):
+                    s = np.where(denom == 0, np.nan, dot / np.where(denom == 0, 1.0, denom))
+                sims[:, li] = np.where(np.isnan(s), -2.0, _round6_half_up(s))
+            out[ok] = np.argmax(sims, axis=1).astype(np.int32) + 1
+        return pd.Series(out)
+
+    return assign
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "arrow",
 ) -> DataFrame:
     """Add a 1-based ``list_id`` column: the max-cosine centroid (ties →
     lowest list id; zero-norm vectors → list of the -2.0 sentinel, i.e.
-    list 1 after ties).  Pure Column algebra — the centroid matrix rides as
-    plan literals, assignment is one narrow projection, no shuffle.
+    list 1 after ties).  One narrow projection, no shuffle.
+
+    ``method='arrow'`` (default): centroids ride the UDF closure — constant
+    plan size (the scale path; at 16 lists × 64 dims the literal matrix
+    costs Catalyst ~1.5 s of planning per fresh plan, measured).
+    ``method='column'``: the plan-literal Column form, zero Python —
+    bit-identical values (parity pytest-pinned).
 
     Write side at scale: persist ``partitionBy("list_id")`` so probe-time
     ``isin`` filters prune partitions (same pattern as LSH buckets).
@@ -313,7 +478,11 @@ def ivf_assign(
     oracle twin (cross-join + window argmax over the same rounded cosine)
     agrees exactly.
     """
+    if method not in ("arrow", "column"):
+        raise ValueError(f"method must be 'arrow' or 'column', got {method!r}")
     v = F.col(vec_col).cast("array<double>")
+    if method == "arrow":
+        return embeddings.withColumn("list_id", _ivf_assign_udf(centroids)(v))
     sims = F.array(
         *[
             F.coalesce(
@@ -522,7 +691,9 @@ def _pq_lut(books: np.ndarray, q: np.ndarray) -> list[list[float]]:
             acc = 0.0
             for i in range(d):
                 acc += (float(q[j * d + i]) - float(books[j][c][i])) ** 2
-            row.append(round(acc, 6))
+            # half-away-from-zero like F.round/DuckDB — Python round() is
+            # half-even and would diverge on exact 0.5e-6 boundaries
+            row.append(float(_round6_half_up(np.float64(acc))))
         out.append(row)
     return out
 
@@ -853,6 +1024,58 @@ def pq_encode(
     return embeddings.withColumn("codes", F.array(*code_cols))
 
 
+def _adc_scan_udf(luts: dict[int, np.ndarray] | np.ndarray):
+    """Arrow ADC scan kernel: ``codes (+ list_id) → Σ_j LUT[j][codes[j]]``,
+    rounded half-up to 6 dp.  The LUT ships in the closure (one broadcast
+    per query), so the plan carries ZERO per-centroid literals — the
+    plan-literal Column form costs Catalyst seconds of planning at
+    nprobe·m·k literals (same trap as the encode side, measured and
+    documented in SURVEY §10).  The per-j add order is ascending, identical
+    to the Column fold and the SQL twins, so values agree bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    per_list = isinstance(luts, dict)
+    tables = (
+        {int(k_): np.ascontiguousarray(v, dtype=np.float64) for k_, v in luts.items()}
+        if per_list
+        else {0: np.ascontiguousarray(luts, dtype=np.float64)}
+    )
+
+    if per_list:
+
+        @pandas_udf("double")
+        def adist(codes, list_id):
+            import pandas as pd
+
+            C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+            ids = list_id.to_numpy(dtype="int64")
+            out = np.empty(len(C), dtype=np.float64)
+            for li, L in tables.items():
+                mask = ids == li
+                if mask.any():
+                    sub = C[mask]
+                    acc = np.zeros(mask.sum(), dtype=np.float64)
+                    for j in range(L.shape[0]):
+                        acc += L[j, sub[:, j]]
+                    out[mask] = _round6_half_up(acc)
+            return pd.Series(out)
+
+    else:
+
+        @pandas_udf("double")
+        def adist(codes):
+            import pandas as pd
+
+            C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+            L = tables[0]
+            acc = np.zeros(len(C), dtype=np.float64)
+            for j in range(L.shape[0]):
+                acc += L[j, C[:, j]]
+            return pd.Series(_round6_half_up(acc))
+
+    return adist
+
+
 def pq_topk(
     encoded: DataFrame,
     codebooks,
@@ -861,13 +1084,19 @@ def pq_topk(
     rescore: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "arrow",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: the query's per-subspace distance to
-    every centroid is a tiny ``m × k`` lookup table computed ONCE (as plan
-    literals here; broadcast in spirit), and each row's approximate distance
-    is ``Σ_j LUT[j][codes[j]]`` — m array lookups and adds per row, no
-    float-vector arithmetic anywhere in the scan.  Output
-    ``(id_col, adist)`` ascending (ties → id).
+    every centroid is a tiny ``m × k`` lookup table computed ONCE, and each
+    row's approximate distance is ``Σ_j LUT[j][codes[j]]`` — m array lookups
+    and adds per row, no float-vector arithmetic anywhere in the scan.
+    Output ``(id_col, adist)`` ascending (ties → id).
+
+    ``method='arrow'`` (default): the LUT rides the UDF closure and the scan
+    is one vectorized gather-accumulate per Arrow batch — constant plan
+    size.  ``method='column'``: the plan-literal Column form (m·k literals;
+    Catalyst planning cost grows with the codebook — retained as the
+    no-Python twin, bit-identical values).
 
     ``rescore > 0`` re-ranks that many ADC finalists by exact cosine and
     returns ``(id_col, sim)`` descending — the IVF/int8 two-stage pattern;
@@ -877,23 +1106,31 @@ def pq_topk(
     Scale: the ADC scan reads codes only (4 B/row at 8×16) — the cheapest
     candidate generator in the family; LUT cost is O(m·k·d) once per query.
     """
+    if method not in ("arrow", "column"):
+        raise ValueError(f"method must be 'arrow' or 'column', got {method!r}")
     books = np.asarray(codebooks, dtype=np.float64)
     m, k, d = books.shape
     q = np.asarray(query_vec, dtype=np.float64)
     lut = _pq_lut(books, q)
-    adist = None
-    for j in range(m):
-        lut_j = F.array(*[F.lit(x) for x in lut[j]])
-        t = F.get(lut_j, F.get("codes", j))
-        adist = t if adist is None else adist + t
-    scored = encoded.select(F.col(id_col), F.round(adist, 6).alias("adist"))
     # null-masked rows (NULL/wrong-length embeddings get NULL codes from the
     # Arrow encoder, hence NULL adist) are not candidates: Spark ASC sorts
-    # NULLS FIRST, which would put them at the head of the top-k (ADVICE r3)
-    cands = (
-        scored.filter(F.col("adist").isNotNull())
-        .orderBy(F.col("adist").asc(), F.col(id_col))
-        .limit(rescore if rescore > 0 else topk)
+    # NULLS FIRST, which would put them at the head of the top-k (ADVICE r3).
+    # Filter on the cheap codes column, NOT on adist — a predicate on the
+    # projected alias would be pushed below the projection and re-evaluate
+    # the whole LUT sum a second time per row.
+    live = encoded.filter(F.col("codes").isNotNull())
+    if method == "arrow":
+        adist_col = _adc_scan_udf(np.asarray(lut))(F.col("codes"))
+        scored = live.select(F.col(id_col), adist_col.alias("adist"))
+    else:
+        adist = None
+        for j in range(m):
+            lut_j = F.array(*[F.lit(x) for x in lut[j]])
+            t = F.get(lut_j, F.get("codes", j))
+            adist = t if adist is None else adist + t
+        scored = live.select(F.col(id_col), F.round(adist, 6).alias("adist"))
+    cands = scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(
+        rescore if rescore > 0 else topk
     )
     if rescore <= 0:
         return cands
@@ -945,44 +1182,57 @@ def ivfpq_topk(
     rescore: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "arrow",
 ) -> DataFrame:
     """IVFADC search: probe the ``nprobe`` coarse lists nearest the query
     (:func:`ivf_probes` — ``isin`` partition pruning), and inside each
     probed list rank by the PQ approximate distance of the query's
     PER-LIST residual (``q − centroid[list]``) — one m×k LUT per probed
-    list, all plan literals.  Output ``(id_col, adist)`` ascending (ties →
-    id), or exact-cosine rescore of ``rescore`` finalists when requested.
+    list.  Output ``(id_col, adist)`` ascending (ties → id), or
+    exact-cosine rescore of ``rescore`` finalists when requested.
+
+    ``method='arrow'`` (default): the nprobe LUTs ride the UDF closure —
+    constant plan size regardless of nprobe·m·k (the plan-literal form
+    builds a nested CASE WHEN of nprobe·m·k literals, which costs Catalyst
+    real planning time — same measured trap as the encode side, SURVEY
+    §10).  ``method='column'`` retains that no-Python twin, bit-identical.
 
     Scale: bytes read ≈ |corpus| × nprobe/n_lists × 4 B — the two prunings
     compose multiplicatively; this is the standard billion-vector recipe.
     """
+    if method not in ("arrow", "column"):
+        raise ValueError(f"method must be 'arrow' or 'column', got {method!r}")
     books = np.asarray(codebooks, dtype=np.float64)
     m, k, d = books.shape
     probes = ivf_probes(centroids, query_vec, nprobe)
     q = np.asarray(query_vec, dtype=np.float64)
-
-    adist = None
-    for li in probes:
-        lut = _pq_lut(books, q - np.asarray(centroids[li - 1], dtype=np.float64))
-        t = None
-        for j in range(m):
-            lut_j = F.array(*[F.lit(x) for x in lut[j]])
-            term = F.get(lut_j, F.get("codes", j))
-            t = term if t is None else t + term
-        adist = (
-            F.when(F.col("list_id") == li, t)
-            if adist is None
-            else adist.when(F.col("list_id") == li, t)
-        )
-    scored = (
-        encoded.filter(F.col("list_id").isin(probes))
-        .select(F.col(id_col), F.round(adist, 6).alias("adist"))
-    )
-    # exclude null-code rows (NULL adist would sort NULLS FIRST — ADVICE r3)
-    cands = (
-        scored.filter(F.col("adist").isNotNull())
-        .orderBy(F.col("adist").asc(), F.col(id_col))
-        .limit(rescore if rescore > 0 else topk)
+    luts = {
+        li: np.asarray(_pq_lut(books, q - np.asarray(centroids[li - 1], dtype=np.float64)))
+        for li in probes
+    }
+    # exclude null-code rows (NULL adist would sort NULLS FIRST — ADVICE r3);
+    # predicate on codes, not adist, so the scoring expression is not
+    # re-evaluated below the projection
+    live = encoded.filter(F.col("list_id").isin(probes) & F.col("codes").isNotNull())
+    if method == "arrow":
+        adist_col = _adc_scan_udf(luts)(F.col("codes"), F.col("list_id"))
+        scored = live.select(F.col(id_col), adist_col.alias("adist"))
+    else:
+        adist = None
+        for li in probes:
+            t = None
+            for j in range(m):
+                lut_j = F.array(*[F.lit(float(x)) for x in luts[li][j]])
+                term = F.get(lut_j, F.get("codes", j))
+                t = term if t is None else t + term
+            adist = (
+                F.when(F.col("list_id") == li, t)
+                if adist is None
+                else adist.when(F.col("list_id") == li, t)
+            )
+        scored = live.select(F.col(id_col), F.round(adist, 6).alias("adist"))
+    cands = scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(
+        rescore if rescore > 0 else topk
     )
     if rescore <= 0:
         return cands

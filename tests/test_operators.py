@@ -2254,3 +2254,49 @@ def test_pq_codebooks_grouped_equals_driver(spark, sf_dir):
         similarity.train_pq_codebooks(
             emb.limit(3), m=8, k=16, sample=64, method="grouped"
         )
+
+
+def test_arrow_kernels_match_column_twins(spark, sf_dir):
+    """r4 perf rework: the Arrow closure kernels (LSH bucketing, IVF
+    assignment, ADC scans, pair-cosine verify) must be bit-identical to the
+    plan-literal Column forms they replaced as defaults."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # sign-LSH single-bucket
+    a = {r.vec_id: r.bucket for r in
+         similarity.build_lsh_buckets(emb, n_planes=12, dim=64, method="arrow")
+         .select("vec_id", "bucket").collect()}
+    c = {r.vec_id: r.bucket for r in
+         similarity.build_lsh_buckets(emb, n_planes=12, dim=64, method="column")
+         .select("vec_id", "bucket").collect()}
+    assert a == c
+    # IVF assignment (incl. sentinel rows)
+    C = similarity.train_ivf_centroids(emb, n_lists=8, sample=128, iters=4)
+    cents = [list(map(float, row)) for row in C]
+    bad = spark.createDataFrame(
+        [(900001, None), (900002, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    both = emb.select("vec_id", "embedding").unionByName(bad)
+    aa = {r.vec_id: r.list_id for r in
+          similarity.ivf_assign(both, cents, method="arrow").collect()}
+    cc = {r.vec_id: r.list_id for r in
+          similarity.ivf_assign(both, cents, method="column").collect()}
+    assert aa == cc and aa[900001] == 1 and aa[900002] == 1
+    # ADC scans
+    books = similarity.train_pq_codebooks(emb, m=8, k=8, sample=128)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    enc = similarity.pq_encode(emb, books)
+    ra = [(r.vec_id, r.adist) for r in
+          similarity.pq_topk(enc, books, q, topk=30, method="arrow").collect()]
+    rc = [(r.vec_id, r.adist) for r in
+          similarity.pq_topk(enc, books, q, topk=30, method="column").collect()]
+    assert ra == rc
+    enc2 = similarity.ivfpq_encode(emb, cents, books)
+    ia = [(r.vec_id, r.adist) for r in
+          similarity.ivfpq_topk(enc2, cents, books, q, topk=30, method="arrow").collect()]
+    ic = [(r.vec_id, r.adist) for r in
+          similarity.ivfpq_topk(enc2, cents, books, q, topk=30, method="column").collect()]
+    assert ia == ic
+    with __import__("pytest").raises(ValueError, match="method must be"):
+        similarity.ivf_assign(emb, cents, method="sql")
