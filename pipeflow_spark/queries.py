@@ -10,7 +10,12 @@ row-count + schema + order-insensitive value-hash comparison meaningful:
 * every float output is ``round(x, 4..6)`` on both sides (sum/avg order
   differences between engines live far below that);
 * every non-deterministic choice (ties, "first") is pinned by an explicit
-  total order.
+  total order;
+* every DuckDB integer-sum output is ``CAST(... AS BIGINT)`` — DuckDB
+  promotes ``sum`` over INTEGER/BIGINT to HUGEINT (int128), which a
+  pandas/Arrow materialization silently floats to '1234.0' against Spark's
+  '1234' (the r3 driver hash-mismatch root cause; gated by
+  ``tests/test_oracle_types.py``).
 
 Reference parity notes cite /root/reference file:line where the operator
 mirrors a PipeFlow behavior.
