@@ -38,7 +38,8 @@ def oracle_sql() -> dict[str, str]:
     SQL literals), seven full streaming chains over the events table
     (committed exactly-once output ≡ batch SQL), and both multimodal decode
     queries (real stdlib BMP/WAV/AVI codecs vs closed-form generate_series
-    twins) are oracle-checked; only genuinely non-SQL-expressible ops
-    (HLL sketch values, synthetic-transcript streaming e2e ×2) remain
-    rows-only."""
+    twins) are oracle-checked, and both synthetic-transcript streaming e2e
+    chains carry literal-pinned oracles (deterministic seed-42 generator →
+    constant committed output, independently re-derived batch-side in
+    tests/test_streaming.py); only HLL sketch values remain rows-only."""
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -3523,7 +3523,56 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
-@register("stream_join_replies_e2e", None)  # streaming: rows-only driver check
+@register(
+    "stream_join_replies_e2e",
+    """
+    -- literal-pinned oracle; re-derived batch-side by
+    -- tests/test_streaming.py::test_stream_e2e_pins_match_batch_derivation
+    SELECT * FROM (VALUES
+      ('conv_00000', 11, 31),
+      ('conv_00001', 1, 1),
+      ('conv_00002', 1, 1),
+      ('conv_00003', 2, 4),
+      ('conv_00004', 3, 7),
+      ('conv_00005', 10, 28),
+      ('conv_00006', 12, 34),
+      ('conv_00007', 2, 4),
+      ('conv_00008', 1, 1),
+      ('conv_00009', 1, 1),
+      ('conv_00010', 2, 4),
+      ('conv_00011', 1, 1),
+      ('conv_00012', 1, 1),
+      ('conv_00013', 7, 19),
+      ('conv_00014', 2, 4),
+      ('conv_00015', 6, 16),
+      ('conv_00016', 1, 1),
+      ('conv_00017', 2, 4),
+      ('conv_00018', 1, 1),
+      ('conv_00019', 6, 16),
+      ('conv_00020', 5, 13),
+      ('conv_00021', 3, 7),
+      ('conv_00022', 1, 1),
+      ('conv_00023', 1, 1),
+      ('conv_00024', 24, 70),
+      ('conv_00025', 1, 1),
+      ('conv_00026', 1, 1),
+      ('conv_00027', 6, 16),
+      ('conv_00028', 16, 46),
+      ('conv_00029', 1, 1),
+      ('conv_00030', 8, 22),
+      ('conv_00031', 1, 1),
+      ('conv_00032', 1, 1),
+      ('conv_00033', 2, 4),
+      ('conv_00034', 1, 1),
+      ('conv_00035', 2, 4),
+      ('conv_00036', 1, 1),
+      ('conv_00037', 1, 1),
+      ('conv_00038', 2, 4),
+      ('conv_00039', 1, 1)
+    ) AS t(conv_id, n_pairs, last_reply_turn)
+    ORDER BY conv_id
+    """,
+)
 def stream_join_replies_e2e(spark, sf_dir):
     """North-rule stream-stream join end-to-end: user turns ⋈ assistant/tool
     replies on (conv_id, turn_idx+1) within a reply-delay bound, both sides
@@ -4701,7 +4750,84 @@ def stream_state_open_windows_oracle(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
-@register("stream_tumbling_e2e", None)  # streaming: rows-only driver check
+@register(
+    "stream_tumbling_e2e",
+    """
+    -- literal-pinned oracle (gen_transcripts_profile pattern): the stream
+    -- input is a pure function of (seed=42, n_convs=40, late_frac=0), so the
+    -- committed exactly-once output is a constant; the pin is independently
+    -- re-derived from the synthesized batch frame (no streaming machinery)
+    -- by tests/test_streaming.py::test_stream_e2e_pins_match_batch_derivation
+    SELECT * FROM (VALUES
+      (TIMESTAMP '2025-01-01 00:45:00', 'conv_00000', 13, 12),
+      (TIMESTAMP '2025-01-01 00:50:00', 'conv_00000', 15, 27),
+      (TIMESTAMP '2025-01-01 00:55:00', 'conv_00000', 5, 32),
+      (TIMESTAMP '2025-01-01 02:40:00', 'conv_00001', 3, 2),
+      (TIMESTAMP '2025-01-01 04:10:00', 'conv_00002', 3, 2),
+      (TIMESTAMP '2025-01-01 01:10:00', 'conv_00003', 6, 5),
+      (TIMESTAMP '2025-01-01 04:15:00', 'conv_00004', 1, 0),
+      (TIMESTAMP '2025-01-01 04:20:00', 'conv_00004', 8, 8),
+      (TIMESTAMP '2025-01-01 01:50:00', 'conv_00005', 15, 14),
+      (TIMESTAMP '2025-01-01 01:55:00', 'conv_00005', 15, 29),
+      (TIMESTAMP '2025-01-01 04:50:00', 'conv_00006', 12, 11),
+      (TIMESTAMP '2025-01-01 04:55:00', 'conv_00006', 15, 26),
+      (TIMESTAMP '2025-01-01 05:00:00', 'conv_00006', 9, 35),
+      (TIMESTAMP '2025-01-01 03:25:00', 'conv_00007', 5, 4),
+      (TIMESTAMP '2025-01-01 03:30:00', 'conv_00007', 1, 5),
+      (TIMESTAMP '2025-01-01 03:15:00', 'conv_00008', 3, 2),
+      (TIMESTAMP '2025-01-01 01:00:00', 'conv_00009', 3, 2),
+      (TIMESTAMP '2025-01-01 02:45:00', 'conv_00010', 6, 5),
+      (TIMESTAMP '2025-01-01 05:05:00', 'conv_00011', 3, 2),
+      (TIMESTAMP '2025-01-01 00:05:00', 'conv_00012', 3, 2),
+      (TIMESTAMP '2025-01-01 04:30:00', 'conv_00013', 6, 5),
+      (TIMESTAMP '2025-01-01 04:35:00', 'conv_00013', 15, 20),
+      (TIMESTAMP '2025-01-01 02:55:00', 'conv_00014', 6, 5),
+      (TIMESTAMP '2025-01-01 04:15:00', 'conv_00015', 3, 2),
+      (TIMESTAMP '2025-01-01 04:20:00', 'conv_00015', 15, 17),
+      (TIMESTAMP '2025-01-01 03:55:00', 'conv_00016', 3, 2),
+      (TIMESTAMP '2025-01-01 02:35:00', 'conv_00017', 6, 5),
+      (TIMESTAMP '2025-01-01 01:50:00', 'conv_00018', 3, 2),
+      (TIMESTAMP '2025-01-01 03:45:00', 'conv_00019', 13, 12),
+      (TIMESTAMP '2025-01-01 03:50:00', 'conv_00019', 5, 17),
+      (TIMESTAMP '2025-01-01 00:50:00', 'conv_00020', 14, 13),
+      (TIMESTAMP '2025-01-01 00:55:00', 'conv_00020', 1, 14),
+      (TIMESTAMP '2025-01-01 03:30:00', 'conv_00021', 9, 8),
+      (TIMESTAMP '2025-01-01 00:30:00', 'conv_00022', 3, 2),
+      (TIMESTAMP '2025-01-01 03:50:00', 'conv_00023', 3, 2),
+      (TIMESTAMP '2025-01-01 03:45:00', 'conv_00024', 11, 10),
+      (TIMESTAMP '2025-01-01 03:50:00', 'conv_00024', 15, 25),
+      (TIMESTAMP '2025-01-01 03:55:00', 'conv_00024', 15, 40),
+      (TIMESTAMP '2025-01-01 04:00:00', 'conv_00024', 15, 55),
+      (TIMESTAMP '2025-01-01 04:05:00', 'conv_00024', 15, 70),
+      (TIMESTAMP '2025-01-01 04:10:00', 'conv_00024', 1, 71),
+      (TIMESTAMP '2025-01-01 00:30:00', 'conv_00025', 3, 2),
+      (TIMESTAMP '2025-01-01 04:30:00', 'conv_00026', 3, 2),
+      (TIMESTAMP '2025-01-01 02:25:00', 'conv_00027', 1, 0),
+      (TIMESTAMP '2025-01-01 02:30:00', 'conv_00027', 15, 15),
+      (TIMESTAMP '2025-01-01 02:35:00', 'conv_00027', 2, 17),
+      (TIMESTAMP '2025-01-01 04:40:00', 'conv_00028', 6, 5),
+      (TIMESTAMP '2025-01-01 04:45:00', 'conv_00028', 15, 20),
+      (TIMESTAMP '2025-01-01 04:50:00', 'conv_00028', 15, 35),
+      (TIMESTAMP '2025-01-01 04:55:00', 'conv_00028', 12, 47),
+      (TIMESTAMP '2025-01-01 00:10:00', 'conv_00029', 1, 0),
+      (TIMESTAMP '2025-01-01 00:15:00', 'conv_00029', 2, 2),
+      (TIMESTAMP '2025-01-01 01:00:00', 'conv_00030', 2, 1),
+      (TIMESTAMP '2025-01-01 01:05:00', 'conv_00030', 15, 16),
+      (TIMESTAMP '2025-01-01 01:10:00', 'conv_00030', 7, 23),
+      (TIMESTAMP '2025-01-01 02:55:00', 'conv_00031', 3, 2),
+      (TIMESTAMP '2025-01-01 01:05:00', 'conv_00032', 3, 2),
+      (TIMESTAMP '2025-01-01 01:55:00', 'conv_00033', 4, 3),
+      (TIMESTAMP '2025-01-01 02:00:00', 'conv_00033', 2, 5),
+      (TIMESTAMP '2025-01-01 03:55:00', 'conv_00034', 3, 2),
+      (TIMESTAMP '2025-01-01 00:50:00', 'conv_00035', 6, 5),
+      (TIMESTAMP '2025-01-01 04:00:00', 'conv_00036', 3, 2),
+      (TIMESTAMP '2025-01-01 00:35:00', 'conv_00037', 3, 2),
+      (TIMESTAMP '2025-01-01 01:00:00', 'conv_00038', 6, 5),
+      (TIMESTAMP '2025-01-01 03:30:00', 'conv_00039', 3, 2)
+    ) AS t(ws, conv_id, n, max_turn)
+    ORDER BY conv_id, ws
+    """,
+)
 def stream_tumbling_e2e(spark, sf_dir):
     """Full micro-batch CEP chain end-to-end: deterministic transcript stream →
     watermark → stateful dedupe → tumbling per-conv window agg → exactly-once

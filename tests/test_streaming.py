@@ -2129,3 +2129,51 @@ def test_span_guard_compaction_counts_exactly_once(spark, tmp_path):
     g(spark.createDataFrame([(2, "a b c d z z")], schema), 2)
     clean = {r.doc_id: r for r in g.read_clean(spark).collect()}
     assert clean[2].clean_text == "z z"
+
+
+def test_stream_e2e_pins_match_batch_derivation():
+    """The literal-pinned oracles of stream_tumbling_e2e /
+    stream_join_replies_e2e (upgraded from rows-only in r4) re-derived from
+    the synthesized batch frame with plain pandas — no streaming machinery,
+    no Spark — so the pins are justified independently of the code they
+    certify.  Any change to the generator laws or the chain semantics must
+    re-pin BOTH the oracle and this derivation."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from pipeflow_spark.streaming.transcripts import synthesize_transcripts
+
+    pdf = synthesize_transcripts(n_convs=40, n_files=4, seed=42, late_frac=0.0)
+
+    # tumbling chain: dedupe(conv, turn) is identity on the generator (one
+    # row per (conv, turn) by construction), tumbling 5-min count + max turn
+    tum = (
+        pdf.assign(ws=pdf.ts.dt.floor("5min"))
+        .groupby(["ws", "conv_id"], as_index=False)
+        .agg(n=("turn_idx", "count"), max_turn=("turn_idx", "max"))
+        .sort_values(["conv_id", "ws"])
+    )
+    oracle = duckdb.sql(entry_mod.oracle_sql()["stream_tumbling_e2e"]).df()
+    got = set(map(tuple, oracle.assign(ws=pd.to_datetime(oracle.ws)).itertuples(index=False)))
+    want = set(map(tuple, tum[["ws", "conv_id", "n", "max_turn"]].itertuples(index=False)))
+    assert got == want
+
+    # reply join: r.turn == u.turn + 1, same conv, 0 <= r.ts - u.ts <= 10 min
+    users = pdf[pdf.role == "user"]
+    replies = pdf[pdf.role.isin(["assistant", "tool"])]
+    m = users.merge(replies, on="conv_id", suffixes=("_u", "_a"))
+    m = m[
+        (m.turn_idx_a == m.turn_idx_u + 1)
+        & (m.ts_a >= m.ts_u)
+        & (m.ts_a <= m.ts_u + pd.Timedelta(minutes=10))
+    ]
+    jn = (
+        m.groupby("conv_id", as_index=False)
+        .agg(n_pairs=("turn_idx_a", "count"), last_reply_turn=("turn_idx_a", "max"))
+        .sort_values("conv_id")
+    )
+    oracle2 = duckdb.sql(entry_mod.oracle_sql()["stream_join_replies_e2e"]).df()
+    got2 = set(map(tuple, oracle2.itertuples(index=False)))
+    want2 = set(map(tuple, jn[["conv_id", "n_pairs", "last_reply_turn"]].itertuples(index=False)))
+    assert got2 == want2
