@@ -403,26 +403,55 @@ def train_ivf_centroids(
     return C
 
 
-def _ivf_assign_udf(centroids):
-    """Arrow assignment kernel: per row, the 1-based argmax-cosine list with
-    the EXACT semantics of the Column form — per-dim products accumulated
-    left-to-right in ascending dim order (the ``F.aggregate`` fold), 6-dp
-    half-up rounding, zero-norm/NULL/wrong-length → the -2.0 sentinel for
-    every list (→ list 1 after the lowest-index tiebreak).  Centroids ride
-    the closure, so the plan carries zero per-centroid literals — the
-    Column form's n_lists·dim literal matrix costs Catalyst ~1.5 s of
-    planning at 16×64 (measured), per fresh plan."""
-    from pyspark.sql.functions import pandas_udf
-
-    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+def _centroid_norms(C: np.ndarray) -> np.ndarray:
+    """Centroid L2 norms with the same scalar fold order as
+    ``sqrt(_dot(c, c))`` — one float64 add per ascending dim."""
     n_lists, dim = C.shape
-    # centroid norms with the same scalar fold order as sqrt(_dot(c, c))
     cn = np.empty(n_lists)
     for li in range(n_lists):
         acc = 0.0
         for i in range(dim):
             acc += float(C[li, i]) * float(C[li, i])
         cn[li] = np.sqrt(acc)
+    return cn
+
+
+def _assign_matrix(X: np.ndarray, C: np.ndarray, cn: np.ndarray) -> np.ndarray:
+    """0-based argmax-cosine list per row of ``X`` — the single home for the
+    assignment math: per-dim products accumulated left-to-right in ascending
+    dim order (the ``F.aggregate`` fold), 6-dp half-up rounding, zero-norm →
+    the -2.0 sentinel (→ list 0 after the first-maximum tiebreak).  Shared
+    by the standalone assignment kernel and the fused IVFADC encoder so the
+    two are bit-identical by construction."""
+    n_lists, dim = C.shape
+    acc = np.zeros(len(X))
+    for i in range(dim):  # row norms: ascending-dim accumulation
+        acc += X[:, i] * X[:, i]
+    vnorm = np.sqrt(acc)
+    sims = np.empty((len(X), n_lists))
+    for li in range(n_lists):
+        dot = np.zeros(len(X))
+        for i in range(dim):
+            dot += X[:, i] * C[li, i]
+        denom = vnorm * cn[li]
+        with np.errstate(invalid="ignore"):
+            s = np.where(denom == 0, np.nan, dot / np.where(denom == 0, 1.0, denom))
+        sims[:, li] = np.where(np.isnan(s), -2.0, _round6_half_up(s))
+    return np.argmax(sims, axis=1)
+
+
+def _ivf_assign_udf(centroids):
+    """Arrow assignment kernel: per row, the 1-based argmax-cosine list with
+    the EXACT semantics of the Column form (see :func:`_assign_matrix`);
+    NULL/wrong-length rows → the all-sentinel argmax → list 1.  Centroids
+    ride the closure, so the plan carries zero per-centroid literals — the
+    Column form's n_lists·dim literal matrix costs Catalyst ~1.5 s of
+    planning at 16×64 (measured), per fresh plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    dim = C.shape[1]
+    cn = _centroid_norms(C)
 
     @pandas_udf("int")
     def assign(vs):
@@ -435,21 +464,7 @@ def _ivf_assign_udf(centroids):
         out = np.ones(n, dtype=np.int32)  # invalid rows → all-sentinel → list 1
         if ok.any():
             X = np.asarray([np.asarray(v, dtype=np.float64) for v, o in zip(vs, ok) if o])
-            # row norms: ascending-dim accumulation, matching the Column fold
-            acc = np.zeros(len(X))
-            for i in range(dim):
-                acc += X[:, i] * X[:, i]
-            vnorm = np.sqrt(acc)
-            sims = np.empty((len(X), n_lists))
-            for li in range(n_lists):
-                dot = np.zeros(len(X))
-                for i in range(dim):
-                    dot += X[:, i] * C[li, i]
-                denom = vnorm * cn[li]
-                with np.errstate(invalid="ignore"):
-                    s = np.where(denom == 0, np.nan, dot / np.where(denom == 0, 1.0, denom))
-                sims[:, li] = np.where(np.isnan(s), -2.0, _round6_half_up(s))
-            out[ok] = np.argmax(sims, axis=1).astype(np.int32) + 1
+            out[ok] = _assign_matrix(X, C, cn).astype(np.int32) + 1
         return pd.Series(out)
 
     return assign
@@ -946,6 +961,46 @@ def _pq_codes_udf(books: np.ndarray):
     return _enc
 
 
+def _ivfpq_fused_udf(books: np.ndarray, centroids):
+    """Fused IVFADC encoder: coarse assignment AND residual PQ codes in ONE
+    Arrow pass — the embedding column (the widest column in the table)
+    crosses the JVM↔Python boundary once instead of twice (assign UDF +
+    encode UDF), and only ``(list_id, codes)`` come back.  Assignment math
+    is :func:`_assign_matrix`, residual encode is
+    :func:`_pq_accumulate_codes` — the exact kernels of the two-stage path,
+    so fused ≡ staged bit-for-bit (parity pytest-pinned).  Invalid rows
+    (NULL/wrong-length) keep the two-stage semantics: list 1 (all-sentinel
+    argmax) with NULL codes."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, k, d = books.shape
+    B = np.ascontiguousarray(books, dtype=np.float64)
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    dim = C.shape[1]
+    cn = _centroid_norms(C)
+
+    @pandas_udf("struct<list_id:int, codes:array<int>>")
+    def enc(vs: pd.Series) -> pd.DataFrame:
+        n = len(vs)
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vs), dtype=bool, count=n
+        )
+        lists_out = np.ones(n, dtype=np.int32)
+        codes_out: list = [None] * n
+        if ok.any():
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v, o in zip(vs, ok) if o])
+            li0 = _assign_matrix(X, C, cn)
+            lists_out[ok] = li0.astype(np.int32) + 1
+            codes = _pq_accumulate_codes(X - C[li0], B)
+            it = iter(codes)
+            for pos, o in enumerate(ok):
+                if o:
+                    codes_out[pos] = next(it).tolist()
+        return pd.DataFrame({"list_id": lists_out, "codes": codes_out})
+
+    return enc
+
+
 def _ivfpq_codes_udf(books: np.ndarray, centroids):
     """Residual PQ codes in one Arrow pass: subtract the row's coarse
     centroid (``v − C[list_id−1]``, float64 elementwise — the same
@@ -1146,6 +1201,7 @@ def ivfpq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "fused",
 ) -> DataFrame:
     """IVFADC encoding (Jégou et al. TPAMI'11 §IV): assign each vector to
     its coarse inverted list (:func:`ivf_assign`), then PQ-encode the
@@ -1153,20 +1209,29 @@ def ivfpq_encode(
     a small codebook quantizes them far better than raw vectors, which is
     why every billion-scale system (FAISS IVFADC) uses this composition.
 
-    Adds ``list_id`` (1-based) and ``codes`` (m small ints).  Coarse
-    assignment is Column algebra (centroid literals); residual encode runs
-    the Arrow pandas-UDF kernel (``_ivfpq_codes_udf``) — the residual
-    subtraction and the ascending-dim distance fold happen in one
-    vectorized float64 pass per batch, in the identical add order as the
-    Column form, with NULL/wrong-length embeddings masked to NULL codes
-    rather than crashing the batch (same null behavior as
-    :func:`pq_encode`).  Write partitioned by ``list_id``: probe-time
-    pruning then reads nprobe/n_lists of a corpus whose data column is
-    4 bytes/row.
+    Adds ``list_id`` (1-based) and ``codes`` (m small ints).
+    ``method='fused'`` (default): ONE Arrow pass does assignment + residual
+    encode — the embedding column (the fattest column of an ingest at
+    100 TB) crosses the JVM↔Python boundary once and only 5 bytes/row come
+    back.  ``method='staged'``: :func:`ivf_assign` then the residual
+    encoder — for callers that already carry ``list_id``.  Same kernels,
+    bit-identical outputs (parity pytest-pinned); NULL/wrong-length
+    embeddings get list 1 with NULL codes in both.  Write partitioned by
+    ``list_id``: probe-time pruning then reads nprobe/n_lists of a corpus
+    whose data column is 4 bytes/row.
     """
+    if method not in ("fused", "staged"):
+        raise ValueError(f"method must be 'fused' or 'staged', got {method!r}")
     books = np.asarray(codebooks, dtype=np.float64)
-    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
     v = F.col(vec_col).cast("array<double>")
+    if method == "fused":
+        out = embeddings.withColumn("__enc", _ivfpq_fused_udf(books, centroids)(v))
+        return out.select(
+            *embeddings.columns,
+            F.col("__enc.list_id").alias("list_id"),
+            F.col("__enc.codes").alias("codes"),
+        )
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
     return assigned.withColumn(
         "codes", _ivfpq_codes_udf(books, centroids)(v, F.col("list_id"))
     )

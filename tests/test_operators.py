@@ -2300,3 +2300,25 @@ def test_arrow_kernels_match_column_twins(spark, sf_dir):
     assert ia == ic
     with __import__("pytest").raises(ValueError, match="method must be"):
         similarity.ivf_assign(emb, cents, method="sql")
+
+
+def test_ivfpq_fused_encode_equals_staged(spark, sf_dir):
+    """r4: the fused one-pass IVFADC encoder (assign + residual codes in a
+    single Arrow round-trip) must equal the staged path bit-for-bit,
+    including the invalid-row semantics (list 1, NULL codes)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    C = similarity.train_ivf_centroids(emb, n_lists=8, sample=128, iters=4)
+    cents = [list(map(float, row)) for row in C]
+    books = similarity.train_pq_codebooks(emb, m=8, k=8, sample=128)
+    bad = spark.createDataFrame(
+        [(900001, None), (900002, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    both = emb.select("vec_id", "embedding").unionByName(bad)
+    f = {r.vec_id: (r.list_id, r.codes) for r in
+         similarity.ivfpq_encode(both, cents, books, method="fused").collect()}
+    s = {r.vec_id: (r.list_id, r.codes) for r in
+         similarity.ivfpq_encode(both, cents, books, method="staged").collect()}
+    assert f == s
+    assert f[900001] == (1, None) and f[900002] == (1, None)
+    with __import__("pytest").raises(ValueError, match="method must be"):
+        similarity.ivfpq_encode(both, cents, books, method="twostep")
