@@ -96,10 +96,9 @@ def _lsh_buckets_udf(planes: np.ndarray, bands: int, band_planes: int):
         import pandas as pd
 
         n = len(vs)
-        ok = np.fromiter((v is not None and len(v) == dim for v in vs), dtype=bool, count=n)
+        ok, X = _rows_matrix(vs, dim)
         out = np.zeros((n, bands), dtype=np.int64)
         if ok.any():
-            X = np.asarray([np.asarray(v, dtype=np.float64) for v, o in zip(vs, ok) if o])
             acc = np.zeros((len(X), n_planes))
             for i in range(dim):  # ascending-dim adds — the Column fold order
                 acc += X[:, i, None] * P[None, :, i]
@@ -458,12 +457,9 @@ def _ivf_assign_udf(centroids):
         import pandas as pd
 
         n = len(vs)
-        ok = np.fromiter(
-            (v is not None and len(v) == dim for v in vs), dtype=bool, count=n
-        )
+        ok, X = _rows_matrix(vs, dim)
         out = np.ones(n, dtype=np.int32)  # invalid rows → all-sentinel → list 1
         if ok.any():
-            X = np.asarray([np.asarray(v, dtype=np.float64) for v, o in zip(vs, ok) if o])
             out[ok] = _assign_matrix(X, C, cn).astype(np.int32) + 1
         return pd.Series(out)
 
@@ -501,7 +497,7 @@ def ivf_assign(
     sims = F.array(
         *[
             F.coalesce(
-                F.round(cosine(v, F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")), 6),
+                _round6_col(cosine(v, F.array(*[F.lit(float(x)) for x in c]).cast("array<double>"))),
                 F.lit(-2.0),
             )
             for c in centroids
@@ -782,6 +778,13 @@ def train_pq_codebooks(
     grouped ≡ driver bit-for-bit (property-pinned in
     ``test_pq_codebooks_grouped_equals_driver``).
 
+    .. note:: The per-subspace seeding changed the training draws in r4
+       (previously one rng threaded sequentially through the subspaces), so
+       codebooks retrained with identical arguments differ from pre-r4
+       books.  Codes are only meaningful against the codebooks they were
+       encoded with — persist books alongside codes and re-encode when
+       retraining, as with any quantizer version bump.
+
     A code is then ``m`` small ints (m=8, k=16 → 8 nibbles = 4 bytes/vec vs
     512 B of float64 — a 128× compression of the scan column; int8
     quantization (:func:`quantize_embeddings`) stops at 8×).
@@ -855,7 +858,11 @@ def _train_pq_grouped(
         import pandas as pd
 
         j = int(pdf["j"].iloc[0])
-        pdf = pdf.sort_values("rid")
+        # mergesort = stable: with duplicate ids an unstable sort could order
+        # tied rows differently per group (and differently from the driver
+        # path), changing the k-means init draws (code-review r4).  id_col
+        # should still be unique — it is the sample's total order.
+        pdf = pdf.sort_values("rid", kind="mergesort")
         S = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["sub"]])
         if len(S) < k:
             raise ValueError(
@@ -887,16 +894,29 @@ def _round6_half_up(x: np.ndarray) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
 
+def _round6_col(x: Column) -> Column:
+    """Column twin of :func:`_round6_half_up`: explicit float-math
+    half-away-from-zero to 6 dp (``signum(x)·⌊|x|·1e6 + 0.5⌋/1e6``).  The
+    JVM evaluates the identical IEEE-754 double multiply/add/floor sequence
+    as the numpy kernel, so arrow and column method twins agree
+    BY CONSTRUCTION — ``F.round`` on DOUBLE rounds via BigDecimal over the
+    shortest decimal repr, which can differ from float-math rounding by one
+    last digit when a value lands within ~1 ulp of a .5e-6 boundary (and
+    DuckDB's ``round`` is float-math, i.e. on the kernel's side)."""
+    return F.signum(x) * F.floor(F.abs(x) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
 def _sub_sqdist(v: Column, j: int, centroid, d: int) -> Column:
     """Rounded squared L2 distance between subvector j of ``v`` and a
     centroid literal — the shared kernel of encode and LUT, so both engines
     (and both stages) agree bit-for-bit.  Left-to-right sum over ascending
-    dims, rounded to 6 dp."""
+    dims, rounded to 6 dp with the float-math mode (:func:`_round6_col`)
+    the numpy twins use."""
     acc = None
     for i in range(d):
         t = (F.get(v, j * d + i) - F.lit(float(centroid[i]))) ** 2
         acc = t if acc is None else acc + t
-    return F.round(acc, 6)
+    return _round6_col(acc)
 
 
 def _pq_accumulate_codes(X: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -982,13 +1002,10 @@ def _ivfpq_fused_udf(books: np.ndarray, centroids):
     @pandas_udf("struct<list_id:int, codes:array<int>>")
     def enc(vs: pd.Series) -> pd.DataFrame:
         n = len(vs)
-        ok = np.fromiter(
-            (v is not None and len(v) == dim for v in vs), dtype=bool, count=n
-        )
+        ok, X = _rows_matrix(vs, dim)
         lists_out = np.ones(n, dtype=np.int32)
         codes_out: list = [None] * n
         if ok.any():
-            X = np.asarray([np.asarray(v, dtype=np.float64) for v, o in zip(vs, ok) if o])
             li0 = _assign_matrix(X, C, cn)
             lists_out[ok] = li0.astype(np.int32) + 1
             codes = _pq_accumulate_codes(X - C[li0], B)
@@ -1076,7 +1093,14 @@ def pq_encode(
     for j in range(m):
         dists = F.array(*[_sub_sqdist(v, j, books[j][c], d) for c in range(k)])
         code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return embeddings.withColumn("codes", F.array(*code_cols))
+    # invalid rows (NULL/wrong-length embedding) must get a whole-NULL codes
+    # column like the udf path — the raw F.array would yield an array OF
+    # NULL elements, which passes a codes-IS-NOT-NULL guard and then
+    # poisons the ADC scan (code-review r4)
+    valid = v.isNotNull() & (F.size(v) == m * d)
+    return embeddings.withColumn(
+        "codes", F.when(valid, F.array(*code_cols)).otherwise(F.lit(None))
+    )
 
 
 def _adc_scan_udf(luts: dict[int, np.ndarray] | np.ndarray):
@@ -1173,7 +1197,9 @@ def pq_topk(
     # Filter on the cheap codes column, NOT on adist — a predicate on the
     # projected alias would be pushed below the projection and re-evaluate
     # the whole LUT sum a second time per row.
-    live = encoded.filter(F.col("codes").isNotNull())
+    live = encoded.filter(
+        F.col("codes").isNotNull() & F.forall(F.col("codes"), lambda c: c.isNotNull())
+    )
     if method == "arrow":
         adist_col = _adc_scan_udf(np.asarray(lut))(F.col("codes"))
         scored = live.select(F.col(id_col), adist_col.alias("adist"))
@@ -1183,7 +1209,7 @@ def pq_topk(
             lut_j = F.array(*[F.lit(x) for x in lut[j]])
             t = F.get(lut_j, F.get("codes", j))
             adist = t if adist is None else adist + t
-        scored = live.select(F.col(id_col), F.round(adist, 6).alias("adist"))
+        scored = live.select(F.col(id_col), _round6_col(adist).alias("adist"))
     cands = scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(
         rescore if rescore > 0 else topk
     )
@@ -1278,7 +1304,11 @@ def ivfpq_topk(
     # exclude null-code rows (NULL adist would sort NULLS FIRST — ADVICE r3);
     # predicate on codes, not adist, so the scoring expression is not
     # re-evaluated below the projection
-    live = encoded.filter(F.col("list_id").isin(probes) & F.col("codes").isNotNull())
+    live = encoded.filter(
+        F.col("list_id").isin(probes)
+        & F.col("codes").isNotNull()
+        & F.forall(F.col("codes"), lambda c: c.isNotNull())
+    )
     if method == "arrow":
         adist_col = _adc_scan_udf(luts)(F.col("codes"), F.col("list_id"))
         scored = live.select(F.col(id_col), adist_col.alias("adist"))
@@ -1295,7 +1325,7 @@ def ivfpq_topk(
                 if adist is None
                 else adist.when(F.col("list_id") == li, t)
             )
-        scored = live.select(F.col(id_col), F.round(adist, 6).alias("adist"))
+        scored = live.select(F.col(id_col), _round6_col(adist).alias("adist"))
     cands = scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(
         rescore if rescore > 0 else topk
     )

@@ -103,6 +103,25 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if iceberg_wh:
+        # getOrCreate returns any pre-existing session and silently ignores
+        # builder configs (and spark.jars.packages only takes effect at JVM
+        # launch) — verify the catalog actually registered so the flip can't
+        # silently fall back to parquet (code-review r4)
+        from .catalog import DEFAULT_CATALOG
+
+        registered = spark.conf.get(f"spark.sql.catalog.{DEFAULT_CATALOG}", None)
+        if not registered:
+            import warnings
+
+            warnings.warn(
+                "PIPEFLOW_ICEBERG_WAREHOUSE is set but a SparkSession already "
+                "existed in this process, so the Iceberg runtime/catalog "
+                "configs were NOT applied — TableCatalog will fall back to "
+                "the parquet backend.  Set the env var before the first "
+                "get_spark() call (fresh process).",
+                stacklevel=2,
+            )
     return spark
 
 

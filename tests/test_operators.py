@@ -2322,3 +2322,31 @@ def test_ivfpq_fused_encode_equals_staged(spark, sf_dir):
     assert f[900001] == (1, None) and f[900002] == (1, None)
     with __import__("pytest").raises(ValueError, match="method must be"):
         similarity.ivfpq_encode(both, cents, books, method="twostep")
+
+
+def test_pq_column_encode_invalid_rows_whole_null_and_scan_safe(spark):
+    """code-review r4: the column encoder previously emitted an array OF
+    NULL elements for invalid rows — non-null, so it passed the scan's
+    codes-IS-NOT-NULL guard and poisoned the ADC ranking.  Both encode
+    paths must now yield a whole-NULL codes column, and the scans must
+    exclude NULL-element arrays defensively even on hand-built tables."""
+    books = [[[0.0, 0.0], [5.0, 5.0]], [[0.0, 0.0], [-5.0, -5.0]]]
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.1, 0.2]), (2, None), (3, [1.0, 2.0])],
+        "vec_id int, embedding array<double>",
+    )
+    got = {r.vec_id: r.codes for r in
+           similarity.pq_encode(df, books, method="column").select("vec_id", "codes").collect()}
+    assert got[1] == [0, 0] and got[2] is None and got[3] is None
+    q = [0.0, 0.0, 5.0, 5.0]
+    for method in ("arrow", "column"):
+        enc = similarity.pq_encode(df, books, method="column")
+        ids = [r.vec_id for r in similarity.pq_topk(enc, books, q, topk=3, method=method).collect()]
+        assert ids == [1], (method, ids)
+    # hand-built table with a NULL-element codes array: scans must drop it
+    hand = spark.createDataFrame(
+        [(1, [0, 0]), (2, [None, 0])], "vec_id int, codes array<int>"
+    )
+    for method in ("arrow", "column"):
+        ids = [r.vec_id for r in similarity.pq_topk(hand, books, q, topk=3, method=method).collect()]
+        assert ids == [1], (method, ids)

@@ -119,7 +119,14 @@ def main() -> None:
 
     # -- machine-readable artifact -------------------------------------------
     os.makedirs(os.path.join(REPO, "bench_artifacts"), exist_ok=True)
-    seq = 1 + len(glob.glob(os.path.join(REPO, "bench_artifacts", "certify_*.json")))
+    # next = max existing sequence + 1 (a count would overwrite history when
+    # the sequence has gaps — code-review r4)
+    existing = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "bench_artifacts", "certify_*.json"))
+        if (m := re.search(r"certify_(\d+)\.json$", p))
+    ]
+    seq = max(existing, default=0) + 1
     art = os.path.join(REPO, "bench_artifacts", f"certify_{seq:03d}.json")
     with open(art, "w") as f:
         json.dump(
