@@ -281,7 +281,14 @@ def cosine_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = embeddings.select(F.col(id_col).alias("__vid"), v.alias("__vv"))
+    # the re-attach joins assume one vector per id: a duplicated id would
+    # multiply candidate rows into duplicate (id_a, id_b) pairs with
+    # possibly different sims (ADVICE r4), so collapse to one vector per id
+    # up front (ids are unique in every caller — this guard keeps the
+    # one-vector-per-id contract explicit rather than implicit)
+    vecs = embeddings.select(
+        F.col(id_col).alias("__vid"), v.alias("__vv")
+    ).dropDuplicates(["__vid"])
     return (
         cand.join(vecs, cand.id_a == vecs["__vid"])
         .select("id_a", "id_b", F.col("__vv").alias("va"))
@@ -1057,6 +1064,47 @@ def _ivfpq_codes_udf(books: np.ndarray, centroids):
     return _enc
 
 
+def codebook_fingerprint(arr, kind: str = "pq-codebooks-v2") -> str:
+    """Short content hash of a quantizer artifact (PQ codebooks / IVF
+    centroids): sha256 over a version tag + shape + the float64 bytes.
+
+    The r4 move to per-subspace seeding changed training draws, so books
+    retrained with identical arguments differ from pre-r4 books — codes are
+    only meaningful against the exact books they were encoded with (ADVICE
+    r4).  The encoders stamp this fingerprint into the ``codes`` column's
+    field metadata (which Spark persists through parquet round-trips), and
+    the searchers re-derive it from the books they're handed: a stale-books
+    skew raises instead of silently degrading recall.
+    """
+    import hashlib
+
+    B = np.ascontiguousarray(np.asarray(arr, dtype=np.float64))
+    h = hashlib.sha256()
+    h.update(kind.encode())
+    h.update(str(B.shape).encode())
+    h.update(B.tobytes())
+    return h.hexdigest()[:16]
+
+
+def _check_codes_fingerprint(encoded: DataFrame, expected: dict[str, str]) -> None:
+    """Raise if the ``codes`` field metadata carries a quantizer fingerprint
+    that disagrees with the artifacts supplied to the searcher.  Absent
+    metadata (codes produced elsewhere) skips the check — the guard is
+    opt-out-by-omission, never a new requirement on external codes."""
+    field = next((f_ for f_ in encoded.schema.fields if f_.name == "codes"), None)
+    if field is None or not field.metadata:
+        return
+    for key, want in expected.items():
+        got = field.metadata.get(key)
+        if got is not None and got != want:
+            raise ValueError(
+                f"quantizer version skew: codes column metadata {key}={got!r} "
+                f"but the supplied artifact hashes to {want!r} — searching "
+                "with mismatched codebooks/centroids silently degrades recall; "
+                "re-encode, or load the books persisted next to these codes"
+            )
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks,
@@ -1083,12 +1131,15 @@ def pq_encode(
     books = np.asarray(codebooks, dtype=np.float64)
     m, k, d = books.shape
     v = F.col(vec_col).cast("array<double>")
+    meta = {"pq_fingerprint": codebook_fingerprint(books)}
     if method == "udf":
         # the scale default: one Arrow batch pass.  The Column form below is
         # plan-literal-only and its m*k*d expression tree costs ~10 s of
         # Catalyst planning per fresh plan at 8x16x8 — planning, not rows,
         # dominates it (measured flat from 500 to 5000 rows)
-        return embeddings.withColumn("codes", _pq_codes_udf(books)(v))
+        return embeddings.withColumn(
+            "codes", _pq_codes_udf(books)(v)
+        ).withMetadata("codes", meta)
     code_cols = []
     for j in range(m):
         dists = F.array(*[_sub_sqdist(v, j, books[j][c], d) for c in range(k)])
@@ -1100,7 +1151,7 @@ def pq_encode(
     valid = v.isNotNull() & (F.size(v) == m * d)
     return embeddings.withColumn(
         "codes", F.when(valid, F.array(*code_cols)).otherwise(F.lit(None))
-    )
+    ).withMetadata("codes", meta)
 
 
 def _adc_scan_udf(luts: dict[int, np.ndarray] | np.ndarray):
@@ -1126,9 +1177,15 @@ def _adc_scan_udf(luts: dict[int, np.ndarray] | np.ndarray):
         def adist(codes, list_id):
             import pandas as pd
 
+            if len(codes) == 0:
+                return pd.Series([], dtype=np.float64)
             C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
             ids = list_id.to_numpy(dtype="int64")
-            out = np.empty(len(C), dtype=np.float64)
+            # NaN-init: a list_id with no LUT entry stays NaN (→ NULL adist,
+            # excluded by the caller's null handling) instead of whatever
+            # bytes np.empty happened to hand back (ADVICE r4) — the kernel
+            # no longer depends on the caller pre-filtering isin(probes)
+            out = np.full(len(C), np.nan, dtype=np.float64)
             for li, L in tables.items():
                 mask = ids == li
                 if mask.any():
@@ -1145,6 +1202,10 @@ def _adc_scan_udf(luts: dict[int, np.ndarray] | np.ndarray):
         def adist(codes):
             import pandas as pd
 
+            # empty Arrow batch: np.asarray([]) is 1-D, so C[:, j] would
+            # raise IndexError (ADVICE r4)
+            if len(codes) == 0:
+                return pd.Series([], dtype=np.float64)
             C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
             L = tables[0]
             acc = np.zeros(len(C), dtype=np.float64)
@@ -1188,6 +1249,7 @@ def pq_topk(
     if method not in ("arrow", "column"):
         raise ValueError(f"method must be 'arrow' or 'column', got {method!r}")
     books = np.asarray(codebooks, dtype=np.float64)
+    _check_codes_fingerprint(encoded, {"pq_fingerprint": codebook_fingerprint(books)})
     m, k, d = books.shape
     q = np.asarray(query_vec, dtype=np.float64)
     lut = _pq_lut(books, q)
@@ -1250,17 +1312,21 @@ def ivfpq_encode(
         raise ValueError(f"method must be 'fused' or 'staged', got {method!r}")
     books = np.asarray(codebooks, dtype=np.float64)
     v = F.col(vec_col).cast("array<double>")
+    meta = {
+        "pq_fingerprint": codebook_fingerprint(books),
+        "ivf_fingerprint": codebook_fingerprint(centroids, kind="ivf-centroids-v1"),
+    }
     if method == "fused":
         out = embeddings.withColumn("__enc", _ivfpq_fused_udf(books, centroids)(v))
         return out.select(
             *embeddings.columns,
             F.col("__enc.list_id").alias("list_id"),
             F.col("__enc.codes").alias("codes"),
-        )
+        ).withMetadata("codes", meta)
     assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
     return assigned.withColumn(
         "codes", _ivfpq_codes_udf(books, centroids)(v, F.col("list_id"))
-    )
+    ).withMetadata("codes", meta)
 
 
 def ivfpq_topk(
@@ -1294,6 +1360,13 @@ def ivfpq_topk(
     if method not in ("arrow", "column"):
         raise ValueError(f"method must be 'arrow' or 'column', got {method!r}")
     books = np.asarray(codebooks, dtype=np.float64)
+    _check_codes_fingerprint(
+        encoded,
+        {
+            "pq_fingerprint": codebook_fingerprint(books),
+            "ivf_fingerprint": codebook_fingerprint(centroids, kind="ivf-centroids-v1"),
+        },
+    )
     m, k, d = books.shape
     probes = ivf_probes(centroids, query_vec, nprobe)
     q = np.asarray(query_vec, dtype=np.float64)

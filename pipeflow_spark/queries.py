@@ -6806,135 +6806,19 @@ def probe_types_numeric(spark, sf_dir):
 
 
 _ORDER = [
-    # --- r4 certification window: the driver certifies the FIRST 50 entries.
-    # Head: 3 driver-environment type probes, then the four repaired r3 rows,
-    # then ~43 never-driver-certified entries (VERDICT r3 rotation ask) so
-    # every operator family earns a driver row across r2+r3+r4.  Everything
-    # past the window was driver-certified in an earlier round (or is one of
-    # the remaining never-certified entries queued for r5) and is re-verified
-    # every session by tools/certify_all.py.
+    # --- r5 certification window: the driver certifies the FIRST 50 entries.
+    # Head: 3 driver-environment type probes, then the 30 entries that had
+    # never earned a driver CORRECTNESS row in r1-r4 (VERDICT r4 rotation ask
+    # -- mostly stream_* oracles), then 17 flagship pads re-certifying the
+    # highest-value rotated-out queries.  Green here closes the ledger: every
+    # one of the 151 registry entries then has a driver row in some round.
     "probe_types_core",
     "probe_types_bool",
     "probe_types_numeric",
-    "curate_training_corpus",
-    "stream_budget_cap_oracle",
-    "stream_turn_rate_spikes_oracle",
-    "stream_curation_gate_oracle",
-    "q2_groupwise_min_price",
-    "q4_exists_late_orders",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_value_concentration",
-    "q12_priority_by_linestatus",
-    "q15_top_revenue_supplier",
-    "q16_notin_supplier_cnt",
-    "q20_promo_heavy_suppliers",
-    "q21_lone_late_supplier",
-    "q22_dormant_customers",
-    "tfidf_keywords",
-    "bm25_search",
-    "mmr_diverse_topk",
-    "embed_quantized_topk",
-    "embed_pq_topk",
-    "embed_ivfpq_topk",
-    "bpe_merge_rules",
-    "pruned_scan_orders",
-    "avro_roundtrip_events",
-    "udtf_json_props",
-    "gen_transcripts_profile",
-    "turn_rate_spikes",
-    "budget_cap",
-    "dup_span_profile",
-    "pattern_funnel_sessions",
-    "conversation_branching",
-    "stream_branching_oracle",
-    "validate_with_results",
-    "hist_quantiles_events",
-    "contamination_audit",
-    "dedup_keep_best",
-    "chunk_documents",
-    "stratified_sample_sources",
-    "weighted_sample_topk",
-    "event_transition_matrix",
-    "change_feed_orders",
-    "unpivot_lineitem_measures",
-    "grouping_multi",
-    "set_ops_multi",
-    "window_ntile_quartiles",
-    # --- past the certification boundary (earlier-round-certified + r5 queue)
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_local_supplier_volume",
-    "q18_large_volume_orders",
-    "stream_events_tumbling_oracle",
-    "stream_events_sliding_oracle",
-    "stream_events_session_oracle",
-    "stream_events_transcripts_oracle",
-    "stream_events_join_oracle",
-    "left_outer_join_custdist",
-    "full_outer_join_daily_recon",
-    "scalar_subquery_below_half_avg",
-    "semi_anti_joins",
-    "broadcast_join_brand_revenue",
-    "asof_join_prev_event",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embed_cosine",
-    "embed_cosine_topk",
-    "decontaminate_ngram",
-    "relational_core",
-    "validate_skip_counts",
-    "json_path_props",
-    "stream_neardup_guard_oracle",
-    "stream_window_topk_oracle",
-    "stream_multi_source_union_oracle",
-    "sessionize_events",
-    "session_transcripts",
-    "salted_agg_events",
-    "multimodal_features",
-    "stream_left_join_unanswered_oracle",
-    "domain_pagerank",
-    "hybrid_rrf_search",
-    "bpe_token_counts",
-    "stream_hist_quantiles_oracle",
-    "pretraining_batches",
-    "stream_pattern_funnel_oracle",
-    "dedup_exact_substr",
-    "exact_substr_clean",
-    "stream_scd2_dim_oracle",
-    "stream_span_guard_oracle",
-    "dedup_semantic",
-    "scd2_tier_enrich",
-    "window_topn_per_group",
-    "percentiles_by_type",
     "vocab_topk",
     "unigram_quality",
-    "window_lag_running",
-    "pivot_status_priority",
-    "text_profile",
-    "rollup_lineitem",
-    "embed_ann_lsh",
-    "embed_knn_blocked",
-    "embed_ivf_topk",
-    "lang_distribution",
-    "quality_histogram",
-    "uniform_sample_topk",
-    "flatmap_token_counts",
     "transform_dedupe_first",
-    "group_agg_events",
     "time_window_counts",
-    "corpus_report",
-    "pii_redaction",
-    "repetition_profile",
-    "split_train_val",
-    "corpus_mixture",
-    "pack_sequences",
-    "user_event_paths",
     "distinct_users_exact",
     "approx_distinct_users",
     "multimodal_frame_sample",
@@ -6961,6 +6845,122 @@ _ORDER = [
     "stream_fanout_atomic_oracle",
     "reply_latency_profile",
     "range_shard_stats",
+    "curate_training_corpus",
+    "stream_curation_gate_oracle",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier_volume",
+    "q18_large_volume_orders",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embed_cosine",
+    "embed_ivfpq_topk",
+    "json_path_props",
+    "asof_join_prev_event",
+    "sessionize_events",
+    "pretraining_batches",
+    "scd2_tier_enrich",
+    "window_topn_per_group",
+    # --- past the certification boundary (all driver-certified in r1-r4,
+    # re-verified every session by tools/certify_all.py + pytest regression)
+    "stream_budget_cap_oracle",
+    "stream_turn_rate_spikes_oracle",
+    "q2_groupwise_min_price",
+    "q4_exists_late_orders",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_value_concentration",
+    "q12_priority_by_linestatus",
+    "q15_top_revenue_supplier",
+    "q16_notin_supplier_cnt",
+    "q20_promo_heavy_suppliers",
+    "q21_lone_late_supplier",
+    "q22_dormant_customers",
+    "tfidf_keywords",
+    "bm25_search",
+    "mmr_diverse_topk",
+    "embed_quantized_topk",
+    "embed_pq_topk",
+    "bpe_merge_rules",
+    "pruned_scan_orders",
+    "avro_roundtrip_events",
+    "udtf_json_props",
+    "gen_transcripts_profile",
+    "turn_rate_spikes",
+    "budget_cap",
+    "dup_span_profile",
+    "pattern_funnel_sessions",
+    "conversation_branching",
+    "stream_branching_oracle",
+    "validate_with_results",
+    "hist_quantiles_events",
+    "contamination_audit",
+    "dedup_keep_best",
+    "chunk_documents",
+    "stratified_sample_sources",
+    "weighted_sample_topk",
+    "event_transition_matrix",
+    "change_feed_orders",
+    "unpivot_lineitem_measures",
+    "grouping_multi",
+    "set_ops_multi",
+    "window_ntile_quartiles",
+    "stream_events_tumbling_oracle",
+    "stream_events_sliding_oracle",
+    "stream_events_session_oracle",
+    "stream_events_transcripts_oracle",
+    "stream_events_join_oracle",
+    "left_outer_join_custdist",
+    "full_outer_join_daily_recon",
+    "scalar_subquery_below_half_avg",
+    "semi_anti_joins",
+    "broadcast_join_brand_revenue",
+    "dedup_clusters",
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "decontaminate_ngram",
+    "relational_core",
+    "validate_skip_counts",
+    "stream_neardup_guard_oracle",
+    "stream_window_topk_oracle",
+    "stream_multi_source_union_oracle",
+    "session_transcripts",
+    "salted_agg_events",
+    "multimodal_features",
+    "stream_left_join_unanswered_oracle",
+    "domain_pagerank",
+    "hybrid_rrf_search",
+    "bpe_token_counts",
+    "stream_hist_quantiles_oracle",
+    "stream_pattern_funnel_oracle",
+    "dedup_exact_substr",
+    "exact_substr_clean",
+    "stream_scd2_dim_oracle",
+    "stream_span_guard_oracle",
+    "dedup_semantic",
+    "percentiles_by_type",
+    "window_lag_running",
+    "pivot_status_priority",
+    "text_profile",
+    "rollup_lineitem",
+    "embed_ann_lsh",
+    "embed_knn_blocked",
+    "embed_ivf_topk",
+    "lang_distribution",
+    "quality_histogram",
+    "uniform_sample_topk",
+    "flatmap_token_counts",
+    "group_agg_events",
+    "corpus_report",
+    "pii_redaction",
+    "repetition_profile",
+    "split_train_val",
+    "corpus_mixture",
+    "pack_sequences",
+    "user_event_paths",
     "q10_returned_items",
     "q14_promo_revenue",
     "q19_disjunctive_predicates",

@@ -2183,6 +2183,93 @@ def test_pq_topk_excludes_null_code_rows(spark):
     assert ids2 == [1, 2]
 
 
+def test_adc_scan_unmatched_list_id_nan_not_garbage(spark):
+    """ADVICE r4 (medium): the per-list ADC kernel NaN-inits its output, so
+    a row whose list_id has no LUT entry yields NaN (sorts last under ASC)
+    instead of uninitialized np.empty memory — the kernel is safe even
+    without the caller's isin(probes) pre-filter."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    luts = {1: [[0.5, 1.5]]}  # m=1, k=2; list 2 deliberately absent
+    df = spark.createDataFrame(
+        [(1, 1, [0]), (2, 1, [1]), (3, 2, [0])],
+        "vec_id int, list_id int, codes array<int>",
+    )
+    rows = df.select(
+        "vec_id",
+        similarity._adc_scan_udf(
+            {k: __import__("numpy").asarray(v) for k, v in luts.items()}
+        )(F.col("codes"), F.col("list_id")).alias("adist"),
+    ).collect()
+    got = {r.vec_id: r.adist for r in rows}
+    assert got[1] == 0.5 and got[2] == 1.5
+    assert got[3] is None or math.isnan(got[3])
+
+
+def test_adc_scan_empty_input_no_error(spark):
+    """ADVICE r4 (low): an empty batch through the single-LUT ADC kernel
+    must not IndexError on the 1-D np.asarray([]) shape."""
+    books = [[[0.0, 0.0], [10.0, 10.0]], [[5.0, 5.0], [-5.0, -5.0]]]
+    df = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    enc = similarity.pq_encode(df, books)
+    assert similarity.pq_topk(enc, books, [0.0, 0.0, 5.0, 5.0], topk=3).collect() == []
+
+
+def test_cosine_dup_pairs_duplicate_ids_collapse(spark):
+    """ADVICE r4 (low): a duplicated id in the embeddings input must not
+    multiply candidate pairs into duplicate (id_a, id_b) output rows."""
+    base = [1.0] * 64
+    df = spark.createDataFrame(
+        [(1, base), (1, base), (2, base)],
+        "vec_id int, embedding array<double>",
+    )
+    rows = similarity.cosine_dup_pairs(df, threshold=0.9, dim=64).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == {(1, 2)}
+
+
+def test_pq_codebook_fingerprint_skew_raises(spark, tmp_path):
+    """ADVICE r4 (low): codes carry the training books' fingerprint in
+    column metadata (persisted through parquet); searching with different
+    books fails loudly instead of silently degrading recall.  Hand-built
+    codes without metadata skip the check."""
+    import pytest
+
+    books = [[[0.0, 0.0], [10.0, 10.0]], [[5.0, 5.0], [-5.0, -5.0]]]
+    other = [[[1.0, 1.0], [9.0, 9.0]], [[4.0, 4.0], [-4.0, -4.0]]]
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 4.0, 6.0]), (2, [9.0, 9.5, -4.0, -6.0])],
+        "vec_id int, embedding array<double>",
+    )
+    q = [0.0, 0.0, 5.0, 5.0]
+    enc = similarity.pq_encode(df, books)
+    assert len(similarity.pq_topk(enc, books, q, topk=2).collect()) == 2
+    with pytest.raises(ValueError, match="version skew"):
+        similarity.pq_topk(enc, other, q, topk=2)
+    # fingerprint survives a parquet round-trip (Spark persists field metadata)
+    path = str(tmp_path / "enc_pq")
+    enc.write.parquet(path)
+    back = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="version skew"):
+        similarity.pq_topk(back, other, q, topk=2)
+    # IVFADC: both books and centroids are pinned
+    cen = [[0.0, 0.0, 0.0, 0.0]]
+    enc2 = similarity.ivfpq_encode(df, cen, books)
+    assert len(similarity.ivfpq_topk(enc2, cen, books, q, topk=2, nprobe=1).collect()) == 2
+    with pytest.raises(ValueError, match="version skew"):
+        similarity.ivfpq_topk(enc2, cen, other, q, topk=2, nprobe=1)
+    with pytest.raises(ValueError, match="version skew"):
+        similarity.ivfpq_topk(enc2, [[9.0, 9.0, 9.0, 9.0]], books, q, topk=2, nprobe=1)
+    # external codes (no metadata) are never rejected
+    plain = spark.createDataFrame(
+        [(1, [0, 0]), (2, [1, 1])], "vec_id int, codes array<int>"
+    )
+    assert len(similarity.pq_topk(plain, books, q, topk=2).collect()) == 2
+
+
 def test_round6_half_up_matches_spark_and_duckdb(spark):
     """ADVICE r3: the numpy kernels' 6-dp rounding must be explicit
     half-away-from-zero, matching F.round (HALF_UP) and DuckDB round on
