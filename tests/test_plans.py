@@ -218,4 +218,13 @@ def test_registry_plan_totals(spark, sf_dir):
     assert len(audited) >= 45, "registry shrank unexpectedly"
     offenders = [name for name, m in rows if m and (m["row_py"] or m["cartesian"])]
     assert totals == {"row_py": 0, "cartesian": 0}, f"plan regressions in: {offenders}"
+    # json_path_props ticked 0.37→0.46 s at sf0.1 in the r4 bench with no
+    # plan change (host noise); pin its full plan shape so any future REAL
+    # regression (an extra shuffle, a lost pushdown, a Python fallback) is
+    # distinguishable from noise in one glance (VERDICT r4 #5)
+    jp = dict(rows)["json_path_props"]
+    assert jp == {
+        "scans": 1, "pushed": 0, "hash_ex": 1, "range_ex": 1, "bcast": 0,
+        "smj": 0, "arrow_py": 0, "row_py": 0, "cartesian": 0,
+    }, f"json_path_props plan shape changed: {jp}"
     mod.write_md(rows, totals, sf_dir)
