@@ -77,6 +77,12 @@ def get_spark(
         # executor-slice this stays far under executor overhead memory.
         .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "64")
         .config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "64")
+        # NOT set here: rocksdb.trackTotalNumberOfRows=false removes the
+        # read-before-write that maintains numRowsTotal — measured −29 % on
+        # the dedupe store's update time and −7 % full-chain wall (BENCH.md
+        # §1-quater, tools/stream_phase_audit.py) — but blinds rows-in-state
+        # observability.  Default stays true; flip it per-session for
+        # throughput-critical dedupe-heavy chains.
     )
     # Iceberg config flip (SURVEY §7.0 / catalog.py): one command online —
     #   PIPEFLOW_ICEBERG_WAREHOUSE=/path/to/wh python <job>.py
