@@ -62,10 +62,25 @@ def test_registry_window_is_50_and_leads_with_probes():
     names = list(QUERIES)
     assert len(names) >= 50
     assert names[:3] == ["probe_types_core", "probe_types_bool", "probe_types_numeric"]
-    repaired = {
-        "curate_training_corpus",
-        "stream_budget_cap_oracle",
-        "stream_turn_rate_spikes_oracle",
-        "stream_curation_gate_oracle",
+    # r5 rotation: the 30 entries that had no driver CORRECTNESS row across
+    # r1-r4 must all sit inside the certified window — green there closes
+    # the ledger (every registry entry then has a driver row in some round)
+    never_certified_r1_r4 = {
+        "vocab_topk", "unigram_quality", "transform_dedupe_first",
+        "time_window_counts", "distinct_users_exact", "approx_distinct_users",
+        "multimodal_frame_sample", "stream_enrich_static_oracle",
+        "stream_full_join_oracle", "session_dynamic_gap",
+        "stream_events_session_dynamic_oracle", "stream_heavy_hitters_oracle",
+        "stream_distinct_users_oracle", "stream_update_upsert_oracle",
+        "stream_scd2_enrich_oracle", "stream_state_open_windows_oracle",
+        "stream_join_replies_e2e", "stream_tumbling_e2e", "decontaminate_bloom",
+        "stream_asof_attribution_oracle", "stream_window_median_oracle",
+        "stream_decontaminate_oracle", "pattern_funnel_events",
+        "stream_validate_dlq_oracle", "dedup_conversations",
+        "stream_ivf_ingest_oracle", "stream_ivfpq_ingest_oracle",
+        "stream_fanout_atomic_oracle", "reply_latency_profile",
+        "range_shard_stats",
     }
-    assert repaired <= set(names[:50]), "repaired r3 rows must stay inside the window"
+    assert never_certified_r1_r4 <= set(names[:50]), (
+        "every never-driver-certified entry must be inside the r5 window"
+    )
