@@ -303,3 +303,47 @@ def write_sorted_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.3,
+    count_col: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling weights — the standard
+    multilingual/multi-source rebalancing rule (exponentiate each slice's
+    natural share and renormalize): ``w_g ∝ p_g^α`` with ``p_g`` the
+    slice's share of rows (or of ``count_col``, e.g. token counts).
+    ``α = 1`` keeps the natural mixture, ``α → 0`` approaches uniform;
+    pretraining blends typically use α ≈ 0.2–0.7 to up-weight small
+    slices without letting them dominate.
+
+    Returns ``(group_col, n, p, weight)`` ordered by slice — feed the
+    weights straight into :func:`mixture_filter` rates or a weighted
+    sampler.  One groupBy on the slice key; the result is
+    |slices|-sized.
+    """
+    size = F.count("*") if count_col is None else F.sum(count_col)
+    g = df.groupBy(group_col).agg(size.cast("double").alias("n"))
+    # totals via 1-row broadcast aggregates rather than an unpartitioned
+    # window — g is only |slices| rows, but the broadcast form keeps the
+    # plan single-partition-free on principle (and readable in the audit)
+    total = g.agg(F.sum("n").alias("_tot"))
+    p_tbl = g.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n",
+        (F.col("n") / F.col("_tot")).alias("p"),
+        F.pow(F.col("n") / F.col("_tot"), F.lit(float(alpha))).alias("pw"),
+    )
+    z = p_tbl.agg(F.sum("pw").alias("_z"))
+    scaled = p_tbl.crossJoin(F.broadcast(z)).withColumn(
+        "weight", F.col("pw") / F.col("_z")
+    )
+    return scaled.select(
+        group_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.round("p", ndigits).alias("p"),
+        F.round("weight", ndigits).alias("weight"),
+    ).orderBy(group_col)

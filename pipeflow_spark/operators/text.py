@@ -383,3 +383,71 @@ def bm25_topk(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 5,
+) -> DataFrame:
+    """Per-slice unigram KL divergence vs the whole corpus — the
+    data-mixture drift monitor a pretraining pipeline alarms on (a source
+    whose token distribution departs from the blend shifts the effective
+    mixture even when its document share is constant).
+
+    ``KL(P_s ‖ P) = Σ_t p_s(t) · ln(p_s(t) / p(t))`` computed exactly: every
+    token of slice *s* appears in the corpus, so ``support(P_s) ⊆
+    support(P)`` and no smoothing is needed.  Returns
+    ``(group_col, n_tokens, kl)`` ordered by slice.
+
+    Scale: one tokenize pass → ONE hash shuffle to (slice, token) counts —
+    everything after runs on that vocabulary-sized table (token-partition
+    window for corpus counts, slice groupBy for the sum); nothing
+    corpus-sized re-shuffles and nothing reaches the driver.
+    """
+    from ..session import spread
+
+    tok = (
+        spread(df)
+        .select(
+            group_col,
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), WHITESPACE)).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+    )
+    cst = tok.groupBy(group_col, "token").agg(
+        F.count("*").cast("double").alias("cst")
+    )
+    # per-slice and corpus totals as broadcast aggregates, NOT global
+    # windows: Window.partitionBy() would drag the whole vocabulary-sized
+    # count table through one partition (the same trap bm25_topk's 1-row
+    # stats broadcast avoids); the token-partitioned window is fine — it
+    # keys on the shuffle already paid for
+    w_tok = Window.partitionBy("token")
+    per_slice = cst.groupBy(group_col).agg(F.sum("cst").alias("ns"))
+    total = cst.agg(F.sum("cst").alias("n"))
+    terms = (
+        cst.withColumn("ct", F.sum("cst").over(w_tok))
+        .join(F.broadcast(per_slice), group_col)
+        .crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "cst",
+            (
+                (F.col("cst") / F.col("ns"))
+                * F.log((F.col("cst") / F.col("ns")) / (F.col("ct") / F.col("n")))
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy(group_col)
+        .agg(
+            F.sum("cst").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("term"), ndigits).alias("kl"),
+        )
+        .orderBy(group_col)
+    )

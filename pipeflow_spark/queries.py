@@ -37,6 +37,7 @@ from .operators import (
     dedupe,
     graph,
     heavy,
+    lm,
     multimodal,
     quantile,
     sampling,
@@ -2536,6 +2537,97 @@ def unigram_quality(spark, sf_dir):
     the vocabulary is never collected or broadcast (it scales with the
     corpus)."""
     return text.unigram_logprob(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "lm_perplexity_score",
+    r"""
+    WITH ta AS (SELECT doc_id, lang,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents),
+    pz AS (SELECT doc_id, lang, unnest(list_zip(a, a[2:])) AS p FROM ta),
+    big AS (
+      SELECT doc_id, lang, p[1] AS w, p[2] AS v FROM pz
+      WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL AND p[1] <> '' AND p[2] <> ''
+    ),
+    bi AS (SELECT w, v, CAST(count(*) AS DOUBLE) AS cwv
+           FROM big WHERE lang = 'en' GROUP BY w, v),
+    uni AS (SELECT w, sum(cwv) AS cw FROM bi GROUP BY w),
+    voc AS (
+      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS lm_v
+      FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+            FROM documents WHERE lang = 'en')
+      WHERE tok <> ''
+    ),
+    sc AS (
+      SELECT big.doc_id,
+             ln(coalesce(uni.cw, 0) + 0.5 * (SELECT lm_v FROM voc))
+             - ln(coalesce(bi.cwv, 0) + 0.5) AS nll
+      FROM big LEFT JOIN bi USING (w, v) LEFT JOIN uni USING (w)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 5) AS xent
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def lm_perplexity_score(spark, sf_dir):
+    """CCNet-recipe perplexity quality filter (Wenzek et al., LREC 2020):
+    an add-0.5 smoothed BIGRAM LM trained on the trusted slice
+    (``lang = 'en'``) scores every document's mean −ln P(v|w) — the
+    token-transition upgrade of `unigram_quality`'s unigram floor.  Plan:
+    one doc-keyed window shuffle for bigrams, vocabulary-sized count
+    shuffles for the model, and a scoring join that never carries more than
+    the candidate bigram stream (`operators/lm.py` documents the 100 TB
+    shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.lm_cross_entropy(docs, docs.filter(F.col("lang") == "en"))
+
+
+@register(
+    "corpus_divergence",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), tok2 AS (SELECT * FROM tok WHERE token <> ''),
+    cst AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS cst
+            FROM tok2 GROUP BY source, token),
+    x AS (
+      SELECT source, cst,
+             sum(cst) OVER (PARTITION BY token) AS ct,
+             sum(cst) OVER (PARTITION BY source) AS ns,
+             sum(cst) OVER () AS n
+      FROM cst
+    )
+    SELECT source, CAST(sum(cst) AS BIGINT) AS n_tokens,
+           round(sum((cst/ns) * ln((cst/ns)/(ct/n))), 5) AS kl
+    FROM x GROUP BY source ORDER BY source
+    """,
+)
+def corpus_divergence(spark, sf_dir):
+    """Per-source unigram KL divergence vs the corpus blend — the
+    data-mixture drift monitor (exact: slice support ⊆ corpus support, no
+    smoothing).  One tokenize pass → one (source, token) count shuffle;
+    everything downstream is vocabulary-sized."""
+    return text.source_divergence(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "mixture_temperature",
+    r"""
+    WITH g AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+               FROM documents GROUP BY source),
+    x AS (SELECT source, n, n / sum(n) OVER () AS p,
+                 pow(n / sum(n) OVER (), 0.3) AS pw FROM g)
+    SELECT source, CAST(n AS BIGINT) AS n, round(p, 6) AS p,
+           round(pw / sum(pw) OVER (), 6) AS weight
+    FROM x ORDER BY source
+    """,
+)
+def mixture_temperature(spark, sf_dir):
+    """Temperature-scaled (α = 0.3) source-mixture sampling weights —
+    the multilingual-pretraining rebalancing rule w_g ∝ p_g^α; feeds
+    `mixture_filter` rates.  One |sources|-sized groupBy."""
+    return sampling.temperature_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
 
 
 @register(
@@ -6965,6 +7057,9 @@ _ORDER = [
     "q14_promo_revenue",
     "q19_disjunctive_predicates",
     "range_join_price_bands",
+    "lm_perplexity_score",
+    "corpus_divergence",
+    "mixture_temperature",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

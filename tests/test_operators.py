@@ -2437,3 +2437,63 @@ def test_pq_column_encode_invalid_rows_whole_null_and_scan_safe(spark):
     for method in ("arrow", "column"):
         ids = [r.vec_id for r in similarity.pq_topk(hand, books, q, topk=3, method=method).collect()]
         assert ids == [1], (method, ids)
+
+
+def test_lm_cross_entropy_hand_math(spark):
+    """Add-k bigram LM against closed-form hand math: train 'a b a b'
+    (bigrams ab×2, ba×1; context counts a→2, b→1; V=2), k=0.5."""
+    import math
+
+    from pipeflow_spark.operators import lm
+
+    train = spark.createDataFrame([(1, "a b a b")], "doc_id int, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b z"), (3, "solo"), (4, "")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.xent) for r in
+           lm.lm_cross_entropy(docs, train).collect()}
+    # P(b|a) = (2+0.5)/(2+0.5*2) = 2.5/3
+    assert got[1] == (1, round(math.log(3 / 2.5), 5))
+    # unseen transition from seen context b: P(z|b) = 0.5/(1+1)
+    assert got[2] == (1, round(math.log(2 / 0.5), 5))
+    # <2 tokens → no bigrams → no row
+    assert 3 not in got and 4 not in got
+
+
+def test_source_divergence_hand_math(spark):
+    """Exact per-source unigram KL vs hand math (no smoothing needed:
+    slice support ⊆ corpus support)."""
+    import math
+
+    from pipeflow_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "s1", "a a b"), (2, "s2", "a b b b")],
+        "doc_id int, source string, text string",
+    )
+    got = {r.source: (r.n_tokens, r.kl) for r in
+           text_ops.source_divergence(df).collect()}
+    kl1 = (2 / 3) * math.log((2 / 3) / (3 / 7)) + (1 / 3) * math.log((1 / 3) / (4 / 7))
+    kl2 = (1 / 4) * math.log((1 / 4) / (3 / 7)) + (3 / 4) * math.log((3 / 4) / (4 / 7))
+    assert got["s1"] == (3, round(kl1, 5))
+    assert got["s2"] == (4, round(kl2, 5))
+
+
+def test_temperature_weights_hand_math(spark):
+    """w_g ∝ p_g^alpha renormalized; alpha=0.5 on a 1:9 split gives
+    sqrt shares 0.25 / 0.75."""
+    from pipeflow_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "small" if i == 0 else "big") for i in range(10)],
+        "doc_id int, source string",
+    )
+    got = {r.source: (r.n, r.p, r.weight) for r in
+           sampling.temperature_weights(df, alpha=0.5).collect()}
+    assert got["small"] == (1, 0.1, 0.25)
+    assert got["big"] == (9, 0.9, 0.75)
+    # alpha=1 keeps the natural mixture
+    nat = {r.source: r.weight for r in
+           sampling.temperature_weights(df, alpha=1.0).collect()}
+    assert nat == {"small": 0.1, "big": 0.9}
