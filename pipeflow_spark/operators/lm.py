@@ -22,9 +22,10 @@ smoothing mass.  Unseen contexts and OOV transitions degrade smoothly to
 it, so filtering thresholds on the cross-entropy directly.
 
 Scale shape (100 TB posture):
-* tokenize + bigram fan-out are map-only except ONE doc-keyed window
-  shuffle (lead over token position — the same shape as `dup span` and
-  `sessionize`);
+* tokenize + bigram fan-out are MAP-ONLY (each row zips its own token
+  array with its tail — no positional shuffle, and the same expression is
+  legal on a streaming DataFrame, which is what the streaming perplexity
+  gate rides);
 * the model tables are VOCABULARY-sized, not corpus-sized: bigram counts
   (one hash shuffle on (w, v)), context counts derived from them (one
   vocab-sized shuffle on w), V a 1-row aggregate.  Zipf makes both tables
@@ -41,41 +42,37 @@ Determinism/oracle parity: tokenization is the shared
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
 
 
-def _positioned_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, pos, token) with in-document positions — posexplode twin of
-    :func:`..operators.text.tokens` (which is order-free).  The '' filter
-    only ever drops the single phantom token of an empty/whitespace-only
-    document, so positions stay gapless wherever a bigram can exist."""
-    from ..session import spread
-
-    return (
-        spread(df)
-        .select(
-            id_col,
-            F.posexplode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-            ).alias("pos", "w"),
-        )
-        .filter(F.col("w") != "")
+def bigram_pairs_col(text_col: str):
+    """``array<struct<w,v>>`` of consecutive token pairs, computed per ROW
+    (zip the token array with its own tail) — MAP-ONLY, no shuffle, and
+    therefore legal on a streaming DataFrame too (a window ``lead`` over
+    positions would neither avoid the shuffle nor run on a stream).  A
+    document with < 2 tokens yields an empty array; the '' phantom token of
+    an empty document can never pair (its array has size 1)."""
+    a = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(a)
+    return F.arrays_zip(
+        F.slice(a, 1, n - 1).alias("w"), F.slice(a, 2, n - 1).alias("v")
     )
 
 
 def bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, w, v) — consecutive token pairs per document.  One doc-keyed
-    window shuffle (lead over position); documents with < 2 tokens
-    contribute no rows."""
-    t = _positioned_tokens(df, text_col, id_col)
-    win = Window.partitionBy(id_col).orderBy("pos")
+    """(id, w, v) — consecutive token pairs per document, map-only fan-out
+    (see :func:`bigram_pairs_col`); documents with < 2 tokens contribute no
+    rows."""
+    from ..session import spread
+
     return (
-        t.withColumn("v", F.lead("w").over(win))
-        .filter(F.col("v").isNotNull())
-        .select(id_col, "w", "v")
+        spread(df)
+        .select(id_col, F.explode(bigram_pairs_col(text_col)).alias("p"))
+        .select(id_col, F.col("p.w").alias("w"), F.col("p.v").alias("v"))
+        .filter((F.col("w") != "") & (F.col("v") != ""))
     )
 
 

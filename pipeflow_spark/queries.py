@@ -2574,9 +2574,9 @@ def lm_perplexity_score(spark, sf_dir):
     an add-0.5 smoothed BIGRAM LM trained on the trusted slice
     (``lang = 'en'``) scores every document's mean −ln P(v|w) — the
     token-transition upgrade of `unigram_quality`'s unigram floor.  Plan:
-    one doc-keyed window shuffle for bigrams, vocabulary-sized count
-    shuffles for the model, and a scoring join that never carries more than
-    the candidate bigram stream (`operators/lm.py` documents the 100 TB
+    map-only per-row bigram fan-out, vocabulary-sized count shuffles for
+    the model, and a scoring join that never carries more than the
+    candidate bigram stream (`operators/lm.py` documents the 100 TB
     shape)."""
     docs = _t(spark, sf_dir, "documents")
     return lm.lm_cross_entropy(docs, docs.filter(F.col("lang") == "en"))
@@ -2628,6 +2628,71 @@ def mixture_temperature(spark, sf_dir):
     the multilingual-pretraining rebalancing rule w_g ∝ p_g^α; feeds
     `mixture_filter` rates.  One |sources|-sized groupBy."""
     return sampling.temperature_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
+@register(
+    "stream_perplexity_gate_oracle",
+    r"""
+    WITH ta AS (SELECT doc_id, lang,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS a
+                FROM documents),
+    pz AS (SELECT doc_id, lang, unnest(list_zip(a, a[2:])) AS p FROM ta),
+    big AS (
+      SELECT doc_id, lang, p[1] AS w, p[2] AS v FROM pz
+      WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL AND p[1] <> '' AND p[2] <> ''
+    ),
+    bi AS (SELECT w, v, CAST(count(*) AS DOUBLE) AS cwv
+           FROM big WHERE lang = 'en' GROUP BY w, v),
+    uni AS (SELECT w, sum(cwv) AS cw FROM bi GROUP BY w),
+    voc AS (
+      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS lm_v
+      FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+            FROM documents WHERE lang = 'en')
+      WHERE tok <> ''
+    ),
+    sc AS (
+      SELECT big.doc_id,
+             ln(coalesce(uni.cw, 0) + 0.5 * (SELECT lm_v FROM voc))
+             - ln(coalesce(bi.cwv, 0) + 0.5) AS nll
+      FROM big LEFT JOIN bi USING (w, v) LEFT JOIN uni USING (w)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 5) AS xent
+    FROM sc GROUP BY doc_id HAVING round(avg(nll), 5) <= 3.4 ORDER BY doc_id
+    """,
+)
+def stream_perplexity_gate_oracle(spark, sf_dir):
+    """Ingest-time perplexity quality gate, batch-equality proven: the
+    documents table replayed as a file stream through map-only bigram
+    fan-out → stream-static broadcast join against the offline-trained
+    bigram LM tables → per-doc windowed mean → xent ≤ 3.4 gate →
+    exactly-once ledgered sink; the committed snapshot must equal the batch
+    `lm_perplexity_score` SQL with the same HAVING bit-for-bit.  Only
+    gate-relevant state is the per-(window, doc) mean — the model lookup
+    itself carries NO state (re-broadcast per micro-batch), so a model
+    refresh is a restart-free swap of the train-side table
+    (streaming/engine.py:perplexity_gate)."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="pipeflow_stream_ppl_")
+    train = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    stream = _documents_stream_source(spark, sf_dir, work)
+    sp = (
+        StreamingPipeline(stream)
+        .with_watermark("ts", "10 minutes")
+        .perplexity_gate(train, max_xent=3.4)
+    )
+    out = (
+        _committed(spark, sp, f"{work}/sink", f"{work}/ckpt")
+        .filter(F.col("doc_id") < 4_000_000_000)
+        .select("doc_id", "n_bigrams", "xent")
+        .orderBy("doc_id")
+    )
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(
@@ -7060,6 +7125,7 @@ _ORDER = [
     "lm_perplexity_score",
     "corpus_divergence",
     "mixture_temperature",
+    "stream_perplexity_gate_oracle",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

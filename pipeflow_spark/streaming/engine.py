@@ -692,6 +692,71 @@ class StreamingPipeline:
         )
         return self._wrap(out)
 
+    def perplexity_gate(
+        self,
+        train: DataFrame,
+        add_k: float = 0.5,
+        max_xent: float | None = None,
+        ts_col: str = "ts",
+        window: str = "1 hour",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        ndigits: int = 5,
+    ) -> "StreamingPipeline":
+        """Streaming CCNet-style perplexity quality gate: score each
+        arriving document's cross-entropy under a bigram LM trained on the
+        static ``train`` slice, and (optionally) pass only documents with
+        ``xent ≤ max_xent`` — the ingest-time twin of
+        :func:`..operators.lm.lm_cross_entropy` (same model, same rounding).
+
+        Shape at 10^12-turn scale: bigram fan-out is a stateless MAP-ONLY
+        projection (each row zips its own token array — the reason the
+        batch operator avoids a positional window, which a stream could not
+        run); the model lookup is a **stream-static broadcast join**
+        (vocabulary-sized count tables vs a TB stream, no state store); the
+        only stateful op is the per-doc mean keyed on ``(window(ts),
+        id_col)``.  Caller must have set a watermark on ``ts_col`` for
+        append-mode emission.  Output: ``(id_col, n_bigrams, xent)``.
+        """
+        if train.isStreaming:
+            raise ValueError("perplexity_gate: train side must be a batch DataFrame")
+        from ..operators.lm import bigram_pairs_col, train_bigram_lm
+
+        bi, uni, vocab = train_bigram_lm(train, text_col, id_col)
+        pairs = (
+            self._df.select(
+                id_col, ts_col, F.explode(bigram_pairs_col(text_col)).alias("p")
+            )
+            .select(id_col, ts_col, F.col("p.w").alias("w"), F.col("p.v").alias("v"))
+            .filter((F.col("w") != "") & (F.col("v") != ""))
+        )
+        scored = (
+            pairs.join(F.broadcast(bi), ["w", "v"], "left")
+            .join(F.broadcast(uni), ["w"], "left")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                id_col,
+                ts_col,
+                (
+                    F.log(
+                        F.coalesce(F.col("cw"), F.lit(0.0)) + add_k * F.col("lm_v")
+                    )
+                    - F.log(F.coalesce(F.col("cwv"), F.lit(0.0)) + F.lit(add_k))
+                ).alias("nll"),
+            )
+        )
+        out = (
+            scored.groupBy(F.window(ts_col, window).alias("w"), id_col)
+            .agg(
+                F.count("*").alias("n_bigrams"),
+                F.round(F.avg("nll"), ndigits).alias("xent"),
+            )
+            .select(id_col, "n_bigrams", "xent")
+        )
+        if max_xent is not None:
+            out = out.filter(F.col("xent") <= max_xent)
+        return self._wrap(out)
+
     def assign_ivf(
         self, centroids, id_col: str = "vec_id", vec_col: str = "embedding"
     ) -> "StreamingPipeline":

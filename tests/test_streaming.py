@@ -1427,6 +1427,66 @@ def test_stream_decontaminate_state_tracks_contamination_only(spark, tmp_path):
     assert agg_rows and max(agg_rows) <= 5
 
 
+def test_stream_perplexity_gate_matches_batch(spark, tmp_path):
+    """Streaming perplexity gate ≡ batch lm_cross_entropy + threshold on
+    identical data: same model (trained on the static slice), same 5-dp
+    rounding, same pass set — and the model lookup carries no state (the
+    only stateful op is the per-(window, doc) mean)."""
+    from pipeflow_spark.operators import lm
+    from pipeflow_spark.streaming.engine import await_drained
+
+    base = dt.datetime(2025, 3, 1, 12, 0, 0)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox naps under the warm sun",
+        "zz yy xx ww vv uu tt ss rr qq",
+        "the lazy dog naps over the quick fox",
+    ]
+    rows = [(i, t, "en" if i < 2 else "xx", base + dt.timedelta(seconds=i))
+            for i, t in enumerate(texts)]
+    src = tmp_path / "ppl_src"
+    src.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "ts"]).to_parquet(
+        src / "part-0.parquet", index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    pd.DataFrame(
+        [(999_999, "sentinel row", "en", dt.datetime(2026, 1, 1))],
+        columns=["doc_id", "text", "lang", "ts"],
+    ).to_parquet(src / "part-9.parquet", index=False,
+                 coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    batch = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, ts timestamp"
+    )
+    train = batch.filter(F.col("lang") == "en")
+    ref = {
+        r.doc_id: (r.n_bigrams, r.xent)
+        for r in lm.lm_cross_entropy(batch, train).collect()
+    }
+    thresh = sorted(v[1] for v in ref.values())[1]  # pass exactly 2 of 4
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        StreamingPipeline(stream)
+        .with_watermark("ts", "0 seconds")
+        .perplexity_gate(train, max_xent=thresh)
+        .start_memory("ppl_gate", output_mode="append")
+    )
+    await_drained(q, expected_input_rows=5)
+    q.stop()
+    got = {
+        r.doc_id: (r.n_bigrams, r.xent)
+        for r in spark.sql("SELECT * FROM ppl_gate WHERE doc_id < 999999").collect()
+    }
+    assert got == {d: v for d, v in ref.items() if v[1] <= thresh}
+    assert len(got) == 2
+
+
 def test_mixture_filter_execution_mode_invariant(spark, tmp_path):
     """Deterministic hash sampling must select the SAME rows in a stream as
     in batch (map-only, layout-independent) — the property that lets one
