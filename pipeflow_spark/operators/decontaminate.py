@@ -138,3 +138,78 @@ def decontaminate(
     falling back to a shuffled anti join keyed on ``id_col`` otherwise."""
     bad = contaminated_docs(train_df, eval_df, text_col, id_col, n=n).select(id_col)
     return train_df.join(bad, id_col, "left_anti")
+
+
+def neardup_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy decontamination: training documents NEAR-DUPLICATE to an eval
+    document (exact n-gram Jaccard ≥ ``threshold``), found via banded
+    MinHash against the eval side — catches paraphrased / lightly-edited
+    benchmark leakage that exact 8-gram overlap (:func:`contaminated_docs`)
+    misses, the fuzzy tier of the GPT-3-style decontamination ladder.
+
+    Scale shape: the eval side is tiny, so its gram sets AND its band table
+    are **broadcast** — the corpus side is one map-only signature pass
+    (Arrow kernel, 64×8 B per doc) joined against the broadcast band table;
+    only colliding (train, eval) candidates proceed to the exact-Jaccard
+    verify, which re-reads just the candidates' gram sets.  The 100 TB scan
+    never shuffles on its own key.  Banding r=2 (64 hashes / 32 bands)
+    centers the S-curve low: candidate recall at j = 0.5 is
+    1 − (1 − 0.5²)³² ≈ 1 − 6·10⁻⁷, and the verify step makes false
+    positives impossible — the approximation is recall-only, like every
+    member of the dedupe family.
+
+    Output: ``(id_col, eval_id_col, jaccard)`` — one row per contaminated
+    (train, eval) pair with the exact rounded Jaccard.
+    """
+    from pyspark import StorageLevel
+
+    from ..session import ensure_shipped, spread
+    from .dedupe import gram_hash_table, minhash_band_keys_udf
+
+    ensure_shipped(train_df.sparkSession)
+    keys_udf = minhash_band_keys_udf(num_hashes, bands)
+    ev = (
+        gram_hash_table(spread(eval_df), text_col, id_col, n)
+        .select(F.col("id").alias(eval_id_col), F.col("ghs").alias("__ev_grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ev_banded = ev.select(
+        eval_id_col, F.posexplode(keys_udf(F.col("__ev_grams")))
+    ).toDF(eval_id_col, "band", "bkey")
+    tr = (
+        gram_hash_table(spread(train_df), text_col, id_col, n)
+        .select(F.col("id").alias(id_col), F.col("ghs").alias("__tr_grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tr_banded = tr.select(id_col, F.posexplode(keys_udf(F.col("__tr_grams")))).toDF(
+        id_col, "band", "bkey"
+    )
+    cand = (
+        tr_banded.join(F.broadcast(ev_banded), ["band", "bkey"])
+        .select(id_col, eval_id_col)
+        .distinct()
+    )
+    return (
+        cand.join(tr, id_col)
+        .join(F.broadcast(ev), eval_id_col)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("__tr_grams", "__ev_grams"))
+                / F.size(F.array_union("__tr_grams", "__ev_grams")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_col, eval_id_col, "jaccard")
+    )

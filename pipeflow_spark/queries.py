@@ -2869,6 +2869,30 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "decontaminate_neardup",
+    f"""
+    WITH {{}}
+    SELECT id_b AS doc_id, id_a AS eval_id, jaccard
+    FROM pairs WHERE id_a < 50 AND id_b >= 50
+    ORDER BY doc_id, eval_id
+    """.format(_jaccard_cte_body(0.5)),
+)
+def decontaminate_neardup(spark, sf_dir):
+    """Fuzzy decontamination tier: training docs (doc_id ≥ 50) near-duplicate
+    (exact 3-gram Jaccard ≥ 0.5) to an eval doc (doc_id < 50), found via
+    banded MinHash against the broadcast eval side and exact-verified — the
+    paraphrase-leakage guard the exact-8-gram tier misses.  The brute-force
+    oracle equality additionally proves candidate recall = 1 at this SF
+    (miss probability per true pair at j = 0.5 is (1 − 0.25)³² ≈ 6·10⁻⁷)."""
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate.neardup_contamination(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        threshold=0.5,
+    ).orderBy("doc_id", "eval_id")
+
+
+@register(
     "dedup_simhash",
     """
     WITH toks AS (
@@ -7126,6 +7150,7 @@ _ORDER = [
     "corpus_divergence",
     "mixture_temperature",
     "stream_perplexity_gate_oracle",
+    "decontaminate_neardup",
 ]
 assert sorted(_ORDER) == sorted(QUERIES), (
     "registry order out of sync: "

@@ -2497,3 +2497,26 @@ def test_temperature_weights_hand_math(spark):
     nat = {r.source: r.weight for r in
            sampling.temperature_weights(df, alpha=1.0).collect()}
     assert nat == {"small": 0.1, "big": 0.9}
+
+
+def test_neardup_contamination_catches_paraphrase(spark):
+    """Fuzzy decontamination must flag a lightly-edited copy of an eval doc
+    (high 3-gram Jaccard) and ignore unrelated text; exact-verify bounds
+    false positives to zero by construction."""
+    from pipeflow_spark.operators import decontaminate as deco
+
+    ev = spark.createDataFrame(
+        [(1, "the capital of france is paris and the capital of italy is rome")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # paraphrase: one word changed -> most 3-grams shared
+            (100, "the capital of france is paris and the capital of spain is rome"),
+            (101, "completely different text about gardening tools and soil quality"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = deco.neardup_contamination(train, ev, threshold=0.5).collect()
+    assert [(r.doc_id, r.eval_id) for r in rows] == [(100, 1)]
+    assert rows[0].jaccard >= 0.5
