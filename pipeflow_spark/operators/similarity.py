@@ -1405,3 +1405,69 @@ def ivfpq_topk(
     if rescore <= 0:
         return cands
     return _rescore_exact(encoded, cands, query_vec, topk, id_col, vec_col)
+
+
+# -- quantizer persistence ----------------------------------------------------
+
+
+def save_quantizer(path: str, codebooks=None, centroids=None) -> dict:
+    """Persist trained quantizer artifacts (PQ codebooks and/or IVF coarse
+    centroids) as one ``.npz`` next to the codes they encoded — the
+    operational completion of the fingerprint contract: codes carry their
+    books' fingerprint in column metadata (:func:`codebook_fingerprint`),
+    and this file is the durable home of the matching books, so "load the
+    books persisted next to the codes" is one call.
+
+    Driver-side by design: the artifacts are KBs (m·k·d and n_lists·d
+    float64) regardless of corpus size.  Returns the fingerprint dict that
+    was embedded, for logging/assertions."""
+    if codebooks is None and centroids is None:
+        raise ValueError("save_quantizer: provide codebooks and/or centroids")
+    payload: dict = {}
+    prints: dict = {}
+    if codebooks is not None:
+        payload["codebooks"] = np.asarray(codebooks, dtype=np.float64)
+        prints["pq_fingerprint"] = codebook_fingerprint(payload["codebooks"])
+    if centroids is not None:
+        payload["centroids"] = np.asarray(centroids, dtype=np.float64)
+        prints["ivf_fingerprint"] = codebook_fingerprint(
+            payload["centroids"], kind="ivf-centroids-v1"
+        )
+    payload["fingerprints"] = np.array(
+        [f"{k}={v}" for k, v in sorted(prints.items())]
+    )
+    with open(path, "wb") as f:
+        np.savez(f, **payload)
+    return prints
+
+
+def load_quantizer(path: str) -> dict:
+    """Load a :func:`save_quantizer` archive and VALIDATE it: each array's
+    fingerprint is recomputed and compared to the stored one, so silent
+    corruption (or a hand-edited file) fails loudly instead of degrading
+    recall.  Returns ``{"codebooks": ..., "centroids": ...,
+    "fingerprints": {...}}`` with absent artifacts omitted."""
+    with np.load(path, allow_pickle=False) as z:
+        stored = dict(
+            s.split("=", 1) for s in z["fingerprints"].tolist()
+        )
+        out: dict = {"fingerprints": stored}
+        if "codebooks" in z:
+            books = z["codebooks"]
+            got = codebook_fingerprint(books)
+            if stored.get("pq_fingerprint") != got:
+                raise ValueError(
+                    f"quantizer archive corrupt: stored pq_fingerprint "
+                    f"{stored.get('pq_fingerprint')!r} != recomputed {got!r}"
+                )
+            out["codebooks"] = books
+        if "centroids" in z:
+            cen = z["centroids"]
+            got = codebook_fingerprint(cen, kind="ivf-centroids-v1")
+            if stored.get("ivf_fingerprint") != got:
+                raise ValueError(
+                    f"quantizer archive corrupt: stored ivf_fingerprint "
+                    f"{stored.get('ivf_fingerprint')!r} != recomputed {got!r}"
+                )
+            out["centroids"] = cen
+    return out

@@ -2520,3 +2520,45 @@ def test_neardup_contamination_catches_paraphrase(spark):
     rows = deco.neardup_contamination(train, ev, threshold=0.5).collect()
     assert [(r.doc_id, r.eval_id) for r in rows] == [(100, 1)]
     assert rows[0].jaccard >= 0.5
+
+
+def test_quantizer_save_load_roundtrip_and_corruption(spark, tmp_path):
+    """Quantizer archive round-trips bit-exactly, its fingerprints match
+    the ones the encoders stamp into codes metadata (so load-then-search
+    passes the skew check), and corruption fails loudly at load."""
+    import numpy as np
+
+    books = [[[0.0, 0.0], [10.0, 10.0]], [[5.0, 5.0], [-5.0, -5.0]]]
+    cen = [[0.0, 0.0, 0.0, 0.0]]
+    path = str(tmp_path / "quant.npz")
+    prints = similarity.save_quantizer(path, codebooks=books, centroids=cen)
+    loaded = similarity.load_quantizer(path)
+    assert np.array_equal(loaded["codebooks"], np.asarray(books, dtype=np.float64))
+    assert np.array_equal(loaded["centroids"], np.asarray(cen, dtype=np.float64))
+    assert loaded["fingerprints"] == prints
+
+    # loaded books search codes encoded with the originals without skew
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 4.0, 6.0]), (2, [9.0, 9.5, -4.0, -6.0])],
+        "vec_id int, embedding array<double>",
+    )
+    enc = similarity.ivfpq_encode(df, cen, books)
+    q = [0.0, 0.0, 5.0, 5.0]
+    top = similarity.ivfpq_topk(
+        enc, loaded["centroids"], loaded["codebooks"], q, topk=2, nprobe=1
+    ).collect()
+    assert len(top) == 2
+
+    # corruption: flip one stored byte -> load raises
+    import zipfile
+
+    corrupt = str(tmp_path / "quant_bad.npz")
+    with np.load(path) as z:
+        bad = dict(z)
+    bad["codebooks"] = bad["codebooks"] + 1e-9
+    with open(corrupt, "wb") as f:
+        np.savez(f, **bad)
+    import pytest
+
+    with pytest.raises(ValueError, match="corrupt"):
+        similarity.load_quantizer(corrupt)
