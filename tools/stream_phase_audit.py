@@ -125,8 +125,9 @@ def main() -> dict:
     )
 
     g_before = gauge()
-    spark = get_spark("stream_phase_audit", cpus=cpus, shuffle_partitions=16)
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    state_parts = int(os.environ.get("SPARK_GRAFT_AUDIT_STATE_PARTITIONS", "16"))
+    spark = get_spark("stream_phase_audit", cpus=cpus, shuffle_partitions=state_parts)
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
     # conf experiments (e.g. rocksdb.trackTotalNumberOfRows=false): applied
     # to the session so every variant in the run measures the same knobs
     extra = os.environ.get("SPARK_GRAFT_AUDIT_EXTRA_CONF", "")
