@@ -2562,3 +2562,58 @@ def test_quantizer_save_load_roundtrip_and_corruption(spark, tmp_path):
 
     with pytest.raises(ValueError, match="corrupt"):
         similarity.load_quantizer(corrupt)
+
+
+def test_lm_cross_entropy_matches_python_reference(spark):
+    """Seeded randomized differential: the distributed bigram-LM scorer must
+    agree with a direct pure-python implementation of the same model on
+    random corpora (tokenization, context counts, add-k smoothing, OOV
+    handling, per-doc mean) to 1e-5 on every document."""
+    import math
+    import random
+
+    from pipeflow_spark.operators import lm
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(8)]
+    for trial in range(5):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(rng.randint(8, 15))
+        ]
+        train = [d for d in docs if d[0] % 2 == 0]
+
+        def toks(t):
+            return [w for w in t.strip().lower().split() if w]
+
+        big = lambda t: list(zip(toks(t), toks(t)[1:]))  # noqa: E731
+        cwv: dict = {}
+        for _, t in train:
+            for p in big(t):
+                cwv[p] = cwv.get(p, 0) + 1
+        cw: dict = {}
+        for (w, _), c in cwv.items():
+            cw[w] = cw.get(w, 0) + c
+        V = len({w for _, t in train for w in toks(t)})
+        k = 0.5
+        expect = {}
+        for i, t in docs:
+            bs = big(t)
+            if not bs:
+                continue
+            nll = [
+                math.log(cw.get(w, 0) + k * V) - math.log(cwv.get((w, v), 0) + k)
+                for w, v in bs
+            ]
+            expect[i] = (len(bs), sum(nll) / len(nll))
+
+        sdf = spark.createDataFrame(docs, "doc_id int, text string")
+        tdf = spark.createDataFrame(train, "doc_id int, text string")
+        got = {
+            r.doc_id: (r.n_bigrams, r.xent)
+            for r in lm.lm_cross_entropy(sdf, tdf, add_k=k).collect()
+        }
+        assert set(got) == set(expect), f"trial {trial}: doc sets differ"
+        for i in expect:
+            assert got[i][0] == expect[i][0], f"trial {trial} doc {i} n_bigrams"
+            assert abs(got[i][1] - expect[i][1]) <= 1e-5, f"trial {trial} doc {i}"
