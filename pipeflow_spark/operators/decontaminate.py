@@ -174,42 +174,39 @@ def neardup_contamination(
     from pyspark import StorageLevel
 
     from ..session import ensure_shipped, spread
-    from .dedupe import gram_hash_table, minhash_band_keys_udf
+    from .dedupe import _verify_jaccard, gram_hash_table, minhash_band_keys_udf
 
     ensure_shipped(train_df.sparkSession)
     keys_udf = minhash_band_keys_udf(num_hashes, bands)
-    ev = (
-        gram_hash_table(spread(eval_df), text_col, id_col, n)
-        .select(F.col("id").alias(eval_id_col), F.col("ghs").alias("__ev_grams"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ev = gram_hash_table(spread(eval_df), text_col, id_col, n).select(
+        "id", F.col("ghs").alias("grams")
     )
     ev_banded = ev.select(
-        eval_id_col, F.posexplode(keys_udf(F.col("__ev_grams")))
+        F.col("id").alias(eval_id_col), F.posexplode(keys_udf(F.col("grams")))
     ).toDF(eval_id_col, "band", "bkey")
+    # the train gram table feeds both the band pass and the verify join —
+    # persisted for the same reason (and with the same lifetime caveat) as
+    # minhash_lsh_pairs: Spark has no common-subplan reuse across join
+    # branches, and at corpus scale this is the "write grams to a temp
+    # table" pattern (MEMORY_AND_DISK spills rather than OOMs; a long-lived
+    # session doing many sweeps should materialize the gram table to
+    # parquet once instead and pass it through explicitly)
     tr = (
         gram_hash_table(spread(train_df), text_col, id_col, n)
-        .select(F.col("id").alias(id_col), F.col("ghs").alias("__tr_grams"))
+        .select("id", F.col("ghs").alias("grams"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tr_banded = tr.select(id_col, F.posexplode(keys_udf(F.col("__tr_grams")))).toDF(
-        id_col, "band", "bkey"
-    )
+    tr_banded = tr.select(
+        F.col("id").alias(id_col), F.posexplode(keys_udf(F.col("grams")))
+    ).toDF(id_col, "band", "bkey")
     cand = (
         tr_banded.join(F.broadcast(ev_banded), ["band", "bkey"])
         .select(id_col, eval_id_col)
         .distinct()
     )
-    return (
-        cand.join(tr, id_col)
-        .join(F.broadcast(ev), eval_id_col)
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("__tr_grams", "__ev_grams"))
-                / F.size(F.array_union("__tr_grams", "__ev_grams")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select(id_col, eval_id_col, "jaccard")
+    # shared exact-verify (dedupe._verify_jaccard): zero false positives by
+    # construction; eval side broadcast (benchmark-tiny)
+    return _verify_jaccard(
+        cand, tr, threshold,
+        grams_b=ev, a_col=id_col, b_col=eval_id_col, broadcast_b=True,
     )

@@ -97,9 +97,12 @@ def gram_hash_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Da
     cross-side pair).  Short rows (< n tokens) hash their single truncated
     window — Spark's hash functions ignore the NULL ``element_at`` overruns,
     and both sides of any join use this same function, mirroring
-    :func:`_grams_of_toks`'s single short gram.  Use wherever only gram
-    MEMBERSHIP matters (decontamination, blocklists); exact-verify paths
-    (Jaccard) still need :func:`gram_table`'s string sets."""
+    :func:`_grams_of_toks`'s single short gram.  Jaccard over these hash
+    sets is value-identical to Jaccard over the string sets up to the same
+    2⁻⁶⁴ collision odds — the brute-force string-gram oracles of
+    `dedup_minhash_lsh` / `decontaminate_neardup` pin that equality
+    empirically, which is why the verify paths consume this table rather
+    than :func:`gram_table`'s string form."""
     toked = df.select(
         F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), r"\s+").alias("__toks")
     )
@@ -186,15 +189,29 @@ def dup_span_profile(
 # -- shared: exact-Jaccard verification of candidate pairs --------------------
 
 
-def _verify_jaccard(candidates: DataFrame, grams: DataFrame, threshold: float) -> DataFrame:
-    """Join candidate ``(id_a, id_b)`` pairs back to their full gram sets and
-    keep pairs whose *exact* Jaccard ≥ threshold.  Output has no false
-    positives regardless of how candidates were generated."""
-    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+def _verify_jaccard(
+    candidates: DataFrame,
+    grams: DataFrame,
+    threshold: float,
+    grams_b: DataFrame | None = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """Join candidate ``(a_col, b_col)`` pairs back to their full gram sets
+    and keep pairs whose *exact* Jaccard ≥ threshold.  Output has no false
+    positives regardless of how candidates were generated.  ``grams_b``
+    supplies the b-side's own ``(id, grams)`` table for cross-corpus use
+    (e.g. train-vs-eval decontamination; ``broadcast_b`` hints it when that
+    side is benchmark-tiny); default is the self-join form."""
+    gb_src = grams_b if grams_b is not None else grams
+    ga = grams.select(F.col("id").alias(a_col), F.col("grams").alias("grams_a"))
+    gb = gb_src.select(F.col("id").alias(b_col), F.col("grams").alias("grams_b"))
+    if broadcast_b:
+        gb = F.broadcast(gb)
     return (
-        candidates.join(ga, "id_a")
-        .join(gb, "id_b")
+        candidates.join(ga, a_col)
+        .join(gb, b_col)
         .withColumn(
             "jaccard",
             F.round(
@@ -204,7 +221,7 @@ def _verify_jaccard(candidates: DataFrame, grams: DataFrame, threshold: float) -
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(a_col, b_col, "jaccard")
     )
 
 

@@ -1181,10 +1181,12 @@ def _adc_scan_udf(luts: dict[int, np.ndarray] | np.ndarray):
                 return pd.Series([], dtype=np.float64)
             C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
             ids = list_id.to_numpy(dtype="int64")
-            # NaN-init: a list_id with no LUT entry stays NaN (→ NULL adist,
-            # excluded by the caller's null handling) instead of whatever
-            # bytes np.empty happened to hand back (ADVICE r4) — the kernel
-            # no longer depends on the caller pre-filtering isin(probes)
+            # NaN-init: a list_id with no LUT entry stays NaN (→ NULL adist
+            # through Arrow) instead of whatever bytes np.empty happened to
+            # hand back (ADVICE r4).  NULL is deterministic but Spark ASC
+            # sorts it FIRST — so the rankers order by asc_nulls_last and
+            # additionally pre-filter isin(probes); the NaN is a loud
+            # tripwire for new callers, not a license to skip the filter
             out = np.full(len(C), np.nan, dtype=np.float64)
             for li, L in tables.items():
                 mask = ids == li
@@ -1272,7 +1274,10 @@ def pq_topk(
             t = F.get(lut_j, F.get("codes", j))
             adist = t if adist is None else adist + t
         scored = live.select(F.col(id_col), _round6_col(adist).alias("adist"))
-    cands = scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(
+    # asc_nulls_last: a NULL/NaN adist (null-masked codes that slipped a
+    # guard, or an unmatched list_id in the per-list kernel) must never
+    # occupy a top-k slot — Spark ASC default is NULLS FIRST (code-review r5)
+    cands = scored.orderBy(F.col("adist").asc_nulls_last(), F.col(id_col)).limit(
         rescore if rescore > 0 else topk
     )
     if rescore <= 0:
@@ -1399,7 +1404,10 @@ def ivfpq_topk(
                 else adist.when(F.col("list_id") == li, t)
             )
         scored = live.select(F.col(id_col), _round6_col(adist).alias("adist"))
-    cands = scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(
+    # asc_nulls_last: a NULL/NaN adist (null-masked codes that slipped a
+    # guard, or an unmatched list_id in the per-list kernel) must never
+    # occupy a top-k slot — Spark ASC default is NULLS FIRST (code-review r5)
+    cands = scored.orderBy(F.col("adist").asc_nulls_last(), F.col(id_col)).limit(
         rescore if rescore > 0 else topk
     )
     if rescore <= 0:

@@ -6992,7 +6992,10 @@ _ORDER = [
     # never earned a driver CORRECTNESS row in r1-r4 (VERDICT r4 rotation ask
     # -- mostly stream_* oracles), then 17 flagship pads re-certifying the
     # highest-value rotated-out queries.  Green here closes the ledger: every
-    # one of the 151 registry entries then has a driver row in some round.
+    # one of the 151 pre-r5 registry entries then has a driver row in some
+    # round.  (The 5 queries ADDED in r5 sit past the boundary: they are
+    # covered by the certify_all sweep and by tests/test_registry_regression
+    # re-oracling every past-window entry, but have no driver row.)
     "probe_types_core",
     "probe_types_bool",
     "probe_types_numeric",
@@ -7043,8 +7046,9 @@ _ORDER = [
     "pretraining_batches",
     "scd2_tier_enrich",
     "window_topn_per_group",
-    # --- past the certification boundary (all driver-certified in r1-r4,
-    # re-verified every session by tools/certify_all.py + pytest regression)
+    # --- past the certification boundary: driver-certified in r1-r4 (plus
+    # the 5 never-driver-certified r5 additions at the tail), all re-oracled
+    # every session by tools/certify_all.py AND tests/test_registry_regression
     "stream_budget_cap_oracle",
     "stream_turn_rate_spikes_oracle",
     "q2_groupwise_min_price",

@@ -702,6 +702,7 @@ class StreamingPipeline:
         text_col: str = "text",
         id_col: str = "doc_id",
         ndigits: int = 5,
+        broadcast_model: bool = True,
     ) -> "StreamingPipeline":
         """Streaming CCNet-style perplexity quality gate: score each
         arriving document's cross-entropy under a bigram LM trained on the
@@ -712,17 +713,28 @@ class StreamingPipeline:
         Shape at 10^12-turn scale: bigram fan-out is a stateless MAP-ONLY
         projection (each row zips its own token array — the reason the
         batch operator avoids a positional window, which a stream could not
-        run); the model lookup is a **stream-static broadcast join**
-        (vocabulary-sized count tables vs a TB stream, no state store); the
-        only stateful op is the per-doc mean keyed on ``(window(ts),
-        id_col)``.  Caller must have set a watermark on ``ts_col`` for
-        append-mode emission.  Output: ``(id_col, n_bigrams, xent)``.
+        run); the model lookup is a **stream-static join** against the
+        vocabulary-sized count tables (no state store); the only stateful
+        op is the per-doc mean keyed on ``(window(ts), id_col)``.  Caller
+        must have set a watermark on ``ts_col`` for append-mode emission.
+        Output: ``(id_col, n_bigrams, xent)``.
+
+        ``broadcast_model=True`` (default) hints broadcast on the bigram /
+        context tables — right whenever the reference slice's bigram-type
+        count fits executor memory (typical curation models).  A
+        Wikipedia-plus-scale slice (1e8+ bigram types) would OOM a forced
+        broadcast and AQE is unavailable in stateful streaming to catch it,
+        so pass ``False`` there: the model then shuffle-joins per
+        micro-batch (code-review r5; the batch twin never needs the flag —
+        AQE picks the strategy from real sizes).
         """
         if train.isStreaming:
             raise ValueError("perplexity_gate: train side must be a batch DataFrame")
         from ..operators.lm import bigram_pairs_col, train_bigram_lm
 
         bi, uni, vocab = train_bigram_lm(train, text_col, id_col)
+        if broadcast_model:
+            bi, uni = F.broadcast(bi), F.broadcast(uni)
         pairs = (
             self._df.select(
                 id_col, ts_col, F.explode(bigram_pairs_col(text_col)).alias("p")
@@ -731,8 +743,8 @@ class StreamingPipeline:
             .filter((F.col("w") != "") & (F.col("v") != ""))
         )
         scored = (
-            pairs.join(F.broadcast(bi), ["w", "v"], "left")
-            .join(F.broadcast(uni), ["w"], "left")
+            pairs.join(bi, ["w", "v"], "left")
+            .join(uni, ["w"], "left")
             .crossJoin(F.broadcast(vocab))
             .select(
                 id_col,

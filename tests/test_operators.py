@@ -2206,6 +2206,15 @@ def test_adc_scan_unmatched_list_id_nan_not_garbage(spark):
     got = {r.vec_id: r.adist for r in rows}
     assert got[1] == 0.5 and got[2] == 1.5
     assert got[3] is None or math.isnan(got[3])
+    # ranking safety (code-review r5): NULL/NaN adist sorts LAST in the
+    # rankers, never occupying a top-k slot, even without the isin pre-filter
+    ranked = df.select(
+        "vec_id",
+        similarity._adc_scan_udf(
+            {k: __import__("numpy").asarray(v) for k, v in luts.items()}
+        )(F.col("codes"), F.col("list_id")).alias("adist"),
+    ).orderBy(F.col("adist").asc_nulls_last(), "vec_id").collect()
+    assert [r.vec_id for r in ranked] == [1, 2, 3]
 
 
 def test_adc_scan_empty_input_no_error(spark):

@@ -13,10 +13,7 @@ Streaming oracles are included: at sf0.001 each bounded replay completes in
 a few seconds.
 """
 
-import glob
-import json
 import os
-import re
 import sys
 
 import duckdb
@@ -33,21 +30,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _rotated_out_certified() -> list[str]:
-    """Queries with a green driver row in ANY recorded round that now sit
-    past the 50-entry window (still registered, oracle-backed)."""
-    certified: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        with open(path) as f:
-            for name, row in json.load(f).items():
-                if row.get("hash_match") and row.get("rows_match"):
-                    certified.add(name)
+    """Every oracle-backed query past the 50-entry window — both entries
+    driver-certified in an earlier round AND entries added after the final
+    rotation (the r5 additions have no driver row in any round, so this net
+    is their ONLY automated Spark-vs-DuckDB check between manual
+    certify_all sweeps; code-review r5)."""
     names = list(QUERIES)
     window = set(names[:50])
-    return [
-        n
-        for n in names
-        if n in certified and n not in window and QUERIES[n][1] is not None
-    ]
+    return [n for n in names if n not in window and QUERIES[n][1] is not None]
 
 
 ROTATED = _rotated_out_certified()
@@ -64,12 +54,14 @@ def duck():
 
 
 def test_rotation_set_is_nonempty_and_sane():
-    # r1-r4 certified 121 distinct queries; after the r5 rotation pulled 17
-    # of them back in as window pads, the rotated-out regression net must
-    # still cover the big earlier-round blocks
+    # the net must cover the big earlier-round blocks AND the post-rotation
+    # r5 additions (which have no driver row in any round)
     assert len(ROTATED) >= 30
     assert "q10_returned_items" in ROTATED  # r2-certified, past the boundary
     assert "stream_events_tumbling_oracle" in ROTATED  # r3-certified stream
+    for new in ("lm_perplexity_score", "corpus_divergence", "mixture_temperature",
+                "stream_perplexity_gate_oracle", "decontaminate_neardup"):
+        assert new in ROTATED  # r5 additions: sweep+this-net only
 
 
 @pytest.mark.parametrize("name", ROTATED)
