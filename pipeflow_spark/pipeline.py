@@ -321,6 +321,34 @@ class Pipeline:
         df = self._df.withColumn(out, q) if out else self._df
         return self._wrap(df.filter((q if not out else F.col(out)) >= min_score))
 
+    def perplexity_filter(
+        self,
+        train: "Pipeline | DataFrame",
+        max_xent: float,
+        add_k: float = 0.5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        out: str | None = None,
+    ) -> "Pipeline":
+        """Fluent CCNet-style quality gate: keep rows whose bigram-LM
+        cross-entropy under a model trained on ``train`` is ≤ ``max_xent``
+        (reference-like text passes; boilerplate/noise scores high and
+        drops).  ``out`` keeps the score as a column.  The per-doc scores
+        semi-join back on ``id_col``, so all original columns survive; rows
+        with < 2 tokens have no score and are dropped (no evidence of
+        fluency).  See :func:`operators.lm.lm_cross_entropy` for the model
+        and the 100 TB plan shape."""
+        from .operators import lm as _lm
+
+        tdf = train.df if isinstance(train, Pipeline) else train
+        scores = _lm.lm_cross_entropy(
+            self._df, tdf, add_k=add_k, text_col=text_col, id_col=id_col
+        ).filter(F.col("xent") <= max_xent)
+        if out:
+            keep = scores.select(id_col, F.col("xent").alias(out))
+            return self._wrap(self._df.join(keep, id_col))
+        return self._wrap(self._df.join(scores.select(id_col), id_col, "semi"))
+
     def decontaminate(
         self, eval_df: "Pipeline | DataFrame", text_col: str = "text",
         id_col: str = "doc_id", n: int = 8,

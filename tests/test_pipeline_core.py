@@ -212,3 +212,33 @@ def test_byte_string_as_bytes_spark_semantics():
     assert b("2t") == 2 << 40
     assert b("1000") == 1000
     assert b("garbage") == 128 << 20  # Spark default fallback
+
+
+def test_perplexity_filter_fluent(spark):
+    """Fluent LM gate: keeps reference-like rows with all original columns,
+    drops high-xent rows and scoreless (<2-token) rows; out= keeps the
+    score."""
+    from pipeflow_spark import Pipeline
+    from pipeflow_spark.operators import lm
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "a"),
+            (2, "the quick brown fox naps under the lazy dog", "b"),
+            (3, "zz yy xx ww vv uu tt ss rr qq", "c"),
+            (4, "solo", "d"),
+        ],
+        "doc_id int, text string, extra string",
+    )
+    train = docs.filter(F.col("doc_id") == 1)
+    ref = {r.doc_id: r.xent for r in lm.lm_cross_entropy(docs, train).collect()}
+    thresh = sorted(ref.values())[1]  # admits exactly docs 1 and 2
+
+    kept = Pipeline(docs).perplexity_filter(train, max_xent=thresh).to_list()
+    assert sorted((r.doc_id, r.extra) for r in kept) == [(1, "a"), (2, "b")]
+
+    scored = Pipeline(docs).perplexity_filter(train, max_xent=thresh, out="ppl_xent").to_list()
+    assert {r.doc_id: r.ppl_xent for r in scored} == {
+        d: x for d, x in ref.items() if x <= thresh
+    }
